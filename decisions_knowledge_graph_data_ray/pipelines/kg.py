@@ -1,0 +1,113 @@
+"""Flagship KG-construction pipeline (Ray-Data-first composition).
+
+    read_parquet(transcripts)
+      → assemble (salted two-phase groupby(conv_id), explicit turn_idx sort)
+      → extract  (actor pool, schema-validated, failures routed)
+      → link + emit triples (actor pool holding the broadcast LinkerIndex)
+      → canonicalize (distributed min-label propagation over candidate pairs)
+      → dedup triples (combiner + hash groupby)
+      → write_parquet / return
+
+The fused link+triple stage is materialized ONCE (it is small: ids + preds,
+no document text) and then split into triples/links/edges views, so the
+heavy upstream (read → assemble → extract) streams exactly one pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray
+import ray.data
+
+from ..functions.linking import LinkerIndex
+from ..sources.transcripts import get_world, transcripts_path
+from ..stages.assemble import assemble_documents, assemble_documents_salted
+from ..stages.canonicalize import canonical_triples, connected_components
+from ..stages.extract import extract_documents
+from ..stages.triples import LinkTripleActor, dedup_triples, split_fused
+
+
+@dataclass
+class KGConfig:
+    extract_concurrency: int | tuple = 4
+    link_concurrency: int | tuple = 4
+    extract_batch_size: int = 64
+    link_batch_size: int = 128
+    salted_assembly: bool = True
+    cc_num_partitions: int = 8
+
+
+def build_index_ref(world: dict | None = None):
+    """Build the LinkerIndex once on the driver and broadcast via ray.put."""
+    world = world or get_world()
+    idx = LinkerIndex.build(
+        acts=world["acts"],
+        articles=world["articles"],
+        alias_popular=world["alias_popular"],
+        code_families=world["code_families"],
+        decisions=world["decisions"],
+        missing_courts=world["missing_courts"],
+    )
+    return ray.put(idx)
+
+
+def run_kg_pipeline(
+    transcripts: ray.data.Dataset,
+    index_ref=None,
+    config: KGConfig | None = None,
+) -> dict:
+    """Full pipeline → dict of result Datasets:
+    {'documents','extractions','failures','triples','links','labels'}.
+
+    ``triples`` includes canonical_rep triples and is deduplicated.
+    """
+    config = config or KGConfig()
+    if index_ref is None:
+        index_ref = build_index_ref()
+
+    assemble = assemble_documents_salted if config.salted_assembly else assemble_documents
+    docs = assemble(transcripts)
+
+    extractions = extract_documents(
+        docs,
+        concurrency=config.extract_concurrency,
+        batch_size=config.extract_batch_size,
+    ).materialize()  # nested mention records, no document text — small; lets
+    # the valid/failures branches and the link stage share one extract pass
+
+    valid = extractions.filter(expr="valid == True")
+
+    fused = valid.map_batches(
+        LinkTripleActor,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=config.link_batch_size,
+        concurrency=config.link_concurrency,
+    ).materialize()  # small (ids + preds only); upstream streams one pass
+
+    triples, links, edges = split_fused(fused)
+
+    labels = connected_components(edges, num_partitions=config.cc_num_partitions)
+    all_triples = triples.union(canonical_triples(labels))
+    final_triples = dedup_triples(all_triples)
+
+    failures = extractions.filter(expr="valid == False")
+
+    return {
+        "documents": docs,
+        "extractions": extractions,
+        "failures": failures,
+        "triples": final_triples,
+        "links": links,
+        "labels": labels,
+    }
+
+
+def read_transcripts(sf_dir: str) -> ray.data.Dataset:
+    """The deterministic synthetic transcript corpus scaled to an sf dir."""
+    return ray.data.read_parquet(transcripts_path(sf_dir))
+
+
+def run_for_sf_dir(sf_dir: str, config: KGConfig | None = None) -> dict:
+    return run_kg_pipeline(read_transcripts(sf_dir), config=config)

@@ -1,0 +1,127 @@
+"""Extraction stage: assembled documents → schema-validated extraction records.
+
+The extractor is an injectable per-batch callable class with an enforced
+output schema — the engine's analogue of the reference's JobConfig
+(promptTemplate → JSON → AJV validate, /root/reference/src/jobs/JobConfig.ts:119-169).
+The shipped default is the deterministic rule-based extractor
+(functions/document.extract_document); a real LLM client slots into the
+same actor-pool stage by overriding ``extract_fn``.
+
+Runs as ``map_batches(ExtractorActor, concurrency=N)`` — an actor pool so
+per-actor setup (jsonschema validator compilation, extractor construction)
+happens once per actor, not per batch (SURVEY.md T1). Validation failures
+don't kill the row silently: each output row carries ``valid`` /
+``failure_reason`` / ``failure_error`` columns; the pipeline filters valid
+rows downstream and routes the rest to the failures table with the
+reference's reason taxonomy (ConcurrentProcessor.ts:758-777).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data
+
+from .. import schemas
+from ..functions.document import extract_document
+
+_EXTRACT_OUT_SCHEMA = pa.schema(
+    list(schemas.EXTRACTIONS_SCHEMA)
+    + [
+        pa.field("valid", pa.bool_()),
+        pa.field("failure_reason", pa.string()),
+        pa.field("failure_error", pa.string()),
+    ]
+)
+
+_EMPTY_EXTRACTION = {
+    "cited_provisions": [],
+    "cited_decisions": [],
+    "references": {
+        k: []
+        for k in (
+            "url_eu", "url_be", "eu_extracted", "eu_verified",
+            "be_extracted", "be_verified_numac", "be_verified_file_number",
+        )
+    },
+    "keywords": [],
+    "micro_summary": "",
+}
+
+
+class ExtractorActor:
+    """Stateful extraction stage: validator compiled once per actor."""
+
+    def __init__(self, extract_fn: Callable[[dict], dict] | None = None):
+        import jsonschema
+
+        self._extract_fn = extract_fn or extract_document
+        self._validator = jsonschema.Draft7Validator(schemas.EXTRACTION_JSON_SCHEMA)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        conv_ids = batch["conv_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        self_eclis = batch["self_ecli"].to_pylist()
+        for conv_id, text, self_ecli in zip(conv_ids, texts, self_eclis):
+            doc = {"conv_id": conv_id, "text": text, "self_ecli": self_ecli}
+            try:
+                rec = self._extract_fn(doc)
+            except Exception as e:  # extractor crash → Request Error failure row
+                rec = {"conv_id": conv_id, "self_ecli": self_ecli, **_EMPTY_EXTRACTION}
+                rec.update(valid=False, failure_reason=schemas.REASON_REQUEST_ERROR, failure_error=str(e)[:500])
+                rows.append(rec)
+                continue
+            err = next(iter(self._validator.iter_errors(rec)), None)
+            if err is not None:
+                bad = {"conv_id": conv_id, "self_ecli": self_ecli, **_EMPTY_EXTRACTION}
+                bad.update(
+                    valid=False,
+                    failure_reason=schemas.REASON_SCHEMA_VALIDATION,
+                    failure_error=err.message[:500],
+                )
+                rows.append(bad)
+            else:
+                rows.append({**rec, "valid": True, "failure_reason": "", "failure_error": ""})
+        return pa.Table.from_pylist(rows, schema=_EXTRACT_OUT_SCHEMA)
+
+
+def extract_documents(
+    docs: ray.data.Dataset,
+    extract_fn: Callable[[dict], dict] | None = None,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Documents → extraction records (valid + failure rows interleaved)."""
+    return docs.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"extract_fn": extract_fn},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def split_failures(extractions: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(valid_extractions, failures) — two filtered views of the stage output."""
+    valid = extractions.filter(expr="valid == True").drop_columns(
+        ["valid", "failure_reason", "failure_error"]
+    )
+
+    def _to_failures(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bad = batch.filter(pc.invert(batch["valid"]))
+        return pa.table(
+            {
+                "conv_id": bad["conv_id"],
+                "stage": pa.array(["extract"] * bad.num_rows, pa.string()),
+                "reason": bad["failure_reason"],
+                "error": bad["failure_error"],
+            }
+        )
+
+    failures = extractions.map_batches(_to_failures, batch_format="pyarrow")
+    return valid, failures
