@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``    — flagship KG pipeline on the sf0.001-scaled synthetic
+                 transcript corpus (deterministic, cached under /tmp).
+``queries()``  — one entry per implemented operator/pipeline (SURVEY.md §2 +
+                 the training-data operator suite).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                 (same column names, same rounding). KG-pipeline and
+                 sketch-based queries are rows-only (non-SQL-expressible).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,380 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: transcripts → assembled docs → extraction →
+    linking → canonicalized, deduplicated (subj,pred,obj) triples."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
+
+    return run_for_sf_dir(SF0001)["triples"]
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (rows-only checks: regex/clustering/linking semantics
+# are not ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _kg_triples(sf_dir: str):
+    from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
+
+    return run_for_sf_dir(sf_dir)["triples"]
+
+
+def _kg_links(sf_dir: str):
+    from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
+
+    df = run_for_sf_dir(sf_dir)["links"].to_pandas()
+    return df.sort_values(["conv_id", "mention_internal_id", "kind"]).reset_index(drop=True)
+
+
+def _kg_documents(sf_dir: str):
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+
+    return assemble_documents_salted(read_transcripts(sf_dir))
+
+
+def _kg_mentions(sf_dir: str):
+    """Exploded provision mentions (assembly + extraction only)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    extractions = extract_documents(docs)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            for p in rec["cited_provisions"]:
+                rows.append({"conv_id": rec["conv_id"], **p})
+        cols = [
+            "conv_id", "provision_seq", "act_seq", "provision_number",
+            "provision_number_key", "parent_act_name", "parent_act_type",
+            "parent_act_date", "internal_provision_id", "internal_parent_act_id",
+        ]
+        import pyarrow as pa2
+
+        if not rows:
+            return pa2.table({c: pa2.array([], pa2.string()) for c in cols})
+        return pa2.Table.from_pylist(rows).select(cols)
+
+    return extractions.map_batches(_explode, batch_format="pyarrow")
+
+
+def _kg_transcripts_roundtrip(sf_dir: str):
+    """Assemble → explode roundtrip (the per-turn text-equality invariant as
+    a query: output must equal the input transcript rows)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import (
+        assemble_documents_salted,
+        explode_documents,
+    )
+
+    ds = read_transcripts(sf_dir)
+    out = explode_documents(assemble_documents_salted(ds)).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (rows-only where sketch-based)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    df["est_jaccard"] = df["est_jaccard"].round(4)
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs).to_pandas().sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _near_dedup_keep(sf_dir: str):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import near_dedup_keep_ids
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dedup_keep_ids(docs, threshold=0.7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import embedding_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = embedding_dup_pairs(emb, threshold=0.95).to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _lsh_topk(sf_dir: str):
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import lsh_bucketed_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    ref = ray.put(
+        {"query_id": qdf["vec_id"].tolist(), "matrix": np.asarray(qdf["embedding"].tolist(), dtype=np.float32)}
+    )
+    df = lsh_bucketed_topk(emb, ref, k=5).to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        fingerprints(docs)
+        .select_columns(["doc_id", "fingerprint"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _multimodal_decode(sf_dir: str):
+    from decisions_knowledge_graph_data_ray.stages.multimodal import (
+        decode_media,
+        make_fake_media_dataset,
+    )
+
+    media = make_fake_media_dataset(n=96)
+    return decode_media(media, fake=True).to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from decisions_knowledge_graph_data_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator suite (all DuckDB-checked)
+        "lineitem_agg": R.q_lineitem_agg,
+        "orders_priority_revenue": R.q_orders_priority_revenue,
+        "top_customers": R.q_top_customers,
+        "region_customer_counts": R.q_region_customer_counts,
+        "part_type_stats": R.q_part_type_stats,
+        "supplier_balance_by_nation": R.q_supplier_balance_by_nation,
+        "events_hourly": R.q_events_hourly,
+        "events_top_users": R.q_events_top_users,
+        "events_sessionized": R.q_events_sessionized,
+        "orders_distinct_status": R.q_orders_distinct_status,
+        "lineitem_running_qty": R.q_lineitem_shipdate_window,
+        # training-data ops with SQL oracles
+        "documents_token_counts": R.q_documents_token_counts,
+        "documents_exact_dedup": R.q_documents_exact_dedup,
+        "documents_langid": R.q_documents_langid,
+        "documents_quality": R.q_documents_quality,
+        "embeddings_topk": R.q_embeddings_topk,
+        # sketch-based training-data ops (rows-only)
+        "documents_minhash_pairs": _minhash_pairs,
+        "documents_simhash_pairs": _simhash_pairs,
+        "documents_near_dedup_keep": _near_dedup_keep,
+        "embeddings_dup_pairs": _embedding_dups,
+        "embeddings_lsh_topk": _lsh_topk,
+        "documents_fingerprints": _fingerprints,
+        "multimodal_decode": _multimodal_decode,
+        # KG pipeline (rows-only: regex/cluster/link semantics not in SQL)
+        "kg_documents": _kg_documents,
+        "kg_mentions": _kg_mentions,
+        "kg_links": _kg_links,
+        "kg_triples": _kg_triples,
+        "kg_transcripts_roundtrip": _kg_transcripts_roundtrip,
+    }
+
+
+_EN = "'the','of','and','to','in','a','is','that','it','for','on','with','as','are','was','be','this'"
+_FR = "'le','la','les','de','des','du','et','un','une','que','pour','dans','est','sont','au','aux','par'"
+_NL = "'de','het','een','van','en','dat','die','in','voor','met','op','is','zijn','niet','aan','te'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(o.o_totalprice), 2) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_spent DESC, c.c_custkey
+            LIMIT 10
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "part_type_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part
+            WHERE p_type LIKE '%BRASS%' AND p_size >= 10
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_bal,
+                   round(min(s_acctbal), 2) AS min_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, hour
+            ORDER BY event_type, hour
+        """,
+        "events_top_users": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 20
+        """,
+        "events_sessionized": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
+        "orders_distinct_status": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "lineitem_running_qty": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                        ORDER BY l_shipdate, l_linenumber
+                        ROWS UNBOUNDED PRECEDING), 2) AS running_qty
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "documents_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "documents_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text) ORDER BY content_hash
+        """,
+        "documents_langid": f"""
+            WITH w AS (
+                SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ), c AS (
+                SELECT doc_id, lang,
+                       len(list_filter(ws, x -> x IN ({_EN}))) AS en,
+                       len(list_filter(ws, x -> x IN ({_FR}))) AS fr,
+                       len(list_filter(ws, x -> x IN ({_NL}))) AS nl
+                FROM w
+            )
+            SELECT lang,
+                   CASE WHEN en > fr AND en > nl THEN 'en'
+                        WHEN fr > en AND fr > nl THEN 'fr'
+                        WHEN nl > en AND nl > fr THEN 'nl'
+                        ELSE 'und' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM c GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        "documents_quality": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(CASE WHEN n_chars = 0 THEN 0.0
+                              ELSE n_punct * 1.0 / n_chars END, 6) AS punct_ratio,
+                   (n_chars >= 20 AND n_tokens >= 5
+                    AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) <= 0.3
+                    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_chars * 1.0 / n_tokens END) <= 25.0)
+                   AS keep
+            FROM m ORDER BY doc_id
+        """,
+        "embeddings_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, cosine, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+    }

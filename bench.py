@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline KG-construction pipeline (assemble →
+extract → validate → link → canonicalize → dedup → consume) over the
+synthetic transcript corpus scaled to $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), plus a set of secondary operator pipelines, with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32). Prints ONE JSON
+line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": X}
+
+--scaling: runs the headline pipeline in two fresh processes at num_cpus=8
+and num_cpus=32 on the same input and prints throughput at both plus
+scaling efficiency ((thr32/thr8)/4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _consume(ds) -> int:
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += batch.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.pipelines import relational as R
+    from decisions_knowledge_graph_data_ray.pipelines.kg import (
+        KGConfig,
+        build_index_ref,
+        run_kg_pipeline,
+    )
+    from decisions_knowledge_graph_data_ray.sources.transcripts import transcripts_path
+
+    _init_ray()
+    path = transcripts_path(SF_DIR)  # generation cached, not timed
+    total_turns = pq.read_metadata(path).num_rows
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    _consume(rd.read_parquet(path))
+
+    index_ref = build_index_ref()
+    config = KGConfig(
+        extract_concurrency=(1, max(2, NUM_CPUS // 2)),
+        link_concurrency=(1, max(2, NUM_CPUS // 2)),
+    )
+
+    t0 = time.perf_counter()
+    res = run_kg_pipeline(rd.read_parquet(path), index_ref=index_ref, config=config)
+    n_triples = _consume(res["triples"])
+    headline = time.perf_counter() - t0
+
+    queries: dict[str, float] = {"kg_pipeline": round(headline, 3)}
+
+    secondary = {
+        "lineitem_agg": lambda: R.q_lineitem_agg(SF_DIR),
+        "orders_priority_revenue": lambda: R.q_orders_priority_revenue(SF_DIR),
+        "events_hourly": lambda: R.q_events_hourly(SF_DIR),
+        "documents_exact_dedup": lambda: R.q_documents_exact_dedup(SF_DIR),
+        "documents_token_counts": lambda: R.q_documents_token_counts(SF_DIR),
+        "embeddings_topk": lambda: R.q_embeddings_topk(SF_DIR),
+    }
+    try:
+        from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
+
+        def _minhash():
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+            return minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+
+        secondary["documents_minhash_pairs"] = _minhash
+    except Exception:
+        pass
+
+    for name, fn in secondary.items():
+        t = time.perf_counter()
+        out = fn()
+        if hasattr(out, "iter_batches"):
+            _consume(out)
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    import ray
+
+    ray.shutdown()
+
+    return {
+        "metric": "kg_construction_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": total_turns,
+        "turns_per_sec": round(total_turns / headline, 1),
+        "n_triples": n_triples,
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    thr_lo = r_lo["turns_per_sec"]
+    thr_hi = r_hi["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "kg_construction_scaling",
+        "unit": "turns/sec",
+        "sf": SF_DIR,
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": thr_lo,
+        "turns_per_sec_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -149,6 +149,7 @@ def find_citation_position(
 
 
 def _find_sentence_start(text: str, position: int) -> int:
+    position = min(position, len(text))  # JS charAt beyond end is '' — clamp
     for i in range(position - 1, max(0, position - 300) - 1, -1):
         nxt = text[i + 1] if i + 1 < len(text) else ""
         if text[i] == "." and nxt in (" ", "\n"):

@@ -198,6 +198,10 @@ def _full_act_name(full_text: str, kw_start: int) -> str:
     m = _ACT_NAME_CONT_RE.match(full_text[kw_start : kw_start + 80])
     name = m.group(0) if m else full_text[kw_start : kw_start + 20]
     name = re.split(r"[.,;\n]", name)[0]
+    # cut before a following article clause ("... et l'article 10 de la X")
+    m2 = re.search(r"\s+(?:et|en)\s+(?:l['’])?\s*(?:art\.?|artikel|article)\b", name, re.IGNORECASE)
+    if m2:
+        name = name[: m2.start()]
     return re.sub(r"\s+", " ", name).strip()
 
 

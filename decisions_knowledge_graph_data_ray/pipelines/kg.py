@@ -30,8 +30,10 @@ from ..stages.triples import LinkTripleActor, dedup_triples, split_fused
 
 @dataclass
 class KGConfig:
-    extract_concurrency: int | tuple = 4
-    link_concurrency: int | tuple = 4
+    # autoscaling (min, max) pools: two fixed-size pools whose combined min
+    # exceeds the cluster CPU count would deadlock the streaming executor
+    extract_concurrency: int | tuple = (1, 8)
+    link_concurrency: int | tuple = (1, 8)
     extract_batch_size: int = 64
     link_batch_size: int = 128
     salted_assembly: bool = True

@@ -1,0 +1,365 @@
+"""Relational operator suite over the driver's testdata tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas DataFrame
+whose schema + values match the oracle SQL registered in
+``__ray_entry__.oracle_sql()`` (column names identical, floats rounded the
+same on both sides).
+
+These exercise the engine's generic operator library — pruned reads,
+vectorized map_batches, partial-aggregate + groupby, hash joins (broadcast
+and shuffled), sort/top-k, distinct, windowed event aggregation — the §2
+operator families (S1, M1, A1-A8, J1-J10, O1-O4, D5) re-expressed on the
+TPC-H-ish star schema.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import text_stats as T
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df, spec: dict):
+    for col, nd in spec.items():
+        df[col] = df[col].round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1/A3 family)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary: filter + groupby + multi-aggregate."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(_revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2, "avg_disc": 6})
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_orders_priority_revenue(sf_dir: str):
+    """orders ⋈ lineitem (hash join) → revenue per order priority."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    li = lineitem.map_batches(_rev, batch_format="pyarrow")
+    joined = li.join(orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out = _round_cols(out, {"revenue": 2})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_top_customers(sf_dir: str):
+    """customer ⋈ orders → top-10 customers by total spend (broadcast join:
+    the customer dimension is ray.put once, looked up per batch)."""
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_name"])))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    totals = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
+    )
+
+    class AttachName:
+        def __init__(self):
+            self._names = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self._names.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    named = totals.map_batches(AttachName, batch_format="pyarrow", concurrency=2)
+    out = named.to_pandas().rename(columns={"o_custkey": "c_custkey"})
+    out = _round_cols(out, {"total_spent": 2})
+    out = out.sort_values(["total_spent", "c_custkey"], ascending=[False, True]).head(10)
+    return out[["c_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)
+
+
+def q_region_customer_counts(sf_dir: str):
+    """3-way join region ⋈ nation ⋈ customer → customers + balance per region."""
+    region = _read(sf_dir, "region")
+    nation = _read(sf_dir, "nation")
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    n_r = nation.join(region, "inner", 4, on=("n_regionkey",), right_on=("r_regionkey",))
+    c_n = customer.join(
+        n_r.select_columns(["n_nationkey", "r_name"]), "inner", 4,
+        on=("c_nationkey",), right_on=("n_nationkey",),
+    )
+    out = (
+        c_n.groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    out = _round_cols(out, {"total_acctbal": 2})
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_part_type_stats(sf_dir: str):
+    """Vectorized filter (LIKE + range) + groupby brand."""
+    part = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size", "p_retailprice"])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.match_substring(batch["p_type"], "BRASS"), pc.greater_equal(batch["p_size"], 10)
+        )
+        return batch.filter(mask)
+
+    out = (
+        part.map_batches(_filter, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(out, {"avg_price": 4})
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_supplier_balance_by_nation(sf_dir: str):
+    supplier = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = supplier.join(nation, "inner", 4, on=("s_nationkey",), right_on=("n_nationkey",))
+    out = (
+        joined.groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="total_bal"),
+            Min("s_acctbal", alias_name="min_bal"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(out, {"total_bal": 2, "min_bal": 2})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + top-k (streaming-shaped log table)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    Ordering assumption: none needed — tumbling windows are a pure groupby
+    on (event_type, hour bucket); partial-aggregated inside map_batches.
+    """
+    events = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour, "value": batch["value"]})
+
+    out = (
+        events.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out = _round_cols(out, {"sum_value": 2})
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_events_top_users(sf_dir: str):
+    """Top-20 users by event count (tie-broken by user_id)."""
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = (
+        events.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out = _round_cols(out, {"sum_value": 2})
+    out = out.sort_values(["n_events", "user_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def q_events_sessionized(sf_dir: str):
+    """Session windows per user (gap > 30 min splits): per-user ordered
+    map_groups — the engine's ordered-log window pattern."""
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _sessions(group):
+        import pandas as pd
+
+        g = group.sort_values("ts", kind="stable")
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        session = (gap > 1800).cumsum()
+        agg = g.groupby(session).agg(
+            session_start=("ts", "min"), n_events=("ts", "count"), sum_value=("value", "sum")
+        )
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg.reset_index(drop=True)
+
+    out = events.groupby("user_id").map_groups(_sessions, batch_format="pandas").to_pandas()
+    out = _round_cols(out, {"sum_value": 2})
+    return (
+        out[["user_id", "session_start", "n_events", "sum_value"]]
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup (training-data ops with SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_documents_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish token counts per document."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pa.array([T.whitespace_token_count(t) for t in texts], pa.int64()),
+                "n_word_tokens": pa.array([T.word_token_count(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_counts, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_documents_exact_dedup(sf_dir: str):
+    """Exact dedup: min doc_id per md5(text) (D4/D5)."""
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(docs).to_pandas()
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
+def q_documents_langid(sf_dir: str):
+    """Stopword-argmax language ID counts per (lang, lang_pred)."""
+    from ..stages.text_analysis import language_id
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = (
+        language_id(docs)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def q_documents_quality(sf_dir: str):
+    """Quality metrics per doc (ratios rounded to 6)."""
+    from ..stages.text_analysis import quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_score(docs).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "punct_ratio", "keep"]
+    ).to_pandas()
+    out = _round_cols(out, {"punct_ratio": 6})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embeddings_topk(sf_dir: str, k: int = 5):
+    """Brute-force cosine top-k vs the first 3 vectors as queries (float64
+    math so the DuckDB list_cosine_similarity oracle matches to 6 dp)."""
+    import numpy as np
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    qm = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    qids = qdf["vec_id"].tolist()
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put({"qids": qids, "qn": qn})
+
+    class Scorer:
+        def __init__(self):
+            ctx = ray.get(q_ref)
+            self._qids, self._qn = ctx["qids"], ctx["qn"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self._qn.T
+            ids = batch["vec_id"].to_pylist()
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi, qid in enumerate(self._qids):
+                for i, vid in enumerate(ids):
+                    rows["query_id"].append(qid)
+                    rows["vec_id"].append(vid)
+                    rows["cosine"].append(round(float(sims[i, qi]), 6))
+            return pa.table(rows)
+
+    scored = emb.map_batches(Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2)
+
+    def _topk(group):
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    out = scored.groupby("query_id").map_groups(_topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_orders_distinct_status(sf_dir: str):
+    """DISTINCT via groupby (D5)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus"])
+    out = orders.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q_lineitem_shipdate_window(sf_dir: str):
+    """Per-order running quantity by shipdate (ordered window in map_groups)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"])
+
+    def _running(group):
+        g = group.sort_values(["l_shipdate", "l_linenumber"], kind="stable").copy()
+        g["running_qty"] = g["l_quantity"].cumsum().round(2)
+        return g
+
+    out = li.groupby("l_orderkey").map_groups(_running, batch_format="pandas").to_pandas()
+    return (
+        out[["l_orderkey", "l_linenumber", "running_qty"]]
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )

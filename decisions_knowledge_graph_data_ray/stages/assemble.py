@@ -104,6 +104,8 @@ def explode_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
             for i, line in enumerate(text.split("\n")):
                 role, _, turn_text = line.partition(": ")
                 rows.append({"conv_id": conv_id, "turn_idx": i, "role": role, "text": turn_text})
-        return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        return df
 
     return docs.map_batches(_explode, batch_format="pandas")

@@ -91,7 +91,7 @@ class ExtractorActor:
 def extract_documents(
     docs: ray.data.Dataset,
     extract_fn: Callable[[dict], dict] | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Documents → extraction records (valid + failure rows interleaved)."""

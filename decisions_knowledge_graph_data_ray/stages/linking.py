@@ -47,7 +47,7 @@ class LinkerActor:
 def link_extractions(
     extractions: ray.data.Dataset,
     index_ref,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 128,
 ) -> ray.data.Dataset:
     return extractions.map_batches(

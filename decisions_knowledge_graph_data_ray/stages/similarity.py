@@ -1,0 +1,219 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k per query — numpy matmul per batch
+  against a ray.put-broadcast query matrix (the baseline).
+- lsh_bucketed_topk: random-hyperplane LSH variant (the scale path): both
+  corpus vectors and queries are bucketed by sign-pattern; only same-bucket
+  (plus optional multi-probe) candidates are scored. At 100 TB the bucket
+  groupby replaces an all-pairs scan.
+- embedding_dup_pairs: embedding-cosine near-duplicate pairs via the same
+  LSH bucketing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    arr = col.to_pylist()
+    return np.asarray(arr, dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKScorer:
+    """Actor: query matrix fetched from the object store once per actor."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self._qids = np.asarray(q["query_id"], dtype=np.int64)
+        self._qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))  # (Q, D)
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["embedding"]))  # (B, D)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = vecs @ self._qm.T  # (B, Q)
+        # per-batch partial top-k per query (final top-k after a tiny groupby)
+        k = min(self._k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in idx:
+                out_q.append(int(self._qids[qi]))
+                out_v.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    queries_ref,
+    k: int = 10,
+    concurrency: int | tuple = 4,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: per-batch partial top-k (combiner) → per-query
+    final top-k in a small map_groups."""
+    partials = embeddings.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def _final(group):
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def make_queries_ref(matrix: np.ndarray, query_ids=None):
+    qids = list(range(len(matrix))) if query_ids is None else list(query_ids)
+    return ray.put({"query_id": qids, "matrix": np.asarray(matrix, dtype=np.float32)})
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Seed-stable random hyperplanes (hash-derived, no RNG state)."""
+    out = np.empty((n_planes, dim), dtype=np.float32)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.blake2b(f"lsh-{seed}-{p}-{d}".encode(), digest_size=8).digest()
+            out[p, d] = (int.from_bytes(h, "little") / 2**64) * 2.0 - 1.0
+    return out
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0  # (N, P)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (signs.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def lsh_bucketed_topk(
+    embeddings: ray.data.Dataset,
+    queries_ref,
+    k: int = 10,
+    n_planes: int = 8,
+    concurrency: int | tuple = 4,
+) -> ray.data.Dataset:
+    """ANN top-k: score only vectors sharing the query's LSH bucket.
+
+    Recall < 1 by construction; n_planes trades bucket size vs recall.
+    """
+    q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+    qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+    planes = _hyperplanes(qm.shape[1], n_planes)
+    q_buckets = lsh_bucket_ids(qm, planes)
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qid, b in zip(q["query_id"], q_buckets):
+        bucket_to_queries.setdefault(int(b), []).append(int(qid))
+    btq_ref = ray.put({"planes": planes, "bucket_to_queries": bucket_to_queries, "qm": qm,
+                       "qids": list(q["query_id"])})
+
+    class BucketScorer:
+        def __init__(self):
+            ctx = ray.get(btq_ref)
+            self._planes = ctx["planes"]
+            self._btq = ctx["bucket_to_queries"]
+            self._qm = ctx["qm"]
+            self._qid_pos = {qid: i for i, qid in enumerate(ctx["qids"])}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch["embedding"]))
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            buckets = lsh_bucket_ids(vecs, self._planes)
+            out_q, out_v, out_s = [], [], []
+            for i, b in enumerate(buckets):
+                for qid in self._btq.get(int(b), ()):
+                    s = float(vecs[i] @ self._qm[self._qid_pos[qid]])
+                    out_q.append(qid)
+                    out_v.append(int(ids[i]))
+                    out_s.append(s)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        BucketScorer, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )
+
+    def _final(group):
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, n_planes: int = 10,
+    concurrency: int | tuple = 4,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket matmul."""
+    planes_ref = ray.put(_hyperplanes(_infer_dim(embeddings), n_planes))
+
+    class Bucketer:
+        def __init__(self):
+            self._planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch["embedding"]))
+            buckets = lsh_bucket_ids(vecs, self._planes)
+            return pa.table(
+                {
+                    "bucket": pa.array(buckets, pa.int64()),
+                    "vec_id": pa.array(batch["vec_id"].to_pylist(), pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+    bucketed = embeddings.map_batches(Bucketer, batch_format="pyarrow", concurrency=concurrency)
+
+    def _pairs(group):
+        import pandas as pd
+
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].tolist()
+        m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float32))
+        sims = m @ m.T
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    out.append({"src_id": ids[i], "dst_id": ids[j], "cosine": float(sims[i, j])})
+        return pd.DataFrame(out, columns=["src_id", "dst_id", "cosine"])
+
+    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["src_id", "dst_id"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def _infer_dim(embeddings: ray.data.Dataset) -> int:
+    first = embeddings.take(1)[0]
+    return len(first["embedding"])

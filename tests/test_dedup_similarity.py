@@ -1,0 +1,155 @@
+"""Tests for dedup sketches/stages and similarity search."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.functions import sketches as S
+
+
+def test_content_hash_is_md5():
+    import hashlib
+
+    assert S.content_hash("abc") == hashlib.md5(b"abc").hexdigest()
+
+
+def test_word_shingles():
+    assert S.word_shingles("a b c d", k=3) == {"a b c", "b c d"}
+    assert S.word_shingles("one two", k=3) == {"one two"}
+    assert S.word_shingles("", k=3) == set()
+
+
+def test_minhash_similarity_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    c = "completely different text about something else entirely " * 5
+    sa, sb, sc = (S.minhash_signature(t) for t in (a, b, c))
+    ab = S.estimated_jaccard(sa, sb)
+    ac = S.estimated_jaccard(sa, sc)
+    true_ab = S.ngram_jaccard(a, b)
+    assert ab > ac
+    assert abs(ab - true_ab) < 0.25
+    # deterministic across calls
+    assert np.array_equal(sa, S.minhash_signature(a))
+
+
+def test_simhash_hamming_orders_similarity():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("dog", "cat")
+    c = "totally unrelated words " * 10
+    ha, hb, hc = S.simhash(a), S.simhash(b), S.simhash(c)
+    assert S.hamming64(ha, hb) < S.hamming64(ha, hc)
+    assert S.simhash(a) == ha  # deterministic
+
+
+def _docs_ds():
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    rows = [
+        {"doc_id": 0, "text": base * 4},
+        {"doc_id": 1, "text": base * 4},  # exact dup of 0
+        {"doc_id": 2, "text": (base * 4).replace("dog", "cat")},  # near dup
+        {"doc_id": 3, "text": "an entirely different document about databases and queries " * 4},
+        {"doc_id": 4, "text": "yet another unrelated text mentioning compilers and parsers " * 4},
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds()).to_pandas()
+    assert len(out) == 4  # doc 1 collapsed into doc 0
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+def test_minhash_lsh_pairs(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds(), threshold=0.5).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in pairs.itertuples()}
+    assert (0, 1) in got  # exact dup always found
+    assert all(p in {(0, 1), (0, 2), (1, 2)} for p in got)
+
+
+def test_near_dedup_keep_ids(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import near_dedup_keep_ids
+
+    kept = set(near_dedup_keep_ids(_docs_ds(), threshold=0.5).to_pandas()["doc_id"])
+    assert 0 in kept and 1 not in kept
+    assert {3, 4} <= kept
+
+
+def test_simhash_pairs(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_docs_ds(), max_hamming=6).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in pairs.itertuples()}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_ngram_jaccard_verify(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    docs = _docs_ds()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    verified = ngram_jaccard_verify(pairs, docs, threshold=0.9).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in verified.itertuples()}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+
+
+def _emb_ds(n=64, d=16):
+    rows = []
+    for i in range(n):
+        # deterministic vectors; vec 1 = vec 0 scaled (cosine 1)
+        v = [((i * 31 + j * 7) % 13) - 6.0 for j in range(d)]
+        if i == 1:
+            v = [2.0 * (((0 * 31 + j * 7) % 13) - 6.0) for j in range(d)]
+        rows.append({"vec_id": i, "embedding": v})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_brute_force_topk(ray_session):
+    import ray
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        brute_force_topk,
+        make_queries_ref,
+    )
+
+    ds = _emb_ds()
+    q = np.array([[((0 * 31 + j * 7) % 13) - 6.0 for j in range(16)]], dtype=np.float32)
+    ref = make_queries_ref(q, query_ids=[0])
+    out = brute_force_topk(ds, ref, k=3).to_pandas().sort_values("rank")
+    assert len(out) == 3
+    # vec 0 and its scaled copy vec 1 are both cosine 1.0 → top-2
+    assert set(out.head(2)["vec_id"]) == {0, 1}
+    assert out.iloc[0]["cosine"] == 1.0
+
+
+def test_embedding_dup_pairs(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.similarity import embedding_dup_pairs
+
+    out = embedding_dup_pairs(_emb_ds(), threshold=0.999).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in out.itertuples()}
+    assert (0, 1) in got
+
+
+def test_lsh_bucketed_topk_contains_exact_match(ray_session):
+    import ray
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        lsh_bucketed_topk,
+        make_queries_ref,
+    )
+
+    ds = _emb_ds()
+    q = np.array([[((0 * 31 + j * 7) % 13) - 6.0 for j in range(16)]], dtype=np.float32)
+    ref = make_queries_ref(q, query_ids=[0])
+    out = lsh_bucketed_topk(ds, ref, k=3).to_pandas()
+    # the identical vector shares every hyperplane sign → always same bucket
+    assert 0 in set(out["vec_id"])

@@ -1,0 +1,86 @@
+"""Tests for text-analysis functions/stages and the multimodal stub stage."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.functions import text_stats as T
+
+
+def test_token_counts():
+    assert T.whitespace_token_count("hello  world ") == 2
+    assert T.whitespace_token_count("") == 0
+    assert T.word_token_count("hello world12, x") == 5  # hello, world, 12, ',', x
+
+
+def test_detect_language():
+    assert T.detect_language("the cat is on the mat and it is warm") == "en"
+    assert T.detect_language("le chat est dans la maison et il dort") == "fr"
+    assert T.detect_language("de kat zit in het huis en hij slaapt niet") == "nl"
+    assert T.detect_language("xyzzy plugh") == "und"
+    assert T.detect_language("") == "und"
+
+
+def test_quality_metrics():
+    m = T.quality_metrics("the quick brown fox jumps over the lazy dog near the river bank")
+    assert m["keep"]
+    assert 0 <= m["punct_ratio"] <= 1
+    assert not T.quality_metrics("x")["keep"]  # too short
+    assert not T.quality_metrics("!!! ??? ;;; ::: ,,,!!! ??? ;;; :::")["keep"]  # punct-heavy
+
+
+def test_fingerprint_deterministic_and_shift_insensitive_tail():
+    t = "some long document text " * 20
+    assert T.document_fingerprint(t) == T.document_fingerprint(t)
+    assert T.document_fingerprint("short") == T.fnv1a64(b"short")
+
+
+def test_text_analysis_stages(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        language_id,
+        quality_score,
+        token_counts,
+    )
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["the cat is on the mat and it is", "le chat est dans la maison et il"]})
+    )
+    tc = token_counts(docs).to_pandas()
+    assert tc["n_ws_tokens"].tolist() == [8, 8]
+    li = language_id(docs).to_pandas()
+    assert li["lang_pred"].tolist() == ["en", "fr"]
+    qs = quality_score(docs).to_pandas()
+    assert set(qs.columns) >= {"n_chars", "n_tokens", "punct_ratio", "keep"}
+
+
+def test_length_histogram(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import length_histogram
+
+    docs = rd.from_arrow(pa.table({"text": ["x" * 100, "y" * 20000, "z" * 100]}))
+    out = length_histogram(docs).to_pandas().set_index("length_category")["n_docs"]
+    assert out["short"] == 2 and out["medium"] == 1
+
+
+def test_multimodal_fake_decode(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.multimodal import (
+        decode_media,
+        make_fake_media_dataset,
+    )
+
+    media = make_fake_media_dataset(n=12)
+    out = decode_media(media, fake=True, concurrency=1).to_pandas()
+    assert len(out) == 12
+    assert set(out.columns) == {"media_id", "media_type", "width", "height", "feature"}
+    assert (out["width"] >= 64).all()
+    # deterministic: re-decode matches
+    again = decode_media(make_fake_media_dataset(n=12), fake=True, concurrency=1).to_pandas()
+    assert out["width"].tolist() == again["width"].tolist()
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from decisions_knowledge_graph_data_ray.stages.multimodal import DecodeImageActor
+
+    actor = DecodeImageActor(fake=False)
+    with pytest.raises(NotImplementedError):
+        actor(pa.table({"media_id": [1], "media_type": ["image/jpeg"], "payload": [b"xx"]}))
