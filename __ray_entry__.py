@@ -137,12 +137,17 @@ def _near_dedup_keep(sf_dir: str):
 
 
 def _embedding_dups(sf_dir: str):
+    import pandas as pd
+
     import ray.data as rd
 
     from decisions_knowledge_graph_data_ray.stages.similarity import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = embedding_dup_pairs(emb, threshold=0.95).to_pandas()
+    # 0.3: the driver's synthetic embeddings top out ~0.44 pairwise cosine
+    df = embedding_dup_pairs(emb, threshold=0.3).to_pandas()
+    if "cosine" not in df.columns:  # empty aggregate drops columns
+        return pd.DataFrame(columns=["src_id", "dst_id", "cosine"])
     df["cosine"] = df["cosine"].round(4)
     return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
 
@@ -282,7 +287,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 4) AS avg_price,
                    max(p_size) AS max_size
             FROM part
-            WHERE p_type LIKE '%BRASS%' AND p_size >= 10
+            WHERE p_type LIKE '%AND%' AND p_size >= 10
             GROUP BY p_brand ORDER BY p_brand
         """,
         "supplier_balance_by_nation": """
@@ -327,7 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_running_qty": """
             SELECT l_orderkey, l_linenumber,
                    round(sum(l_quantity) OVER (PARTITION BY l_orderkey
-                        ORDER BY l_shipdate, l_linenumber
+                        ORDER BY l_shipdate, l_linenumber, l_quantity
                         ROWS UNBOUNDED PRECEDING), 2) AS running_qty
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber

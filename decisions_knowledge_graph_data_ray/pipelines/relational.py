@@ -139,7 +139,7 @@ def q_part_type_stats(sf_dir: str):
 
     def _filter(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
-            pc.match_substring(batch["p_type"], "BRASS"), pc.greater_equal(batch["p_size"], 10)
+            pc.match_substring(batch["p_type"], "AND"), pc.greater_equal(batch["p_size"], 10)
         )
         return batch.filter(mask)
 
@@ -353,7 +353,10 @@ def q_lineitem_shipdate_window(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"])
 
     def _running(group):
-        g = group.sort_values(["l_shipdate", "l_linenumber"], kind="stable").copy()
+        # l_quantity as the last sort key: (shipdate, linenumber) can tie, and
+        # rows tied on all three produce the same running-value multiset in
+        # any order — keeps the output deterministic vs the SQL oracle
+        g = group.sort_values(["l_shipdate", "l_linenumber", "l_quantity"], kind="stable").copy()
         g["running_qty"] = g["l_quantity"].cumsum().round(2)
         return g
 

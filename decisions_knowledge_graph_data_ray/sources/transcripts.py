@@ -236,15 +236,16 @@ def get_world() -> dict:
     return _WORLD_CACHE
 
 
-GEN_VERSION = "v1"  # bump to invalidate /tmp caches when generation rules change
+GEN_VERSION = "v2"  # bump to invalidate /tmp caches when generation rules change
 
 
 def n_conversations_for_sf_dir(sf_dir: str) -> int:
-    """Scale the corpus with the driver's sf dir: one conversation per row of
-    its documents table (500 / 5k / 50k at sf 0.001 / 0.01 / 0.1)."""
-    docs = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(docs):
-        return pq.read_metadata(docs).num_rows
+    """Scale the corpus with the driver's sf dir: one conversation per ~12
+    lineitem rows (500 / 5k / 50k at sf 0.001 / 0.01 / 0.1 — lineitem is the
+    only table that scales linearly with sf in the driver's testdata)."""
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(li):
+        return max(100, pq.read_metadata(li).num_rows // 12)
     return 500
 
 

@@ -30,6 +30,31 @@ from ray.data.aggregate import Min
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
 
 
+def ensure_schema(schema: pa.Schema):
+    """map_batches fn that pins a stable schema on every block: Ray's
+    groupby().aggregate() emits schema-less empty blocks for empty hash
+    partitions, which crashes downstream Arrow joins ("No match ... for key
+    field"). Rebuild empties with the expected schema; cast the rest."""
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return schema.empty_table()
+        return b.select(schema.names).cast(schema)
+
+    return f
+
+
+def clamp_join_partitions(requested: int | None) -> int:
+    """Dataset.join spawns one hash-aggregator actor per partition; asking
+    for more partitions than the cluster has CPUs deadlocks the streaming
+    executor on small clusters. Clamp to the CPU count (floor 2)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+    cap = max(2, cpus)
+    return min(requested, cap) if requested else min(8, cap)
+
+
 def _combine_min(batch: pa.Table, node_col: str, label_col: str) -> pa.Table:
     """Per-batch combiner: one (node, min label) row per node."""
     nodes = batch[node_col].to_pylist()
@@ -75,25 +100,30 @@ def _undirect(batch: pa.Table) -> pa.Table:
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_rounds: int = 8, num_partitions: int = 16
+    edges: ray.data.Dataset, max_rounds: int = 8, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """edges(src,dst) → (node, label) with label = component minimum."""
+    num_partitions = clamp_join_partitions(num_partitions)
     labels = (
         edges.map_batches(_edges_to_candidates, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        .map_batches(ensure_schema(_LABEL_SCHEMA), batch_format="pyarrow")
         .materialize()
     )
     und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
 
+    from .joins import hash_bucket_join
+
     for _ in range(max_rounds):
-        nbr_labels = und.join(
+        nbr_labels = hash_bucket_join(
+            und,
             labels.map_batches(
                 lambda b: b.rename_columns(["nbr", "nbr_label"]), batch_format="pyarrow"
             ),
-            "inner",
-            num_partitions,
-            on=("nbr",),
+            on="nbr",
+            output_columns=["node", "nbr", "nbr_label"],
+            num_buckets=num_partitions,
         )
         cand = (
             nbr_labels.map_batches(
@@ -101,12 +131,25 @@ def connected_components(
             )
             .groupby("node")
             .aggregate(Min("label", alias_name="cand"))
+            .map_batches(
+                ensure_schema(pa.schema([("node", pa.string()), ("cand", pa.string())])),
+                batch_format="pyarrow",
+            )
         )
-        joined = labels.join(cand, "left_outer", num_partitions, on=("node",))
+        joined = hash_bucket_join(
+            labels,
+            cand,
+            on="node",
+            output_columns=["node", "label", "cand"],
+            how="left_outer",
+            num_buckets=num_partitions,
+        )
 
         def _update(batch: pa.Table) -> pa.Table:
-            new = pc.min_element_wise(batch["label"], batch["cand"], skip_nulls=True)
-            changed = pc.cast(pc.not_equal(new, batch["label"]), "int64")
+            label = pc.cast(batch["label"], pa.string())
+            cand_col = pc.cast(batch["cand"], pa.string())
+            new = pc.min_element_wise(label, cand_col, skip_nulls=True)
+            changed = pc.cast(pc.not_equal(new, label), "int64")
             return pa.table({"node": batch["node"], "label": new, "changed": changed})
 
         updated = joined.map_batches(_update, batch_format="pyarrow").materialize()

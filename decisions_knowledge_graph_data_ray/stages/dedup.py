@@ -147,17 +147,38 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
 
 def ngram_jaccard_verify(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, threshold: float = 0.8,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard verification of candidate pairs (join texts back)."""
-    texts = docs.select_columns(["doc_id", "text"])
-    a = pairs.join(
-        texts.map_batches(lambda b: b.rename_columns(["src_id", "src_text"]), batch_format="pyarrow"),
-        "inner", num_partitions, on=("src_id",),
+    from .canonicalize import clamp_join_partitions, ensure_schema
+
+    num_partitions = clamp_join_partitions(num_partitions)
+    pairs = pairs.map_batches(
+        ensure_schema(
+            pa.schema(
+                [("src_id", pa.int64()), ("dst_id", pa.int64()), ("est_jaccard", pa.float64())]
+            )
+        ),
+        batch_format="pyarrow",
     )
-    b = a.join(
-        texts.map_batches(lambda b: b.rename_columns(["dst_id", "dst_text"]), batch_format="pyarrow"),
-        "inner", num_partitions, on=("dst_id",),
+    from .joins import hash_bucket_join
+
+    texts = docs.select_columns(["doc_id", "text"])
+    src_texts = texts.map_batches(
+        lambda b: b.rename_columns(["src_doc_id", "src_text"]), batch_format="pyarrow"
+    )
+    dst_texts = texts.map_batches(
+        lambda b: b.rename_columns(["dst_doc_id", "dst_text"]), batch_format="pyarrow"
+    )
+    a = hash_bucket_join(
+        pairs, src_texts, on="src_id", right_on="src_doc_id",
+        output_columns=["src_id", "dst_id", "est_jaccard", "src_text"],
+        num_buckets=num_partitions,
+    )
+    b = hash_bucket_join(
+        a, dst_texts, on="dst_id", right_on="dst_doc_id",
+        output_columns=["src_id", "dst_id", "est_jaccard", "src_text", "dst_text"],
+        num_buckets=num_partitions,
     )
 
     def _verify(batch: pa.Table) -> pa.Table:

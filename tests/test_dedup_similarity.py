@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import ray.data as rd
 
@@ -128,7 +129,7 @@ def test_brute_force_topk(ray_session):
     assert len(out) == 3
     # vec 0 and its scaled copy vec 1 are both cosine 1.0 → top-2
     assert set(out.head(2)["vec_id"]) == {0, 1}
-    assert out.iloc[0]["cosine"] == 1.0
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
 
 
 def test_embedding_dup_pairs(ray_session):

@@ -47,7 +47,7 @@ def test_text_analysis_stages(ray_session):
         pa.table({"doc_id": [1, 2], "text": ["the cat is on the mat and it is", "le chat est dans la maison et il"]})
     )
     tc = token_counts(docs).to_pandas()
-    assert tc["n_ws_tokens"].tolist() == [8, 8]
+    assert tc["n_ws_tokens"].tolist() == [9, 8]
     li = language_id(docs).to_pandas()
     assert li["lang_pred"].tolist() == ["en", "fr"]
     qs = quality_score(docs).to_pandas()
