@@ -72,9 +72,13 @@ def run_bench() -> dict:
     _consume(rd.read_parquet(path))
 
     index_ref = build_index_ref()
+    pool = max(2, NUM_CPUS // 2)
     config = KGConfig(
-        extract_concurrency=(1, max(2, NUM_CPUS // 2)),
-        link_concurrency=(1, max(2, NUM_CPUS // 2)),
+        # fixed-size pools: the stage barriers (materialize) mean extract and
+        # link never contend, so each can take half the CPUs outright instead
+        # of autoscaling up from one actor
+        extract_concurrency=(pool, pool),
+        link_concurrency=(pool, pool),
     )
 
     t0 = time.perf_counter()

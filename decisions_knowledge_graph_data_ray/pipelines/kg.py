@@ -38,6 +38,9 @@ class KGConfig:
     link_batch_size: int = 128
     salted_assembly: bool = True
     cc_num_partitions: int = 8
+    # candidate-pair edge count below which exact union-find runs on the
+    # driver (ids only); larger graphs use distributed label propagation
+    cc_driver_threshold: int = 2_000_000
 
 
 def build_index_ref(world: dict | None = None):
@@ -90,7 +93,11 @@ def run_kg_pipeline(
 
     triples, links, edges = split_fused(fused)
 
-    labels = connected_components(edges, num_partitions=config.cc_num_partitions)
+    labels = connected_components(
+        edges,
+        num_partitions=config.cc_num_partitions,
+        driver_threshold=config.cc_driver_threshold,
+    )
     all_triples = triples.union(canonical_triples(labels))
     final_triples = dedup_triples(all_triples)
 

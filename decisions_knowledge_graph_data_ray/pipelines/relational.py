@@ -28,6 +28,31 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _partitioned_groupby(ds: rd.Dataset, key: str, per_group_fn, out_columns: list[str],
+                         num_partitions: int = 64) -> rd.Dataset:
+    """Hash-partition by key, ONE pandas groupby per partition: avoids Ray's
+    per-group Python dispatch for high-cardinality keys (same shuffle volume)."""
+    import pandas as pd
+
+    from ..functions.normalize import stable_hash32
+
+    def _pid(batch: pa.Table) -> pa.Table:
+        pids = [stable_hash32(str(k)) % num_partitions for k in batch[key].to_pylist()]
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    def _block(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_group_fn(g) for _, g in group.groupby(key, sort=False)]
+        if not outs:
+            return pd.DataFrame(columns=out_columns)
+        return pd.concat(outs, ignore_index=True)[out_columns]
+
+    return (
+        ds.map_batches(_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_block, batch_format="pandas")
+    )
+
+
 def _round_cols(df, spec: dict):
     for col, nd in spec.items():
         df[col] = df[col].round(nd)
@@ -219,10 +244,8 @@ def q_events_sessionized(sf_dir: str):
     map_groups — the engine's ordered-log window pattern."""
     events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def _sessions(group):
-        import pandas as pd
-
-        g = group.sort_values("ts", kind="stable")
+    def _sessions(g):
+        g = g.sort_values("ts", kind="stable")
         gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
         session = (gap > 1800).cumsum()
         agg = g.groupby(session).agg(
@@ -231,7 +254,9 @@ def q_events_sessionized(sf_dir: str):
         agg["user_id"] = g["user_id"].iloc[0]
         return agg.reset_index(drop=True)
 
-    out = events.groupby("user_id").map_groups(_sessions, batch_format="pandas").to_pandas()
+    out = _partitioned_groupby(
+        events, "user_id", _sessions, ["user_id", "session_start", "n_events", "sum_value"]
+    ).to_pandas()
     out = _round_cols(out, {"sum_value": 2})
     return (
         out[["user_id", "session_start", "n_events", "sum_value"]]
@@ -352,15 +377,18 @@ def q_lineitem_shipdate_window(sf_dir: str):
     """Per-order running quantity by shipdate (ordered window in map_groups)."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"])
 
-    def _running(group):
+    def _running(g):
         # l_quantity as the last sort key: (shipdate, linenumber) can tie, and
         # rows tied on all three produce the same running-value multiset in
         # any order — keeps the output deterministic vs the SQL oracle
-        g = group.sort_values(["l_shipdate", "l_linenumber", "l_quantity"], kind="stable").copy()
+        g = g.sort_values(["l_shipdate", "l_linenumber", "l_quantity"], kind="stable").copy()
         g["running_qty"] = g["l_quantity"].cumsum().round(2)
         return g
 
-    out = li.groupby("l_orderkey").map_groups(_running, batch_format="pandas").to_pandas()
+    out = _partitioned_groupby(
+        li, "l_orderkey", _running,
+        ["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "running_qty"],
+    ).to_pandas()
     return (
         out[["l_orderkey", "l_linenumber", "running_qty"]]
         .sort_values(["l_orderkey", "l_linenumber"])

@@ -4,29 +4,43 @@ groupby(conv_id) with an EXPLICIT turn_idx sort inside the group preserves
 the per-turn text-equality invariant (BASELINE.json north star; the analogue
 of the reference reading an already-ordered markdown document).
 
+Physical plan note: Ray's ``groupby(key).map_groups`` dispatches a Python
+call per group — catastrophic for millions of small conversations. Both
+implementations here therefore group by a HASH PARTITION of the key
+(``pid = stable_hash(conv_id) % P``) and run ONE pandas groupby per
+partition: the shuffle moves the same rows, but Python dispatch drops from
+O(conversations) to O(partitions).
+
 Two implementations:
 
-- ``assemble_documents``: single ``groupby("conv_id").map_groups``.
+- ``assemble_documents``: single-phase (one shuffle on pid).
 - ``assemble_documents_salted`` (default in the flagship pipeline): two-phase
   salted aggregation for hot-conversation skew (SURVEY.md §7.4 hard part 2).
-  Phase 1 groups by (conv_id, salt) where salt = turn_idx // SALT_CHUNK —
-  monotone in turn_idx, so per-salt partial documents concatenated in salt
-  order reproduce the exact turn order. A single conversation with millions
-  of turns therefore never lands on one reducer in phase 1; phase 2 only
-  merges one small partial row per salt bucket.
+  Phase 1 partitions by hash(conv_id, salt) where salt = turn_idx //
+  SALT_CHUNK — monotone in turn_idx, so per-salt partial documents
+  concatenated in salt order reproduce the exact turn order. A conversation
+  with millions of turns spreads across phase-1 partitions; phase 2 merges
+  one small partial row per salt bucket.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow.compute as pc
+import pyarrow as pa
 
 import ray.data
 
 from ..functions.document import assemble_text, derive_self_ecli
-from ..functions.normalize import length_category
+from ..functions.normalize import length_category, stable_hash32
 
 SALT_CHUNK = 256
+
+
+def _default_partitions() -> int:
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(16, cpus * 4)
 
 
 def _finalize(conv_id: str, text: str, n_turns: int) -> dict:
@@ -40,56 +54,85 @@ def _finalize(conv_id: str, text: str, n_turns: int) -> dict:
     }
 
 
-def _assemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="stable")
-    rec = _finalize(
-        group["conv_id"].iloc[0],
-        assemble_text(group["role"].tolist(), group["text"].tolist()),
-        len(group),
-    )
-    return pd.DataFrame([rec])
+def _add_pid(key_col: str, num_partitions: int):
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()  # key column only — never the text
+        pids = [stable_hash32(k) % num_partitions for k in keys]
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    return f
 
 
-def assemble_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Plain one-shuffle assembly (fine when no conversation is pathological)."""
-    ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
-    return ds.groupby("conv_id").map_groups(_assemble_group, batch_format="pandas")
-
-
-def _add_salt(batch):
-    return batch.append_column("salt", pc.cast(pc.floor(pc.divide(batch["turn_idx"], SALT_CHUNK)), "int32"))
-
-
-def _assemble_partial(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="stable")
+def _assemble_block(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+    recs = []
+    for cid, g in group.groupby("conv_id", sort=False):
+        recs.append(_finalize(cid, assemble_text(g["role"].tolist(), g["text"].tolist()), len(g)))
     return pd.DataFrame(
-        [
-            {
-                "conv_id": group["conv_id"].iloc[0],
-                "salt": int(group["salt"].iloc[0]),
-                "part_text": assemble_text(group["role"].tolist(), group["text"].tolist()),
-                "part_turns": len(group),
-            }
-        ]
+        recs, columns=["conv_id", "text", "n_turns", "text_len", "length_category", "self_ecli"]
     )
 
 
-def _assemble_merge(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("salt", kind="stable")
-    rec = _finalize(
-        group["conv_id"].iloc[0],
-        "\n".join(group["part_text"].tolist()),
-        int(group["part_turns"].sum()),
-    )
-    return pd.DataFrame([rec])
-
-
-def assemble_documents_salted(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Two-phase skew-safe assembly (salt = turn_idx // SALT_CHUNK)."""
+def assemble_documents(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Single-phase assembly (fine when no conversation is pathological)."""
+    num_partitions = num_partitions or _default_partitions()
     ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
-    ds = ds.map_batches(_add_salt, batch_format="pyarrow")
-    partials = ds.groupby(["conv_id", "salt"]).map_groups(_assemble_partial, batch_format="pandas")
-    return partials.groupby("conv_id").map_groups(_assemble_merge, batch_format="pandas")
+    ds = ds.map_batches(_add_pid("conv_id", num_partitions), batch_format="pyarrow")
+    return ds.groupby("pid").map_groups(_assemble_block, batch_format="pandas")
+
+
+def _assemble_partials_block(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values(["conv_id", "salt", "turn_idx"], kind="stable")
+    recs = []
+    for (cid, salt), g in group.groupby(["conv_id", "salt"], sort=False):
+        recs.append(
+            {
+                "conv_id": cid,
+                "salt": int(salt),
+                "part_text": assemble_text(g["role"].tolist(), g["text"].tolist()),
+                "part_turns": len(g),
+            }
+        )
+    return pd.DataFrame(recs, columns=["conv_id", "salt", "part_text", "part_turns"])
+
+
+def _merge_partials_block(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values(["conv_id", "salt"], kind="stable")
+    recs = []
+    for cid, g in group.groupby("conv_id", sort=False):
+        recs.append(
+            _finalize(cid, "\n".join(g["part_text"].tolist()), int(g["part_turns"].sum()))
+        )
+    return pd.DataFrame(
+        recs, columns=["conv_id", "text", "n_turns", "text_len", "length_category", "self_ecli"]
+    )
+
+
+def assemble_documents_salted(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Two-phase skew-safe assembly (salt = turn_idx // SALT_CHUNK)."""
+    num_partitions = num_partitions or _default_partitions()
+    ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def _add_salt_pid(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        salts = [t // SALT_CHUNK for t in turn]
+        pids = [
+            stable_hash32(f"{c}#{s}") % num_partitions for c, s in zip(conv, salts)
+        ]
+        return batch.append_column("salt", pa.array(salts, pa.int32())).append_column(
+            "pid", pa.array(pids, pa.int32())
+        )
+
+    phase1 = ds.map_batches(_add_salt_pid, batch_format="pyarrow")
+    partials = phase1.groupby("pid").map_groups(_assemble_partials_block, batch_format="pandas")
+
+    phase2 = partials.map_batches(_add_pid("conv_id", num_partitions), batch_format="pyarrow")
+    return phase2.groupby("pid").map_groups(_merge_partials_block, batch_format="pandas")
 
 
 def explode_documents(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -99,11 +99,60 @@ def _undirect(batch: pa.Table) -> pa.Table:
     )
 
 
+def _driver_union_find(edge_table: pa.Table) -> ray.data.Dataset:
+    """Exact union-find on the driver — for provably-small candidate sets."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(edge_table["src"].to_pylist(), edge_table["dst"].to_pylist()):
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            if rd_ < rs:
+                rs, rd_ = rd_, rs
+            parent[rd_] = rs
+
+    nodes = sorted(parent)
+    return ray.data.from_arrow(
+        pa.table({"node": nodes, "label": [find(n) for n in nodes]}, schema=_LABEL_SCHEMA)
+    )
+
+
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
-    edges: ray.data.Dataset, max_rounds: int = 8, num_partitions: int | None = None
+    edges: ray.data.Dataset,
+    max_rounds: int = 8,
+    num_partitions: int | None = None,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> ray.data.Dataset:
-    """edges(src,dst) → (node, label) with label = component minimum."""
+    """edges(src,dst) → (node, label) with label = component minimum.
+
+    Hybrid: when the candidate-pair set is provably small (< driver_threshold
+    edges — ids only, no payloads) the exact union-find runs on the driver
+    (the guide's recommendation); above it, distributed min-label propagation
+    via bucketed joins takes over. Both produce identical labels (component
+    minimum)."""
     num_partitions = clamp_join_partitions(num_partitions)
+
+    if driver_threshold > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_threshold:
+            tables = list(edges.iter_batches(batch_format="pyarrow", batch_size=None))
+            table = (
+                pa.concat_tables(tables, promote_options="permissive")
+                if tables
+                else pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+            )
+            return _driver_union_find(table)
     labels = (
         edges.map_batches(_edges_to_candidates, batch_format="pyarrow")
         .groupby("node")

@@ -64,28 +64,53 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group) -> "pa.Table":
-    """Pairs within one (band_id, band_hash) bucket, estimated-Jaccard-verified."""
+def _partition_pairs_block(group) -> "pa.Table":
+    """One hash partition of band rows: pandas-groupby by exact bucket inside,
+    pairwise signature comparison per bucket. Python dispatch is O(partitions)
+    not O(buckets)."""
     import pandas as pd
 
-    rows = group.sort_values("doc_id").drop_duplicates("doc_id")
     out = []
-    ids = rows["doc_id"].tolist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            est = float(np.mean(sigs[i] == sigs[j]))
-            out.append({"src_id": ids[i], "dst_id": ids[j], "est_jaccard": est})
+    for _, bucket in group.groupby(["band_id", "band_hash"], sort=False):
+        rows = bucket.sort_values("doc_id").drop_duplicates("doc_id")
+        if len(rows) < 2:
+            continue
+        ids = rows["doc_id"].tolist()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]])
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.append({"src_id": ids[i], "dst_id": ids[j], "est_jaccard": float(eq[i, j])})
     return pd.DataFrame(out, columns=["src_id", "dst_id", "est_jaccard"])
 
 
+def _add_bucket_pid(num_partitions: int):
+    def f(batch: pa.Table) -> pa.Table:
+        bids = batch["band_id"].to_pylist()
+        hashes = batch["band_hash"].to_pylist()
+        pids = [(b * 1_000_003 + h) % num_partitions for b, h in zip(bids, hashes)]
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    return f
+
+
+def _num_partitions_default() -> int:
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(16, cpus * 4)
+
+
 def minhash_lsh_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.8
+    docs: ray.data.Dataset, threshold: float = 0.8, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs with estimated Jaccard >= threshold."""
+    num_partitions = num_partitions or _num_partitions_default()
     bands = docs.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = (
+        bands.map_batches(_add_bucket_pid(num_partitions), batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_partition_pairs_block, batch_format="pandas")
     )
 
     def _dedup_filter(batch: pa.Table) -> pa.Table:
@@ -121,25 +146,39 @@ def _simhash_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+def simhash_pairs(
+    docs: ray.data.Dataset, max_hamming: int = 3, num_partitions: int | None = None
+) -> ray.data.Dataset:
     """Near-dup pairs by SimHash banding + Hamming verification."""
+    num_partitions = num_partitions or _num_partitions_default()
     rows = docs.map_batches(_simhash_rows, batch_format="pyarrow")
 
-    def _pairs(group):
+    def _add_pid(batch: pa.Table) -> pa.Table:
+        bids = batch["band_id"].to_pylist()
+        keys = batch["band_key"].to_pylist()
+        pids = [(b * 1_000_003 + k) % num_partitions for b, k in zip(bids, keys)]
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    def _pairs_block(group):
         import pandas as pd
 
-        uniq = group.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = uniq["doc_id"].tolist()
-        hs = uniq["simhash"].tolist()
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    out.append({"src_id": ids[i], "dst_id": ids[j], "hamming": d})
+        for _, bucket in group.groupby(["band_id", "band_key"], sort=False):
+            uniq = bucket.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = uniq["doc_id"].tolist()
+            hs = uniq["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(hs[i] ^ hs[j]).count("1")
+                    if d <= max_hamming:
+                        out.append({"src_id": ids[i], "dst_id": ids[j], "hamming": d})
         return pd.DataFrame(out, columns=["src_id", "dst_id", "hamming"])
 
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = (
+        rows.map_batches(_add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_pairs_block, batch_format="pandas")
+    )
     from ray.data.aggregate import Min
 
     return pairs.groupby(["src_id", "dst_id"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -127,16 +127,52 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(list(best.values()), schema=schemas.TRIPLES_SCHEMA)
 
 
-def _dedup_group(group):
-    import pandas as pd  # noqa: F401
+_SEP = "\x01"
 
-    g = group.sort_values(["conv_id", "score"], ascending=[True, False], na_position="last")
-    return g.head(1)
+
+def _pack_pick(batch: pa.Table) -> pa.Table:
+    """Encode the keep-rule (min conv_id, then max score) into ONE sortable
+    string so the groupby reduce is a plain vectorized Min — no per-group
+    Python dispatch. packed = conv_id \\x01 (100 - score) zero-padded (None
+    score → 101, sorts last)."""
+    rows = batch.to_pylist()
+    packed = [
+        f"{r['conv_id']}{_SEP}{(100 - r['score']) if r['score'] is not None else 101:03d}"
+        for r in rows
+    ]
+    return pa.table(
+        {
+            "subj": batch["subj"],
+            "pred": batch["pred"],
+            "obj": batch["obj"],
+            "packed": pa.array(packed, pa.string()),
+        }
+    )
+
+
+def _unpack_pick(batch: pa.Table) -> pa.Table:
+    conv_ids, scores = [], []
+    for p in batch["packed"].to_pylist():
+        conv_id, inv = p.rsplit(_SEP, 1)
+        conv_ids.append(conv_id)
+        scores.append(None if inv == "101" else 100 - int(inv))
+    return pa.table(
+        {
+            "subj": batch["subj"],
+            "pred": batch["pred"],
+            "obj": batch["obj"],
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "score": pa.array(scores, pa.int32()),
+        }
+    )
 
 
 def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (subj,pred,obj): combiner map_batches → hash groupby → first."""
+    """Distinct (subj,pred,obj) keeping min conv_id then max score:
+    per-batch combiner → packed-key groupby Min (vectorized) → unpack."""
+    from ray.data.aggregate import Min
+
     combined = triples.map_batches(_dedup_batch, batch_format="pyarrow")
-    return combined.groupby(["subj", "pred", "obj"]).map_groups(
-        _dedup_group, batch_format="pandas"
-    )
+    packed = combined.map_batches(_pack_pick, batch_format="pyarrow")
+    agg = packed.groupby(["subj", "pred", "obj"]).aggregate(Min("packed", alias_name="packed"))
+    return agg.map_batches(_unpack_pick, batch_format="pyarrow")
