@@ -185,6 +185,56 @@ def _fingerprints(sf_dir: str):
     )
 
 
+def _kg_citation_stats(sf_dir: str):
+    """A4 citation histograms over the KG corpus (rows-only)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+    from decisions_knowledge_graph_data_ray.stages.sinks import citation_statistics
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    extractions = extract_documents(docs)
+    return (
+        citation_statistics(extractions)
+        .to_pandas()
+        .sort_values(["dimension", "value"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_html_blocks(sf_dir: str):
+    """M11/M12: md→html → block transform over the documents table
+    (rows-only; block identity is regex/sequence semantics, not SQL)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.functions.html import (
+        markdown_to_html,
+        transform_html_blocks,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _blocks(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            res = transform_html_blocks(str(doc_id), markdown_to_html(text))
+            for b in res["blocks"]:
+                rows.append({"doc_id": doc_id, **b})
+        cols = ["doc_id", "block_id", "plain_text", "element_type", "char_count"]
+        if not rows:
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
+        return pa.Table.from_pylist(rows).select(cols)
+
+    return (
+        docs.map_batches(_blocks, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "block_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _multimodal_decode(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.multimodal import (
         decode_media,
@@ -221,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_exact_dedup": R.q_documents_exact_dedup,
         "documents_langid": R.q_documents_langid,
         "documents_quality": R.q_documents_quality,
+        "documents_length_stats": R.q_documents_length_stats,
+        "documents_corr": R.q_documents_corr,
+        "documents_sample_limit": R.q_documents_sample_limit,
         "embeddings_topk": R.q_embeddings_topk,
         # sketch-based training-data ops (rows-only)
         "documents_minhash_pairs": _minhash_pairs,
@@ -231,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_fingerprints": _fingerprints,
         "multimodal_decode": _multimodal_decode,
         # KG pipeline (rows-only: regex/cluster/link semantics not in SQL)
+        "kg_citation_stats": _kg_citation_stats,
+        "documents_html_blocks": _documents_html_blocks,
         "kg_documents": _kg_documents,
         "kg_mentions": _kg_mentions,
         "kg_links": _kg_links,
@@ -382,6 +437,33 @@ def oracle_sql() -> dict[str, str]:
                     AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_chars * 1.0 / n_tokens END) <= 25.0)
                    AS keep
             FROM m ORDER BY doc_id
+        """,
+        "documents_length_stats": """
+            WITH m AS (
+                SELECT CASE WHEN length(text) < 10000 THEN 'short'
+                            WHEN length(text) < 30000 THEN 'medium'
+                            WHEN length(text) < 60000 THEN 'long'
+                            ELSE 'very_long' END AS length_category,
+                       length(text) AS n_chars
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT length_category, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25_chars,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75_chars
+            FROM m GROUP BY length_category ORDER BY length_category
+        """,
+        "documents_corr": r"""
+            SELECT round(corr(length(text) * 1.0,
+                              len(regexp_extract_all(text, '\S+')) * 1.0), 6)
+                   AS corr_chars_tokens
+            FROM documents
+        """,
+        "documents_sample_limit": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents ORDER BY doc_id LIMIT 50
         """,
         "embeddings_topk": """
             WITH q AS (

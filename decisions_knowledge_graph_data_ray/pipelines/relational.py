@@ -394,3 +394,98 @@ def q_lineitem_shipdate_window(sf_dir: str):
         .sort_values(["l_orderkey", "l_linenumber"])
         .reset_index(drop=True)
     )
+
+
+def q_documents_length_stats(sf_dir: str):
+    """A3 analogue: per-length-category stats (min/max/avg/median/p25/p75 of
+    n_chars). Few groups → per-group numpy percentiles (linear interpolation,
+    matching DuckDB quantile_cont)."""
+    import numpy as np
+
+    from ..functions.normalize import length_category
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        lens = [len(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "length_category": pa.array([length_category(n) for n in lens], pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+
+    def _stats(group):
+        import pandas as pd
+
+        v = group["n_chars"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "length_category": group["length_category"].iloc[0],
+                    "n_docs": len(v),
+                    "min_chars": int(v.min()),
+                    "max_chars": int(v.max()),
+                    "avg_chars": round(float(v.mean()), 4),
+                    "median_chars": round(float(np.percentile(v, 50)), 4),
+                    "p25_chars": round(float(np.percentile(v, 25)), 4),
+                    "p75_chars": round(float(np.percentile(v, 75)), 4),
+                }
+            ]
+        )
+
+    out = (
+        docs.map_batches(_cat, batch_format="pyarrow")
+        .groupby("length_category")
+        .map_groups(_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("length_category").reset_index(drop=True)
+
+
+def q_documents_corr(sf_dir: str):
+    """A3 analogue: Pearson correlation of doc length vs whitespace tokens.
+
+    Computed from distributed moment sums (sum x, sum y, sum xy, sum x²,
+    sum y², n) — a single partial-aggregate pass, finalized on the driver."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        xs = [float(len(t)) for t in batch["text"].to_pylist()]
+        ys = [float(T.whitespace_token_count(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "n": [float(len(xs))],
+                "sx": [sum(xs)],
+                "sy": [sum(ys)],
+                "sxx": [sum(x * x for x in xs)],
+                "syy": [sum(y * y for y in ys)],
+                "sxy": [sum(x * y for x, y in zip(xs, ys))],
+            }
+        )
+
+    m = docs.map_batches(_moments, batch_format="pyarrow").to_pandas().sum()
+    n = m["n"]
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    corr = cov / (vx**0.5 * vy**0.5) if vx > 0 and vy > 0 else 0.0
+    return pd.DataFrame([{"corr_chars_tokens": round(float(corr), 6)}])
+
+
+def q_documents_sample_limit(sf_dir: str, n: int = 50):
+    """O4 eval sampling: deterministic first-N slice by doc_id."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array([len(t) for t in batch["text"].to_pylist()], pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(_len, batch_format="pyarrow").sort("doc_id").limit(n).to_pandas()
+    return out.reset_index(drop=True)

@@ -1,0 +1,176 @@
+"""Tests for sinks/summaries (S5-S7/A1/A4/J9/D6), batch-API plumbing (S3/S4),
+and the md→html + block transformer (M11/M12)."""
+
+import datetime
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.functions import html as H
+from decisions_knowledge_graph_data_ray.stages import batch_api as B
+
+
+# ---------------------------------------------------------------------------
+# html (M11/M12)
+# ---------------------------------------------------------------------------
+
+
+def test_markdown_to_html_basic():
+    md = "# Title\n\nFirst paragraph **bold** here.\n\n> quoted text\n\n- item one\n- item two"
+    html = H.markdown_to_html(md)
+    assert "<h1>Title</h1>" in html
+    assert "<p>First paragraph <strong>bold</strong> here.</p>" in html
+    assert "<blockquote><p>quoted text</p></blockquote>" in html
+    assert "<li>item one</li>" in html
+
+
+def test_transform_html_blocks_stamps_sequential_ids():
+    html = "<p>one</p><h2>two</h2><p></p><p>three</p>"
+    res = H.transform_html_blocks("DOC1", html)
+    assert res["total_blocks"] == 3  # empty <p> skipped
+    assert [b["block_id"] for b in res["blocks"]] == [
+        "DOC1:block-001", "DOC1:block-002", "DOC1:block-003",
+    ]
+    assert res["blocks"][1]["element_type"] == "h2"
+    assert 'data-id="DOC1:block-001"' in res["transformed_html"]
+
+
+def test_blocks_roundtrip():
+    md = "# T\n\npara one here.\n\npara two here."
+    res = H.transform_html_blocks("D", H.markdown_to_html(md))
+    back = H.extract_blocks_from_transformed(res["transformed_html"])
+    assert [b["block_id"] for b in back] == [b["block_id"] for b in res["blocks"]]
+    assert [b["plain_text"] for b in back] == [b["plain_text"] for b in res["blocks"]]
+
+
+# ---------------------------------------------------------------------------
+# batch api (S3/S4/M5/M16)
+# ---------------------------------------------------------------------------
+
+
+def test_salvage_parse_json_paths():
+    assert B.salvage_parse_json('{"a": 1}') == {"a": 1}
+    assert B.salvage_parse_json('text ```json\n{"a": 2}\n``` more') == {"a": 2}
+    assert B.salvage_parse_json('prefix {"a": 3} suffix') == {"a": 3}
+    assert B.salvage_parse_json("no json at all") is None
+    assert B.salvage_parse_json("x" * 200_000) is None  # 100KB cap
+    assert B.salvage_parse_json("[1,2]") is None  # dict required
+
+
+def test_custom_id_deterministic_not_positional():
+    a = B.custom_id_for("extract", "CONV:BE:000001")
+    assert a == B.custom_id_for("extract", "CONV:BE:000001")
+    assert a != B.custom_id_for("extract", "CONV:BE:000002")
+    assert a.startswith("extract-")
+    assert a.endswith("CONV:BE:000001")
+
+
+def test_batch_request_response_roundtrip(ray_session, tmp_path):
+    docs = rd.from_items(
+        [
+            {"conv_id": "C1", "text": "hello"},
+            {"conv_id": "C2", "text": "world"},
+        ]
+    )
+    reqs = B.to_batch_requests(docs, "job1", "Extract from: {text}")
+    out = str(tmp_path / "reqs")
+    B.write_batch_requests(reqs, out)
+    back = rd.read_json(out).to_pandas()
+    assert len(back) == 2
+    assert set(back.columns) == {"custom_id", "method", "body"}
+
+    responses = rd.from_items(
+        [
+            {"custom_id": B.custom_id_for("job1", "C1"), "content": '{"k": 1}', "finish_reason": "stop"},
+            {"custom_id": B.custom_id_for("job1", "C2"), "content": "garbage", "finish_reason": "stop"},
+            {"custom_id": "x", "content": '{"k": 2}', "finish_reason": "length"},
+        ]
+    )
+    parsed = B.parse_batch_responses(responses).to_pandas()
+    assert parsed["ok"].tolist() == [True, False, False]
+    assert parsed["error"].tolist()[2] == "finish_reason=length"
+
+
+# ---------------------------------------------------------------------------
+# sinks / summaries / upsert / anti-join
+# ---------------------------------------------------------------------------
+
+
+def test_run_summary_and_failure_histogram(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.sinks import run_summary
+
+    rows = [
+        {"conv_id": "a", "valid": True, "failure_reason": ""},
+        {"conv_id": "b", "valid": True, "failure_reason": ""},
+        {"conv_id": "c", "valid": False, "failure_reason": "Schema Validation"},
+        {"conv_id": "d", "valid": False, "failure_reason": "Request Error"},
+        {"conv_id": "e", "valid": False, "failure_reason": "Schema Validation"},
+    ]
+    s = run_summary(rd.from_items(rows))
+    assert s["total"] == 5 and s["successful"] == 2 and s["failed"] == 3
+    assert abs(s["success_rate"] - 0.4) < 1e-9
+    assert s["errors_by_type"] == {"Schema Validation": 2, "Request Error": 1}
+
+
+def test_citation_statistics(ray_session, tiny_transcripts, world):
+    import ray.data as rd2
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import run_kg_pipeline
+    from decisions_knowledge_graph_data_ray.stages.sinks import citation_statistics
+
+    res = run_kg_pipeline(rd2.from_arrow(tiny_transcripts))
+    stats = citation_statistics(res["extractions"]).to_pandas()
+    dims = set(stats["dimension"])
+    assert dims == {"treatment", "jurisdiction", "confidence"}
+    assert (stats["n"] > 0).all()
+
+
+def test_upsert_latest(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.sinks import upsert_latest
+
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 1, 2)
+    base = rd.from_items(
+        [
+            {"key": "a", "ts": t0, "value": "old-a"},
+            {"key": "b", "ts": t0, "value": "old-b"},
+        ]
+    )
+    overlay = rd.from_items(
+        [
+            {"key": "a", "ts": t1, "value": "new-a"},  # newer → wins
+            {"key": "b", "ts": t0, "value": "retry-b"},  # tie → overlay wins
+            {"key": "c", "ts": t0, "value": "new-c"},  # new key
+        ]
+    )
+    out = upsert_latest(base, overlay, "key", "ts").to_pandas().sort_values("key")
+    assert dict(zip(out["key"], out["value"])) == {"a": "new-a", "b": "retry-b", "c": "new-c"}
+
+
+def test_anti_join_processed(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.sinks import anti_join_processed
+
+    ds = rd.from_items([{"conv_id": f"C{i}"} for i in range(10)])
+    out = anti_join_processed(ds, {"C1", "C3", "C5"}, "conv_id").to_pandas()
+    assert len(out) == 7
+    assert set(out["conv_id"]).isdisjoint({"C1", "C3", "C5"})
+
+
+def test_write_triples_partitioned(ray_session, tmp_path):
+    import glob
+
+    from decisions_knowledge_graph_data_ray.stages.sinks import write_triples
+
+    triples = rd.from_items(
+        [
+            {"subj": f"s{i}", "pred": "p", "obj": f"o{i}", "conv_id": "c", "score": None}
+            for i in range(100)
+        ]
+    )
+    out = str(tmp_path / "graph")
+    write_triples(triples, out, num_shards=4)
+    shard_dirs = glob.glob(f"{out}/shard=*")
+    assert len(shard_dirs) >= 2  # hash-partitioned directories
+    back = rd.read_parquet(out)
+    assert back.count() == 100
