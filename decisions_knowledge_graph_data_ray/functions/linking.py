@@ -30,6 +30,7 @@ from .normalize import (
     map_to_document_type,
     normalize_court_name,
     normalize_string,
+    trigram_set,
     trigram_similarity,
 )
 
@@ -53,11 +54,23 @@ class LinkerIndex:
     acts_by_date: dict[str, list[dict]] = field(default_factory=dict)
     acts_by_number: dict[str, dict] = field(default_factory=dict)
     articles: set[tuple[str, str]] = field(default_factory=set)
+    acts_by_article: dict[str, list[str]] = field(default_factory=dict)
     alias_popular: dict[str, str] = field(default_factory=dict)
     code_families: dict[str, list[str]] = field(default_factory=dict)
     decisions_by_date: dict[str, list[dict]] = field(default_factory=dict)
     missing_courts: set[str] = field(default_factory=set)
     all_acts: list[dict] = field(default_factory=list)
+    # precomputed candidate-title trigram sets (the J3/J5 similarity build
+    # side — computed once at index build, shared by every lookup)
+    title_trigrams: dict[str, frozenset] = field(default_factory=dict)
+
+    def title_sim(self, query_trigrams: frozenset, document_number: str) -> float:
+        tb = self.title_trigrams.get(document_number)
+        if not query_trigrams or not tb:
+            return 0.0
+        inter = len(query_trigrams & tb)
+        union = len(query_trigrams) + len(tb) - inter
+        return inter / union if union else 0.0
 
     @classmethod
     def build(
@@ -75,8 +88,13 @@ class LinkerIndex:
             idx.acts_by_date.setdefault(date, []).append(a)
             idx.acts_by_number[a["document_number"]] = a
             idx.all_acts.append(a)
+            idx.title_trigrams[a["document_number"]] = frozenset(trigram_set(a.get("title", "")))
         for art in articles:
-            idx.articles.add((art["document_number"], str(art["article_number"])))
+            key = (art["document_number"], str(art["article_number"]))
+            idx.articles.add(key)
+            idx.acts_by_article.setdefault(str(art["article_number"]), []).append(
+                art["document_number"]
+            )
         idx.alias_popular = {normalize_string(k): v for k, v in alias_popular.items()}
         idx.code_families = dict(code_families)
         for d in decisions:
@@ -89,17 +107,17 @@ def _result(method: str, matches: list[dict], no_match_reason: str | None = None
     return {"method": method, "matches": matches, "no_match_reason": no_match_reason}
 
 
-def _score_act_candidates(name: str, candidates: list[dict], method: str) -> dict:
+def _score_act_candidates(idx: "LinkerIndex", name: str, candidates: list[dict], method: str) -> dict:
     """Deterministic disambiguation: trigram similarity of candidate title vs
-    the cited act name → score 0..100, top-3, stable tie-break by id."""
-    scored = [
-        {
-            "document_number": c["document_number"],
-            "score": int(round(trigram_similarity(c.get("title", ""), name) * 100)),
-            "confidence": trigram_similarity(c.get("title", ""), name),
-        }
-        for c in candidates
-    ]
+    the cited act name → score 0..100, top-3, stable tie-break by id.
+    Candidate title trigrams come precomputed from the index."""
+    qset = frozenset(trigram_set(name))
+    scored = []
+    for c in candidates:
+        sim = idx.title_sim(qset, c["document_number"])
+        scored.append(
+            {"document_number": c["document_number"], "score": int(round(sim * 100)), "confidence": sim}
+        )
     scored.sort(key=lambda m: (-m["score"], m["document_number"]))
     if not scored:
         return _result("NO_MATCH", [], "No candidates found matching date")
@@ -132,11 +150,12 @@ def link_provision_standard(item: dict, idx: LinkerIndex) -> dict:
         a for a in idx.acts_by_date.get(search_date, []) if a.get("document_type") in strict_types
     ]
     if len(candidates) > MAX_CANDIDATES:
+        qset = frozenset(trigram_set(name))
         candidates = sorted(
             candidates,
-            key=lambda a: (-trigram_similarity(a.get("title", ""), name), a["document_number"]),
+            key=lambda a: (-idx.title_sim(qset, a["document_number"]), a["document_number"]),
         )[:MAX_CANDIDATES]
-    return _score_act_candidates(name, candidates, "DISAMBIGUATED")
+    return _score_act_candidates(idx, name, candidates, "DISAMBIGUATED")
 
 
 def link_provision_code(item: dict, idx: LinkerIndex, decision_date: str | None) -> dict:
@@ -167,9 +186,10 @@ def link_provision_code(item: dict, idx: LinkerIndex, decision_date: str | None)
     if not candidates:
         return _result("NO_MATCH", [], "No candidate documents found")
 
+    qset = frozenset(trigram_set(name))
     scored = []
     for c in candidates:
-        sim = trigram_similarity(c.get("title", ""), name)
+        sim = idx.title_sim(qset, c["document_number"])
         score = int(round(sim * 60)) + (40 if c["has_article"] else 0)
         scored.append({"document_number": c["document_number"], "score": score, "confidence": sim})
     scored.sort(key=lambda m: (-m["score"], m["document_number"]))
@@ -191,11 +211,13 @@ def link_provision_no_date(item: dict, idx: LinkerIndex, decision_date: str | No
     target_types = map_to_document_type(item.get("parent_act_type"))
     use_types = bool(target_types) and "unknown" not in target_types
 
+    qset = frozenset(trigram_set(name))
     scored = []
-    for act in idx.all_acts:
-        if (act["document_number"], str(article)) not in idx.articles:
-            continue
-        sim = trigram_similarity(act.get("title", ""), name)
+    # inverted article index: only acts actually containing the article are
+    # scanned (the SQL JOIN article_contents ON article_number equality)
+    for doc_number in idx.acts_by_article.get(str(article), ()):  # J5
+        act = idx.acts_by_number[doc_number]
+        sim = idx.title_sim(qset, doc_number)
         if sim < 0.15:
             continue
         act_date = (act.get("dossier_number") or "")[:10]
@@ -204,7 +226,7 @@ def link_provision_no_date(item: dict, idx: LinkerIndex, decision_date: str | No
         if use_types and act.get("document_type") not in target_types:
             continue
         scored.append(
-            {"document_number": act["document_number"], "score": int(round(sim * 100)), "confidence": sim}
+            {"document_number": doc_number, "score": int(round(sim * 100)), "confidence": sim}
         )
     scored.sort(key=lambda m: (-m["score"], m["document_number"]))
     return _result("DISAMBIGUATED", scored[:MAX_CANDIDATES][:3])

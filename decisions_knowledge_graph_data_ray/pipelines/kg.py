@@ -120,3 +120,83 @@ def read_transcripts(sf_dir: str) -> ray.data.Dataset:
 
 def run_for_sf_dir(sf_dir: str, config: KGConfig | None = None) -> dict:
     return run_kg_pipeline(read_transcripts(sf_dir), config=config)
+
+
+def run_kg_pipeline_checkpointed(
+    transcripts: ray.data.Dataset,
+    run_dir: str,
+    index_ref=None,
+    config: KGConfig | None = None,
+    num_partitions: int = 16,
+    counters: dict | None = None,
+) -> dict:
+    """Checkpointed flagship pipeline: every heavy stage persists per-partition
+    parquet + manifests under ``run_dir`` and a rerun (same input) skips
+    completed partitions without recompute (north-rule resume semantics).
+
+    Stages checkpointed (hash-partitioned by conv_id / part_key):
+      assemble → extract → link+triples (fused). The cheap tail
+      (canonicalize + dedup) recomputes from the fused checkpoint — it is
+      seconds of work over id-only rows and keeping it live avoids
+      checkpointing the label-propagation loop's intermediate state.
+    """
+    from ..state.manifest import StageCheckpoint, run_stage_checkpointed
+
+    config = config or KGConfig()
+    if index_ref is None:
+        index_ref = build_index_ref()
+    counters = counters if counters is not None else {}
+
+    assemble = assemble_documents_salted if config.salted_assembly else assemble_documents
+    assemble_cp = StageCheckpoint(run_dir, "assemble", num_partitions)
+    counters["assemble"] = {}
+    docs = run_stage_checkpointed(
+        transcripts, "conv_id", assemble, assemble_cp, counters["assemble"]
+    )
+
+    extract_cp = StageCheckpoint(run_dir, "extract", num_partitions)
+    counters["extract"] = {}
+
+    def _extract(ds):
+        return extract_documents(
+            ds,
+            concurrency=config.extract_concurrency,
+            batch_size=config.extract_batch_size,
+        )
+
+    extractions = run_stage_checkpointed(docs, "conv_id", _extract, extract_cp, counters["extract"])
+
+    fused_cp = StageCheckpoint(run_dir, "fused", num_partitions)
+    counters["fused"] = {}
+
+    def _link(ds):
+        return ds.filter(expr="valid == True").map_batches(
+            LinkTripleActor,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=config.link_batch_size,
+            concurrency=config.link_concurrency,
+        )
+
+    fused = run_stage_checkpointed(
+        extractions, "conv_id", _link, fused_cp, counters["fused"], out_key_col="part_key"
+    )
+
+    triples, links, edges = split_fused(fused)
+    labels = connected_components(
+        edges,
+        num_partitions=config.cc_num_partitions,
+        driver_threshold=config.cc_driver_threshold,
+    )
+    final_triples = dedup_triples(triples.union(canonical_triples(labels)))
+    failures = extractions.filter(expr="valid == False")
+
+    return {
+        "documents": docs,
+        "extractions": extractions,
+        "failures": failures,
+        "triples": final_triples,
+        "links": links,
+        "labels": labels,
+        "counters": counters,
+    }

@@ -46,44 +46,41 @@ class LinkTripleActor:
             doc_links = link_document(rec, self._idx, decision_date)
             links.extend(doc_links)
             triples.extend(emit_triples(rec, doc_links))
-            edges.extend(canonical_edges(doc_links))
+            edges.extend((rec["conv_id"], s, d) for s, d in canonical_edges(doc_links))
 
-        rows = []
-        for t in triples:
-            rows.append(
-                {
-                    "table": "triples",
-                    "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
-                    "conv_id": t["conv_id"], "score": t["score"],
-                    "mention_internal_id": None, "kind": None, "method": None,
-                    "matched_entity": None, "src": None, "dst": None,
-                }
-            )
-        for l in links:
-            rows.append(
-                {
-                    "table": "links",
-                    "subj": None, "pred": None, "obj": None,
-                    "conv_id": l["conv_id"], "score": l["score"],
-                    "mention_internal_id": l["mention_internal_id"],
-                    "kind": l["kind"], "method": l["method"],
-                    "matched_entity": l["matched_entity"], "src": None, "dst": None,
-                }
-            )
-        for s, d in edges:
-            rows.append(
-                {
-                    "table": "edges",
-                    "subj": None, "pred": None, "obj": None, "conv_id": None,
-                    "score": None, "mention_internal_id": None, "kind": None,
-                    "method": None, "matched_entity": None, "src": s, "dst": d,
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=_FUSED_SCHEMA)
+        # columnar assembly (13 narrow columns; list-of-dicts would cost a
+        # python dict per row)
+        nt, nl, ne = len(triples), len(links), len(edges)
+        n = nt + nl + ne
+        none_t, none_l, none_e = [None] * nt, [None] * nl, [None] * ne
+        cols = {
+            "part_key": [t["conv_id"] for t in triples]
+            + [l["conv_id"] for l in links]
+            + [e[0] for e in edges],
+            "table": ["triples"] * nt + ["links"] * nl + ["edges"] * ne,
+            "subj": [t["subj"] for t in triples] + none_l + none_e,
+            "pred": [t["pred"] for t in triples] + none_l + none_e,
+            "obj": [t["obj"] for t in triples] + none_l + none_e,
+            "conv_id": [t["conv_id"] for t in triples]
+            + [l["conv_id"] for l in links]
+            + none_e,
+            "score": [t["score"] for t in triples] + [l["score"] for l in links] + none_e,
+            "mention_internal_id": none_t + [l["mention_internal_id"] for l in links] + none_e,
+            "kind": none_t + [l["kind"] for l in links] + none_e,
+            "method": none_t + [l["method"] for l in links] + none_e,
+            "matched_entity": none_t + [l["matched_entity"] for l in links] + none_e,
+            "src": none_t + none_l + [e[1] for e in edges],
+            "dst": none_t + none_l + [e[2] for e in edges],
+        }
+        assert n == len(cols["part_key"])
+        return pa.table(
+            {f.name: pa.array(cols[f.name], f.type) for f in _FUSED_SCHEMA}
+        )
 
 
 _FUSED_SCHEMA = pa.schema(
     [
+        ("part_key", pa.string()),  # originating conv_id — checkpoint partition key
         ("table", pa.string()),
         ("subj", pa.string()),
         ("pred", pa.string()),
@@ -112,67 +109,66 @@ def split_fused(fused: ray.data.Dataset):
     return triples, links, edges
 
 
-def _dedup_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner for triple dedup (min conv_id, then max score)."""
-    best: dict[tuple, dict] = {}
-    for row in batch.to_pylist():
-        key = (row["subj"], row["pred"], row["obj"])
-        cur = best.get(key)
-        if (
-            cur is None
-            or row["conv_id"] < cur["conv_id"]
-            or (row["conv_id"] == cur["conv_id"] and (row["score"] or -1) > (cur["score"] or -1))
-        ):
-            best[key] = row
-    return pa.Table.from_pylist(list(best.values()), schema=schemas.TRIPLES_SCHEMA)
-
-
 _SEP = "\x01"
 
 
 def _pack_pick(batch: pa.Table) -> pa.Table:
-    """Encode the keep-rule (min conv_id, then max score) into ONE sortable
-    string so the groupby reduce is a plain vectorized Min — no per-group
-    Python dispatch. packed = conv_id \\x01 (100 - score) zero-padded (None
-    score → 101, sorts last)."""
-    rows = batch.to_pylist()
-    packed = [
-        f"{r['conv_id']}{_SEP}{(100 - r['score']) if r['score'] is not None else 101:03d}"
-        for r in rows
-    ]
-    return pa.table(
-        {
-            "subj": batch["subj"],
-            "pred": batch["pred"],
-            "obj": batch["obj"],
-            "packed": pa.array(packed, pa.string()),
-        }
-    )
+    """Fully vectorized pack: one group key spo = subj\\x01pred\\x01obj and one
+    pick key packed = conv_id\\x01lpad(100-score) (None score → 101, sorts
+    last) — the keep-rule (min conv_id, then max score) becomes a plain
+    groupby Min over strings."""
+    import pyarrow.compute as pc
+
+    spo = pc.binary_join_element_wise(batch["subj"], batch["pred"], batch["obj"], _SEP)
+    inv = pc.subtract(pa.scalar(100, pa.int32()), pc.fill_null(batch["score"], pa.scalar(-1, pa.int32())))
+    inv_str = pc.utf8_lpad(pc.cast(inv, pa.string()), 3, "0")
+    packed = pc.binary_join_element_wise(batch["conv_id"], inv_str, _SEP)
+    return pa.table({"spo": spo, "packed": packed})
 
 
 def _unpack_pick(batch: pa.Table) -> pa.Table:
-    conv_ids, scores = [], []
-    for p in batch["packed"].to_pylist():
-        conv_id, inv = p.rsplit(_SEP, 1)
-        conv_ids.append(conv_id)
-        scores.append(None if inv == "101" else 100 - int(inv))
+    import pyarrow.compute as pc
+
+    spo = pc.split_pattern(batch["spo"], _SEP)
+    # conv_id never contains the separator, so a plain split is unambiguous
+    parts = pc.split_pattern(batch["packed"], _SEP)
+    conv = pc.list_element(parts, 0)
+    inv = pc.cast(pc.list_element(parts, 1), pa.int32())
+    score = pc.subtract(pa.scalar(100, pa.int32()), inv)
+    score = pc.if_else(pc.equal(inv, 101), pa.scalar(None, pa.int32()), score)
     return pa.table(
         {
-            "subj": batch["subj"],
-            "pred": batch["pred"],
-            "obj": batch["obj"],
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "score": pa.array(scores, pa.int32()),
+            "subj": pc.list_element(spo, 0),
+            "pred": pc.list_element(spo, 1),
+            "obj": pc.list_element(spo, 2),
+            "conv_id": conv,
+            "score": score,
         }
     )
 
 
-def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
     """Distinct (subj,pred,obj) keeping min conv_id then max score:
-    per-batch combiner → packed-key groupby Min (vectorized) → unpack."""
-    from ray.data.aggregate import Min
+    vectorized pack → hash-partition shuffle (int key — far cheaper than a
+    sort over the full spo strings) → per-partition pandas groupby-min →
+    vectorized unpack."""
+    from ..functions.normalize import stable_hash32
 
-    combined = triples.map_batches(_dedup_batch, batch_format="pyarrow")
-    packed = combined.map_batches(_pack_pick, batch_format="pyarrow")
-    agg = packed.groupby(["subj", "pred", "obj"]).aggregate(Min("packed", alias_name="packed"))
-    return agg.map_batches(_unpack_pick, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4) if ray.is_initialized() else 64
+
+    def _pid(batch: pa.Table) -> pa.Table:
+        pids = [stable_hash32(s) % num_partitions for s in batch["spo"].to_pylist()]
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    def _min_per_spo(group):
+        out = group.groupby("spo", sort=False, as_index=False)["packed"].min()
+        return out
+
+    packed = triples.map_batches(_pack_pick, batch_format="pyarrow")
+    reduced = (
+        packed.map_batches(_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_min_per_spo, batch_format="pandas")
+    )
+    return reduced.map_batches(_unpack_pick, batch_format="pyarrow")

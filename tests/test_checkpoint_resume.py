@@ -39,7 +39,7 @@ def test_checkpoint_write_and_resume_skips_completed(ray_session, tmp_path):
     out1 = run_stage_checkpointed(_input_ds(), "conv_id", _double_stage(calls), cp)
     df1 = out1.to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert len(df1) == 40
-    assert calls.count(1) == 4  # every partition computed
+    assert calls.count(1) == 1  # ONE Ray pass over all incomplete partitions
     assert sorted(cp.completed_partitions()) == [0, 1, 2, 3]
 
     # resume: same input → all partitions skipped, identical output
@@ -68,7 +68,7 @@ def test_partial_failure_resume(ray_session, tmp_path):
 
     calls2: list[int] = []
     out = run_stage_checkpointed(_input_ds(), "conv_id", _double_stage(calls2), cp)
-    assert calls2.count(1) == 2  # exactly the two killed partitions
+    assert calls2.count(1) == 1  # one pass, over ONLY the two killed partitions
     assert len(out.to_pandas()) == 40
 
 
