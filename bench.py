@@ -72,11 +72,11 @@ def run_bench() -> dict:
     _consume(rd.read_parquet(path))
 
     index_ref = build_index_ref()
-    pool = max(2, NUM_CPUS // 2)
+    pool = max(2, NUM_CPUS)
     config = KGConfig(
-        # fixed-size pools: the stage barriers (materialize) mean extract and
-        # link never contend, so each can take half the CPUs outright instead
-        # of autoscaling up from one actor
+        # fixed full-cluster pools + stage barriers: each actor stage has a
+        # single-operator plan (Input→ActorPool), so it can own every CPU;
+        # measured faster than the fully streamed variant at 8 and 32 CPUs
         extract_concurrency=(pool, pool),
         link_concurrency=(pool, pool),
     )

@@ -211,7 +211,10 @@ def link_provision_no_date(item: dict, idx: LinkerIndex, decision_date: str | No
     target_types = map_to_document_type(item.get("parent_act_type"))
     use_types = bool(target_types) and "unknown" not in target_types
 
-    qset = frozenset(trigram_set(name))
+    # M14: Dutch act names are translated (memoized) before similarity so the
+    # French candidate titles can match (mapping/steps.ts:643-651)
+    search_name = translate_act_name_to_french(name) if looks_dutch(name) else name
+    qset = frozenset(trigram_set(search_name))
     scored = []
     # inverted article index: only acts actually containing the article are
     # scanned (the SQL JOIN article_contents ON article_number equality)
@@ -289,3 +292,49 @@ def provision_bucket(item: dict) -> str:
     if item.get("parent_act_date"):
         return "standard"
     return "no_date"
+
+
+# ---------------------------------------------------------------------------
+# M14: act-name translation (NL/DE → FR) with memo cache
+# ---------------------------------------------------------------------------
+# The reference translates non-French act names via an LLM with a per-run
+# memo Map (mapping/steps.ts:545-584). Our deterministic engine ships a
+# fixed bilingual dictionary (word/phrase level) with the same memo-cache
+# shape; a real translator slots into the same hook.
+
+_TRANSLATION_PHRASES = [
+    ("burgerlijk wetboek", "code civil"),
+    ("strafwetboek", "code pénal"),
+    ("gerechtelijk wetboek", "code judiciaire"),
+    ("wetboek van koophandel", "code de commerce"),
+    ("grondwet", "constitution"),
+    ("koninklijk besluit", "arrêté royal"),
+    ("wet van", "loi du"),
+    ("wetboek", "code"),
+    ("wet", "loi"),
+]
+
+_translation_cache: dict[str, str] = {}
+
+
+def translate_act_name_to_french(name: str) -> str:
+    """Phrase-level NL→FR act-name translation, memoized per process."""
+    if not name or not name.strip():
+        return name
+    key = normalize_string(name)
+    cached = _translation_cache.get(key)
+    if cached is not None:
+        return cached
+    out = key
+    for nl, fr in _TRANSLATION_PHRASES:
+        out = out.replace(nl, fr)
+    _translation_cache[key] = out
+    return out
+
+
+_NL_MARKERS = ("wet", "wetboek", "besluit", "grondwet", "artikel")
+
+
+def looks_dutch(name: str) -> bool:
+    norm = normalize_string(name)
+    return any(marker in norm for marker in _NL_MARKERS)

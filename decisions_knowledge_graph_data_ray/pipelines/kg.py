@@ -41,6 +41,11 @@ class KGConfig:
     # candidate-pair edge count below which exact union-find runs on the
     # driver (ids only); larger graphs use distributed label propagation
     cc_driver_threshold: int = 2_000_000
+    # True: pin the extraction table so the failures branch shares the pass.
+    # False: stream assemble→extract→link in one pipelined pass (fastest;
+    # reading `failures` then recomputes extract — fine when failures are
+    # only counted, as in bench)
+    materialize_extractions: bool = True
 
 
 def build_index_ref(world: dict | None = None):
@@ -78,12 +83,15 @@ def run_kg_pipeline(
         docs,
         concurrency=config.extract_concurrency,
         batch_size=config.extract_batch_size,
-    ).materialize()  # nested mention records, no document text — small; lets
-    # the valid/failures branches and the link stage share one extract pass
+    )
+    if config.materialize_extractions:
+        # nested mention records, no document text — small; lets the
+        # valid/failures branches and the link stage share one extract pass
+        extractions = extractions.materialize()
 
-    valid = extractions.filter(expr="valid == True")
-
-    fused = valid.map_batches(
+    # LinkTripleActor skips invalid rows itself — no filter operator in this
+    # stage's plan, so its actor pool may own the whole cluster
+    fused = extractions.map_batches(
         LinkTripleActor,
         fn_constructor_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
@@ -170,7 +178,8 @@ def run_kg_pipeline_checkpointed(
     counters["fused"] = {}
 
     def _link(ds):
-        return ds.filter(expr="valid == True").map_batches(
+        # the actor skips invalid rows itself (single-operator plan)
+        return ds.map_batches(
             LinkTripleActor,
             fn_constructor_kwargs={"index_ref": index_ref},
             batch_format="pyarrow",

@@ -125,3 +125,59 @@ def split_failures(extractions: ray.data.Dataset) -> tuple[ray.data.Dataset, ray
 
     failures = extractions.map_batches(_to_failures, batch_format="pyarrow")
     return valid, failures
+
+
+def extract_with_escalation(
+    docs: ray.data.Dataset,
+    primary_fn: Callable[[dict], dict] | None = None,
+    fallback_fn: Callable[[dict], dict] | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+    fallback_concurrency: int | tuple[int, int] = (1, 2),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Semantic retry with escalation as dataflow (SURVEY.md §7.4 item 6).
+
+    The reference retries a failed step up to 3 times, switching to a
+    stronger model on the final attempt (PipelineOrchestrator.ts:177-214).
+    In a DAG that loop becomes a bounded second pass: run the primary
+    extractor, route failed rows to a second actor pool running the
+    fallback extractor, union the successes (failures that ALSO fail the
+    fallback stay failures, with the fallback's reason).
+
+    The docs input is materialized once so the failure branch doesn't
+    recompute upstream.
+    """
+    docs = docs.materialize()
+    first = extract_documents(
+        docs, extract_fn=primary_fn, concurrency=concurrency, batch_size=batch_size
+    ).materialize()
+    ok = first.filter(expr="valid == True")
+
+    failed_ids = {
+        r["conv_id"]
+        for b in first.filter(expr="valid == False").iter_batches(batch_format="pyarrow")
+        for r in b.select(["conv_id"]).to_pylist()
+    }
+    if not failed_ids:
+        return ok
+
+    import ray as _ray
+
+    ids_ref = _ray.put(failed_ids)
+
+    class OnlyFailed:
+        def __init__(self):
+            self._ids = _ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([c in self._ids for c in batch["conv_id"].to_pylist()])
+            return batch.filter(mask)
+
+    retry_docs = docs.map_batches(OnlyFailed, batch_format="pyarrow", concurrency=(1, 2))
+    second = extract_documents(
+        retry_docs,
+        extract_fn=fallback_fn,
+        concurrency=fallback_concurrency,
+        batch_size=batch_size,
+    )
+    return ok.union(second)

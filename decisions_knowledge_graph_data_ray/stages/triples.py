@@ -42,6 +42,11 @@ class LinkTripleActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         triples, links, edges = [], [], []
         for rec in batch.to_pylist():
+            # invalid extractions are skipped HERE (not in a separate filter
+            # operator) so this stage's plan is Input→ActorPool only and the
+            # pool can own every cluster CPU without starving filter tasks
+            if rec.get("valid") is False:
+                continue
             decision_date = extract_date_from_ecli(rec.get("self_ecli") or "") or None
             doc_links = link_document(rec, self._idx, decision_date)
             links.extend(doc_links)
