@@ -249,12 +249,10 @@ def n_conversations_for_sf_dir(sf_dir: str) -> int:
     return 500
 
 
-def transcripts_path(sf_dir: str) -> str:
-    """Generate (once, cached) the transcripts parquet for an sf dir; returns
-    the parquet path. Cache key = sf-dir basename + generator version."""
-    n_conv = n_conversations_for_sf_dir(sf_dir)
-    base = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    out_dir = f"/tmp/dkg_transcripts/{GEN_VERSION}/{base}_{n_conv}"
+def transcripts_path_for_n(n_conv: int, label: str = "n") -> str:
+    """Generate (once, cached) the transcripts parquet for an explicit
+    conversation count; returns the parquet path."""
+    out_dir = f"/tmp/dkg_transcripts/{GEN_VERSION}/{label}_{n_conv}"
     out_path = os.path.join(out_dir, "transcripts.parquet")
     if not os.path.exists(out_path):
         os.makedirs(out_dir, exist_ok=True)
@@ -263,3 +261,10 @@ def transcripts_path(sf_dir: str) -> str:
         pq.write_table(table, tmp, row_group_size=65536)
         os.replace(tmp, out_path)  # atomic publish
     return out_path
+
+
+def transcripts_path(sf_dir: str) -> str:
+    """Transcripts parquet scaled to an sf dir (cache key = basename+count)."""
+    n_conv = n_conversations_for_sf_dir(sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return transcripts_path_for_n(n_conv, label=base)
