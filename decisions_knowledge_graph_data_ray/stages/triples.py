@@ -166,14 +166,17 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
         pids = [stable_hash32(s) % num_partitions for s in batch["spo"].to_pylist()]
         return batch.append_column("pid", pa.array(pids, pa.int32()))
 
-    def _min_per_spo(group):
-        out = group.groupby("spo", sort=False, as_index=False)["packed"].min()
-        return out
+    def _min_per_spo(group: pa.Table) -> pa.Table:
+        # Arrow C++ hash aggregate — no pandas string boxing
+        out = pa.TableGroupBy(group.select(["spo", "packed"]), "spo").aggregate(
+            [("packed", "min")]
+        )
+        return out.rename_columns(["spo", "packed"])
 
     packed = triples.map_batches(_pack_pick, batch_format="pyarrow")
     reduced = (
         packed.map_batches(_pid, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(_min_per_spo, batch_format="pandas")
+        .map_groups(_min_per_spo, batch_format="pyarrow")
     )
     return reduced.map_batches(_unpack_pick, batch_format="pyarrow")
