@@ -26,6 +26,13 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# --scaling corpus: 4x the sf0.1 corpus (1.7M turns) so per-stage compute
+# dominates Ray's fixed shuffle/scheduling overheads; levels 4 vs 16 CPUs
+# (N and 4N) keep the single-box memory-bus contention that a real
+# multi-node cluster would not have from dominating the measurement
+SCALING_NCONV = int(os.environ.get("GRAFT_SCALING_NCONV", "200000"))
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 
 
 def _init_ray():
@@ -51,7 +58,7 @@ def _consume(ds) -> int:
     return n
 
 
-def run_bench() -> dict:
+def run_bench(headline_only: bool = False) -> dict:
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -62,21 +69,28 @@ def run_bench() -> dict:
         build_index_ref,
         run_kg_pipeline,
     )
-    from decisions_knowledge_graph_data_ray.sources.transcripts import transcripts_path
+    from decisions_knowledge_graph_data_ray.sources.transcripts import (
+        transcripts_path,
+        transcripts_path_for_n,
+    )
 
     _init_ray()
-    path = transcripts_path(SF_DIR)  # generation cached, not timed
+    nconv_override = os.environ.get("GRAFT_BENCH_NCONV")
+    if nconv_override:  # scaling mode: explicit corpus size
+        path = transcripts_path_for_n(int(nconv_override), "bench")
+    else:
+        path = transcripts_path(SF_DIR)  # generation cached, not timed
     total_turns = pq.read_metadata(path).num_rows
 
     # warm OS page cache (untimed) so we measure compute + shuffle
     _consume(rd.read_parquet(path))
 
     index_ref = build_index_ref()
-    pool = max(2, NUM_CPUS)
+    pool = max(2, NUM_CPUS - 2)
     config = KGConfig(
-        # fixed full-cluster pools + stage barriers: each actor stage has a
-        # single-operator plan (Input→ActorPool), so it can own every CPU;
-        # measured faster than the fully streamed variant at 8 and 32 CPUs
+        # fixed near-full pools + stage barriers (2 CPUs reserved for shuffle
+        # tasks and the driver — a pool of exactly cluster size stalls the
+        # executor); measured faster than the fully streamed variant
         extract_concurrency=(pool, pool),
         link_concurrency=(pool, pool),
     )
@@ -87,6 +101,22 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
 
     queries: dict[str, float] = {"kg_pipeline": round(headline, 3)}
+
+    if headline_only or os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        import ray
+
+        ray.shutdown()
+        return {
+            "metric": "kg_construction_end_to_end",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "turns": total_turns,
+            "turns_per_sec": round(total_turns / headline, 1),
+            "n_triples": n_triples,
+        }
 
     secondary = {
         "lineitem_agg": lambda: R.q_lineitem_agg(SF_DIR),
@@ -132,8 +162,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Headline pipeline twice in fresh processes at N and 4N CPUs on the
+    same input (the scaled 1.7M-turn corpus), plus scaling efficiency."""
+
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_NCONV=str(SCALING_NCONV),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -144,7 +182,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = SCALING_LO, SCALING_HI
     r_lo = run_at(lo)
     r_hi = run_at(hi)
     thr_lo = r_lo["turns_per_sec"]
@@ -153,7 +191,7 @@ def run_scaling() -> dict:
     return {
         "metric": "kg_construction_scaling",
         "unit": "turns/sec",
-        "sf": SF_DIR,
+        "input_turns": r_hi["turns"],
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "sec_lo": r_lo["value"],
