@@ -185,6 +185,29 @@ def _fingerprints(sf_dir: str):
     )
 
 
+def _kg_run_summary(sf_dir: str):
+    """A1 run summary as a one-row table (rows-only)."""
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+    from decisions_knowledge_graph_data_ray.stages.sinks import run_summary
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    s = run_summary(extract_documents(docs))
+    return pd.DataFrame(
+        [
+            {
+                "total": s["total"],
+                "successful": s["successful"],
+                "failed": s["failed"],
+                "success_rate": round(s["success_rate"], 6),
+            }
+        ]
+    )
+
+
 def _kg_citation_stats(sf_dir: str):
     """A4 citation histograms over the KG corpus (rows-only)."""
     from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
@@ -284,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_fingerprints": _fingerprints,
         "multimodal_decode": _multimodal_decode,
         # KG pipeline (rows-only: regex/cluster/link semantics not in SQL)
+        "kg_run_summary": _kg_run_summary,
         "kg_citation_stats": _kg_citation_stats,
         "documents_html_blocks": _documents_html_blocks,
         "kg_documents": _kg_documents,

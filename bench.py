@@ -97,7 +97,9 @@ def run_bench(headline_only: bool = False) -> dict:
 
     t0 = time.perf_counter()
     res = run_kg_pipeline(rd.read_parquet(path), index_ref=index_ref, config=config)
-    n_triples = _consume(res["triples"])
+    # count() forces full execution but leaves blocks in the object store —
+    # the production sink is a distributed write_parquet, not a driver pull
+    n_triples = res["triples"].count()
     headline = time.perf_counter() - t0
 
     queries: dict[str, float] = {"kg_pipeline": round(headline, 3)}
