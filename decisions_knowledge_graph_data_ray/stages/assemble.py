@@ -31,7 +31,8 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.document import assemble_text, derive_self_ecli
-from ..functions.normalize import length_category, stable_hash32
+from ..functions.hashing import bucket_ids
+from ..functions.normalize import length_category
 
 SALT_CHUNK = 256
 
@@ -56,9 +57,8 @@ def _finalize(conv_id: str, text: str, n_turns: int) -> dict:
 
 def _add_pid(key_col: str, num_partitions: int):
     def f(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()  # key column only — never the text
-        pids = [stable_hash32(k) % num_partitions for k in keys]
-        return batch.append_column("pid", pa.array(pids, pa.int32()))
+        # vectorized hash of the key column only — never the text
+        return batch.append_column("pid", bucket_ids(batch[key_col], num_partitions))
 
     return f
 
@@ -118,12 +118,14 @@ def assemble_documents_salted(
     ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
 
     def _add_salt_pid(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        turn = batch["turn_idx"].to_pylist()
-        salts = [t // SALT_CHUNK for t in turn]
-        pids = [
-            stable_hash32(f"{c}#{s}") % num_partitions for c, s in zip(conv, salts)
-        ]
+        import numpy as np
+
+        salts = (batch["turn_idx"].to_numpy() // SALT_CHUNK).astype(np.int32)
+        # (conv_id, salt) composite bucket, vectorized: hash conv_id once,
+        # then mix the salt in with an odd multiplier
+        conv_h = bucket_ids(batch["conv_id"], 1 << 30).to_numpy()
+        pids = ((conv_h.astype(np.int64) + salts.astype(np.int64) * 2654435761) % num_partitions
+                ).astype(np.int32)
         return batch.append_column("salt", pa.array(salts, pa.int32())).append_column(
             "pid", pa.array(pids, pa.int32())
         )

@@ -164,6 +164,9 @@ def connected_components(
 
     from .joins import hash_bucket_join
 
+    _UND_SCHEMA = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    _NBR_SCHEMA = pa.schema([("nbr", pa.string()), ("nbr_label", pa.string())])
+    _CAND_SCHEMA = pa.schema([("node", pa.string()), ("cand", pa.string())])
     for _ in range(max_rounds):
         nbr_labels = hash_bucket_join(
             und,
@@ -173,6 +176,8 @@ def connected_components(
             on="nbr",
             output_columns=["node", "nbr", "nbr_label"],
             num_buckets=num_partitions,
+            left_schema=_UND_SCHEMA,
+            right_schema=_NBR_SCHEMA,
         )
         cand = (
             nbr_labels.map_batches(
@@ -192,6 +197,8 @@ def connected_components(
             output_columns=["node", "label", "cand"],
             how="left_outer",
             num_buckets=num_partitions,
+            left_schema=_LABEL_SCHEMA,
+            right_schema=_CAND_SCHEMA,
         )
 
         def _update(batch: pa.Table) -> pa.Table:

@@ -2,17 +2,19 @@
 
 - exact_dedup:       content-hash → hash-partition groupby → per-group first
 - minhash_lsh_pairs: shingle → minhash → band → bucket groupby → candidate
-                     pairs → Jaccard verify (MinHash-LSH near-dup)
+                     pairs → signature join-back → est-Jaccard filter
 - simhash_pairs:     64-bit SimHash, bucket by 4 x 16-bit bands, verify by
                      Hamming distance
 - near_dedup:        LSH pairs → connected components (stages/canonicalize)
-                     → keep component minimum
+                     → keep component minimum (distributed anti-join)
 
-Scale notes: signatures are computed per batch (vectorized numpy inside),
-band rows explode 16x but carry only (band, hash, doc_id) ints; the bucket
-groupby shuffles those narrow rows, never the text. Verification re-reads
-only candidate documents' signatures (carried on the band rows via min/max
-pair ids → joined back), here simplified to signature-carrying pairs.
+Scale notes: signatures are computed ONCE into a narrow (doc_id, sig)
+side table (~1KB/doc; materialized so banding and verification share the
+pass — at 10^9 docs that is ~1TB across the cluster's object store, which
+spills); band rows carry only (doc_id, band_id, band_hash) ints — the
+bucket groupby shuffles 20 bytes/row × 16 bands, never signatures or text.
+Candidate pairs are made distinct BEFORE the signature join-back, so the
+verification join moves |candidate pairs| rows, not |band collisions|.
 """
 
 from __future__ import annotations
@@ -25,6 +27,10 @@ import ray.data
 from ..functions import sketches as S
 
 _BANDS = 16
+_SIG_BYTES = 128 * 8  # 128 uint64 minhash permutations
+# below this doc count the sig table broadcasts (~1KB/doc → ≤200MB object);
+# above it, verification joins signatures back with bucketed joins
+SIG_BROADCAST_MAX_DOCS = 200_000
 
 
 def _with_content_hash(batch: pa.Table) -> pa.Table:
@@ -45,50 +51,64 @@ def exact_dedup(docs: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Data
     )
 
 
+_SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
+
+
+def minhash_sig_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, sig) — one 1KB MinHash signature per document."""
+
+    def _sigs(batch: pa.Table) -> pa.Table:
+        sigs = [S.minhash_signature(t).tobytes() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "sig": pa.array(sigs, pa.binary())},
+            schema=_SIG_SCHEMA,
+        )
+
+    return docs.map_batches(_sigs, batch_format="pyarrow")
+
+
 def _band_rows(batch: pa.Table) -> pa.Table:
-    ids, bands, hashes, sigs = [], [], [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig = S.minhash_signature(text)
+    """sig table → 16 narrow int rows per doc (NO signature payload)."""
+    ids, bands, hashes = [], [], []
+    for doc_id, sig_bytes in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
         for band_id, band_hash in S.minhash_bands(sig, _BANDS):
             ids.append(doc_id)
             bands.append(band_id)
             hashes.append(band_hash & 0x7FFFFFFFFFFFFFFF)
-            sigs.append(sig.tobytes())
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "band_id": pa.array(bands, pa.int32()),
             "band_hash": pa.array(hashes, pa.int64()),
-            "sig": pa.array(sigs, pa.binary()),
         }
     )
 
 
-def _partition_pairs_block(group) -> "pa.Table":
+def _candidate_pairs_block(group) -> "pa.Table":
     """One hash partition of band rows: pandas-groupby by exact bucket inside,
-    pairwise signature comparison per bucket. Python dispatch is O(partitions)
-    not O(buckets)."""
+    all-pairs emission per bucket (ids only). Python dispatch is
+    O(partitions) not O(buckets)."""
     import pandas as pd
 
-    out = []
+    src, dst = [], []
     for _, bucket in group.groupby(["band_id", "band_hash"], sort=False):
-        rows = bucket.sort_values("doc_id").drop_duplicates("doc_id")
-        if len(rows) < 2:
+        ids = np.unique(bucket["doc_id"].to_numpy())
+        if len(ids) < 2:
             continue
-        ids = rows["doc_id"].tolist()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]])
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out.append({"src_id": ids[i], "dst_id": ids[j], "est_jaccard": float(eq[i, j])})
-    return pd.DataFrame(out, columns=["src_id", "dst_id", "est_jaccard"])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        src.append(ids[iu])
+        dst.append(ids[ju])
+    if not src:
+        return pd.DataFrame({"src_id": pd.Series(dtype="int64"), "dst_id": pd.Series(dtype="int64")})
+    return pd.DataFrame({"src_id": np.concatenate(src), "dst_id": np.concatenate(dst)})
 
 
 def _add_bucket_pid(num_partitions: int):
     def f(batch: pa.Table) -> pa.Table:
-        bids = batch["band_id"].to_pylist()
-        hashes = batch["band_hash"].to_pylist()
-        pids = [(b * 1_000_003 + h) % num_partitions for b, h in zip(bids, hashes)]
+        bids = batch["band_id"].to_numpy()
+        hashes = batch["band_hash"].to_numpy()
+        pids = ((bids.astype(np.int64) * 1_000_003 + hashes) % num_partitions).astype(np.int32)
         return batch.append_column("pid", pa.array(pids, pa.int32()))
 
     return f
@@ -104,27 +124,128 @@ def _num_partitions_default() -> int:
 def minhash_lsh_pairs(
     docs: ray.data.Dataset, threshold: float = 0.8, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs with estimated Jaccard >= threshold."""
+    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    Plan: sig table (materialized once) → int-only band rows → bucket
+    groupby → distinct candidate (src,dst) pairs → join signatures back on
+    both sides → vectorized est-Jaccard → filter. The band shuffle moves
+    ints only; signatures move once per candidate-pair side.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import hash_bucket_join
+
     num_partitions = num_partitions or _num_partitions_default()
-    bands = docs.map_batches(_band_rows, batch_format="pyarrow")
+    sigs = minhash_sig_table(docs).materialize()
+
+    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = (
         bands.map_batches(_add_bucket_pid(num_partitions), batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(_partition_pairs_block, batch_format="pandas")
+        .map_groups(_candidate_pairs_block, batch_format="pandas")
+        # same pair surfaces from multiple bands/partitions → global distinct
+        .groupby(["src_id", "dst_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
 
-    def _dedup_filter(batch: pa.Table) -> pa.Table:
+    def _estimate_arrays(src_sig: list, dst_sig: list) -> np.ndarray:
+        s = np.frombuffer(b"".join(src_sig), dtype=np.uint64).reshape(len(src_sig), -1)
+        d = np.frombuffer(b"".join(dst_sig), dtype=np.uint64).reshape(len(dst_sig), -1)
+        return (s == d).mean(axis=1)
+
+    # small corpora (including every per-round test scale): broadcast the
+    # sig table once (ray.put, fetched once per actor) and verify candidate
+    # pairs with two dict lookups — zero extra shuffles. Large corpora:
+    # bucketed signature join-back (below).
+    if sigs.count() <= SIG_BROADCAST_MAX_DOCS:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.greater_equal(batch["est_jaccard"], threshold))
+        import ray as _ray
 
-    filtered = pairs.map_batches(_dedup_filter, batch_format="pyarrow")
-    # same pair can surface from multiple bands → distinct
-    from ray.data.aggregate import Max
+        sig_map = {}
+        for blk in sigs.iter_batches(batch_format="pyarrow", batch_size=None):
+            sig_map.update(zip(blk["doc_id"].to_pylist(), blk["sig"].to_pylist()))
+        sig_ref = _ray.put(sig_map)
 
-    return (
-        filtered.groupby(["src_id", "dst_id"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        class VerifyPairs:
+            def __init__(self):
+                self._sigs = _ray.get(sig_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.table(
+                        {
+                            "src_id": pa.array([], pa.int64()),
+                            "dst_id": pa.array([], pa.int64()),
+                            "est_jaccard": pa.array([], pa.float64()),
+                        }
+                    )
+                src = [self._sigs[i] for i in batch["src_id"].to_pylist()]
+                dst = [self._sigs[i] for i in batch["dst_id"].to_pylist()]
+                out = pa.table(
+                    {
+                        "src_id": batch["src_id"],
+                        "dst_id": batch["dst_id"],
+                        "est_jaccard": pa.array(_estimate_arrays(src, dst), pa.float64()),
+                    }
+                )
+                return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+        return pairs.map_batches(VerifyPairs, batch_format="pyarrow", concurrency=(1, 4))
+
+    _PAIR_SCHEMA = pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())])
+    src_sigs = sigs.map_batches(
+        lambda b: b.rename_columns(["src_doc_id", "src_sig"]), batch_format="pyarrow"
     )
+    dst_sigs = sigs.map_batches(
+        lambda b: b.rename_columns(["dst_doc_id", "dst_sig"]), batch_format="pyarrow"
+    )
+    a = hash_bucket_join(
+        pairs, src_sigs, on="src_id", right_on="src_doc_id",
+        output_columns=["src_id", "dst_id", "src_sig"],
+        num_buckets=num_partitions,
+        left_schema=_PAIR_SCHEMA,
+        right_schema=pa.schema([("src_doc_id", pa.int64()), ("src_sig", pa.binary())]),
+    )
+    b = hash_bucket_join(
+        a, dst_sigs, on="dst_id", right_on="dst_doc_id",
+        output_columns=["src_id", "dst_id", "src_sig", "dst_sig"],
+        num_buckets=num_partitions,
+        left_schema=pa.schema(
+            [("src_id", pa.int64()), ("dst_id", pa.int64()), ("src_sig", pa.binary())]
+        ),
+        right_schema=pa.schema([("dst_doc_id", pa.int64()), ("dst_sig", pa.binary())]),
+    )
+
+    def _estimate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "dst_id": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        s = np.frombuffer(b"".join(batch["src_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, -1
+        )
+        d = np.frombuffer(b"".join(batch["dst_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, -1
+        )
+        est = (s == d).mean(axis=1)
+        out = pa.table(
+            {
+                "src_id": batch["src_id"],
+                "dst_id": batch["dst_id"],
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+    return b.map_batches(_estimate, batch_format="pyarrow")
 
 
 def _simhash_rows(batch: pa.Table) -> pa.Table:
@@ -154,9 +275,9 @@ def simhash_pairs(
     rows = docs.map_batches(_simhash_rows, batch_format="pyarrow")
 
     def _add_pid(batch: pa.Table) -> pa.Table:
-        bids = batch["band_id"].to_pylist()
-        keys = batch["band_key"].to_pylist()
-        pids = [(b * 1_000_003 + k) % num_partitions for b, k in zip(bids, keys)]
+        bids = batch["band_id"].to_numpy()
+        keys = batch["band_key"].to_numpy()
+        pids = ((bids.astype(np.int64) * 1_000_003 + keys) % num_partitions).astype(np.int32)
         return batch.append_column("pid", pa.array(pids, pa.int32()))
 
     def _pairs_block(group):
@@ -192,14 +313,10 @@ def ngram_jaccard_verify(
     from .canonicalize import clamp_join_partitions, ensure_schema
 
     num_partitions = clamp_join_partitions(num_partitions)
-    pairs = pairs.map_batches(
-        ensure_schema(
-            pa.schema(
-                [("src_id", pa.int64()), ("dst_id", pa.int64()), ("est_jaccard", pa.float64())]
-            )
-        ),
-        batch_format="pyarrow",
+    _PAIRS_SCHEMA = pa.schema(
+        [("src_id", pa.int64()), ("dst_id", pa.int64()), ("est_jaccard", pa.float64())]
     )
+    pairs = pairs.map_batches(ensure_schema(_PAIRS_SCHEMA), batch_format="pyarrow")
     from .joins import hash_bucket_join
 
     texts = docs.select_columns(["doc_id", "text"])
@@ -213,11 +330,20 @@ def ngram_jaccard_verify(
         pairs, src_texts, on="src_id", right_on="src_doc_id",
         output_columns=["src_id", "dst_id", "est_jaccard", "src_text"],
         num_buckets=num_partitions,
+        left_schema=_PAIRS_SCHEMA,
+        right_schema=pa.schema([("src_doc_id", pa.int64()), ("src_text", pa.string())]),
     )
     b = hash_bucket_join(
         a, dst_texts, on="dst_id", right_on="dst_doc_id",
         output_columns=["src_id", "dst_id", "est_jaccard", "src_text", "dst_text"],
         num_buckets=num_partitions,
+        left_schema=pa.schema(
+            [
+                ("src_id", pa.int64()), ("dst_id", pa.int64()),
+                ("est_jaccard", pa.float64()), ("src_text", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("dst_doc_id", pa.int64()), ("dst_text", pa.string())]),
     )
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -239,8 +365,13 @@ def ngram_jaccard_verify(
 
 def near_dedup_keep_ids(docs: ray.data.Dataset, threshold: float = 0.8) -> ray.data.Dataset:
     """Full near-dedup: LSH pairs → connected components → keep min doc_id
-    per component (plus all never-paired docs)."""
+    per component (plus all never-paired docs).
+
+    The drop set never lands on the driver: non-root component members are
+    removed by a distributed bucketed LEFT ANTI join (a web-scale corpus
+    with a 40%+ dup rate keeps streaming)."""
     from .canonicalize import connected_components
+    from .joins import hash_bucket_join
 
     pairs = minhash_lsh_pairs(docs, threshold)
 
@@ -262,15 +393,18 @@ def near_dedup_keep_ids(docs: ray.data.Dataset, threshold: float = 0.8) -> ray.d
         import pyarrow.compute as pc
 
         nonroot = batch.filter(pc.invert(pc.equal(batch["node"], batch["label"])))
-        return pa.table({"doc_id": pa.array([int(x) for x in nonroot["node"].to_pylist()], pa.int64())})
+        return pa.table(
+            {"drop_id": pa.array([int(x) for x in nonroot["node"].to_pylist()], pa.int64())}
+        )
 
     drops = labels.map_batches(_drops, batch_format="pyarrow")
-    drop_ids = set(drops.to_pandas()["doc_id"].tolist())  # small: near-dup docs only
-
-    def _keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pa.array([i not in drop_ids for i in batch["doc_id"].to_pylist()])
-        return batch.filter(mask).select(["doc_id"])
-
-    return docs.map_batches(_keep, batch_format="pyarrow")
+    return hash_bucket_join(
+        docs.select_columns(["doc_id"]),
+        drops,
+        on="doc_id",
+        right_on="drop_id",
+        output_columns=["doc_id"],
+        how="left_anti",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("drop_id", pa.int64())]),
+    )

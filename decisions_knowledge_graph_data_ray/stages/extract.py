@@ -153,27 +153,48 @@ def extract_with_escalation(
     ).materialize()
     ok = first.filter(expr="valid == True")
 
-    failed_ids = {
-        r["conv_id"]
-        for b in first.filter(expr="valid == False").iter_batches(batch_format="pyarrow")
-        for r in b.select(["conv_id"]).to_pylist()
-    }
-    if not failed_ids:
+    # route failed rows back to docs WITHOUT collecting an unbounded id set
+    # on the driver: small failure counts broadcast a set (fast path); a
+    # misbehaving primary extractor (the case escalation exists for) can
+    # fail most of the corpus, so above the threshold the routing becomes a
+    # distributed bucketed semi-join.
+    failed = first.filter(expr="valid == False").select_columns(["conv_id"]).materialize()
+    n_failed = failed.count()
+    if not n_failed:
         return ok
 
-    import ray as _ray
+    if n_failed <= 200_000:
+        import ray as _ray
 
-    ids_ref = _ray.put(failed_ids)
+        failed_ids = {
+            c
+            for b in failed.iter_batches(batch_format="pyarrow")
+            for c in b["conv_id"].to_pylist()
+        }
+        ids_ref = _ray.put(failed_ids)
 
-    class OnlyFailed:
-        def __init__(self):
-            self._ids = _ray.get(ids_ref)
+        class OnlyFailed:
+            def __init__(self):
+                self._ids = _ray.get(ids_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([c in self._ids for c in batch["conv_id"].to_pylist()])
-            return batch.filter(mask)
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = pa.array([c in self._ids for c in batch["conv_id"].to_pylist()])
+                return batch.filter(mask)
 
-    retry_docs = docs.map_batches(OnlyFailed, batch_format="pyarrow", concurrency=(1, 2))
+        retry_docs = docs.map_batches(OnlyFailed, batch_format="pyarrow", concurrency=(1, 2))
+    else:
+        from .joins import hash_bucket_join
+
+        doc_schema = getattr(docs.schema(), "base_schema", None)
+        retry_docs = hash_bucket_join(
+            docs,
+            failed,
+            on="conv_id",
+            output_columns=[f.name for f in doc_schema],
+            how="left_semi",
+            left_schema=doc_schema,
+            right_schema=pa.schema([("conv_id", pa.string())]),
+        )
     second = extract_documents(
         retry_docs,
         extract_fn=fallback_fn,

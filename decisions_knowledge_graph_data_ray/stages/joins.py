@@ -1,57 +1,61 @@
-"""Portable partitioned hash join: bucket by key hash → cogroup → pandas merge.
+"""Portable partitioned hash join: bucket by key hash → cogroup → Arrow join.
 
 ``Dataset.join`` (Ray 2.49 hash-shuffle join) crashes on sparse keys: a hash
 partition whose right side receives zero blocks finalizes a schema-less
 empty table and the Arrow join errors with "No match ... for key field".
-This helper implements the guide's explicit bucketed-join pattern instead:
-both sides are packed into a uniform (bucket, side, key, payload) schema
-(payload = pickled row), unioned, and cogrouped with
-``groupby(bucket).map_groups`` doing a pandas merge per bucket. Empty
-buckets never materialize; skew is handled by raising ``num_buckets``
-(salting the hot key across buckets is the caller's option via a composite
-key column).
+This helper implements the guide's explicit bucketed-join pattern instead,
+fully Arrow-native (no pickling, no per-row Python):
 
-Used by the sparse-key stages (connected-components label propagation,
-candidate-pair text verification). Dense-key relational joins keep
-``Dataset.join``. Payload pickling costs a copy per row — acceptable for
-narrow id/label rows; do NOT route wide text columns through this (join the
-ids first, fetch text on the joined result).
+- both sides are packed into ONE uniform Arrow schema
+  ``(__hbj_bucket, __hbj_side, l:…left cols…, r:…right cols…)`` where the
+  other side's columns are null arrays (columnar nulls cost ~1 bit/row);
+- bucket ids come from a vectorized hash of the key column
+  (functions/hashing.bucket_ids — polars xxhash, no Python loop);
+- the union cogroups with ``groupby(bucket).map_groups`` and each bucket
+  joins via ``pyarrow.Table.join`` (Arrow C++ hash join).
+
+Empty buckets never materialize; skew is handled by raising ``num_buckets``
+(salting the hot key across buckets is the caller's option via a composite
+key column). Used by the sparse-key stages (connected-components label
+propagation, candidate-pair verification, anti-joins). Dense-key relational
+joins keep ``Dataset.join``.
+
+Key types must match between sides (native equality — ints join ints).
 """
 
 from __future__ import annotations
 
-import pickle
-
-import pandas as pd
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.normalize import stable_hash32
+from ..functions.hashing import bucket_ids
 
-_PACKED_SCHEMA = pa.schema(
-    [
-        ("bucket", pa.int64()),
-        ("side", pa.string()),
-        ("key", pa.string()),
-        ("payload", pa.binary()),
-    ]
-)
+_BUCKET = "__hbj_bucket"
+_SIDE = "__hbj_side"
 
 
-def _pack(side: str, key_col: str, num_buckets: int):
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    sch = ds.schema()
+    return getattr(sch, "base_schema", sch)
+
+
+def _pack(side_val: int, key_col: str, prefix: str, my_schema: pa.Schema,
+          other_prefix: str, other_schema: pa.Schema, num_buckets: int,
+          combined: pa.Schema):
     def f(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    [stable_hash32(str(r[key_col])) % num_buckets for r in rows], pa.int64()
-                ),
-                "side": pa.array([side] * len(rows), pa.string()),
-                "key": pa.array([str(r[key_col]) for r in rows], pa.string()),
-                "payload": pa.array([pickle.dumps(r) for r in rows], pa.binary()),
-            }
-        )
+        n = batch.num_rows
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            _BUCKET: bucket_ids(batch[key_col], num_buckets),
+            _SIDE: pa.array(np.full(n, side_val, dtype=np.int8)),
+        }
+        for field in my_schema:
+            cols[prefix + field.name] = batch[field.name].cast(field.type)
+        for field in other_schema:
+            cols[other_prefix + field.name] = pa.nulls(n, field.type)
+        return pa.table({name: cols[name] for name in combined.names}, schema=combined)
 
     return f
 
@@ -64,33 +68,61 @@ def hash_bucket_join(
     right_on: str | None = None,
     how: str = "inner",
     num_buckets: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
-    """Join on one key column (stringified equality).
+    """Join on one key column (native-type equality).
 
     ``output_columns`` fixes the output schema (every emitted block is
-    reindexed to it — including empty buckets), which is precisely what
-    Ray's built-in hash join fails to do for sparse keys.
-    ``how`` ∈ {inner, left_outer}; row order unspecified.
+    built to it — including empty buckets), which is precisely what Ray's
+    built-in hash join fails to do for sparse keys.
+    ``how`` ∈ {inner, left_outer, left_anti, left_semi}; row order
+    unspecified. Pass ``left_schema``/``right_schema`` (Arrow) to skip the
+    schema-inference pass — hot loops (CC label propagation) should.
     """
     right_on = right_on or on
-    ltag = left.map_batches(_pack("L", on, num_buckets), batch_format="pyarrow")
-    rtag = right.map_batches(_pack("R", right_on, num_buckets), batch_format="pyarrow")
+    lsch = left_schema or _arrow_schema(left)
+    rsch = right_schema or _arrow_schema(right)
 
-    pd_how = {"inner": "inner", "left_outer": "left"}[how]
+    combined = pa.schema(
+        [(_BUCKET, pa.int32()), (_SIDE, pa.int8())]
+        + [("l:" + f.name, f.type) for f in lsch]
+        + [("r:" + f.name, f.type) for f in rsch]
+    )
+    type_of: dict[str, pa.DataType] = {f.name: f.type for f in rsch}
+    type_of.update({f.name: f.type for f in lsch})  # left wins on collision
+    out_schema = pa.schema([(c, type_of[c]) for c in output_columns])
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        l_rows = [pickle.loads(p) for p in group.loc[group["side"] == "L", "payload"]]
-        r_rows = [pickle.loads(p) for p in group.loc[group["side"] == "R", "payload"]]
-        if not l_rows or (not r_rows and pd_how == "inner"):
-            return pd.DataFrame(columns=output_columns)
-        ldf = pd.DataFrame(l_rows)
-        rdf = pd.DataFrame(r_rows) if r_rows else pd.DataFrame(columns=[right_on])
-        merged = ldf.merge(rdf, left_on=on, right_on=right_on, how=pd_how)
-        before = set(merged.columns)
-        out = merged.reindex(columns=output_columns)
-        for c in output_columns:
-            if c not in before:  # padded column: object-None, not float-NaN
-                out[c] = pd.Series([None] * len(out), dtype=object)
-        return out
+    ltag = left.map_batches(
+        _pack(0, on, "l:", lsch, "r:", rsch, num_buckets, combined), batch_format="pyarrow"
+    )
+    rtag = right.map_batches(
+        _pack(1, right_on, "r:", rsch, "l:", lsch, num_buckets, combined), batch_format="pyarrow"
+    )
 
-    return ltag.union(rtag).groupby("bucket").map_groups(_merge, batch_format="pandas")
+    join_type = {
+        "inner": "inner",
+        "left_outer": "left outer",
+        "left_anti": "left anti",
+        "left_semi": "left semi",
+    }[how]
+    lnames = [f.name for f in lsch]
+    rnames = [f.name for f in rsch]
+
+    def _merge(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group[_SIDE], 0)
+        ltab = group.filter(lmask).select(["l:" + n for n in lnames]).rename_columns(lnames)
+        rtab = (
+            group.filter(pc.invert(lmask)).select(["r:" + n for n in rnames]).rename_columns(rnames)
+        )
+        if ltab.num_rows == 0 or (rtab.num_rows == 0 and join_type == "inner"):
+            return out_schema.empty_table()
+        joined = ltab.join(rtab, keys=[on], right_keys=[right_on], join_type=join_type)
+        cols = {
+            c: joined[c] if c in joined.column_names
+            else pa.nulls(joined.num_rows, out_schema.field(c).type)
+            for c in output_columns
+        }
+        return pa.table(cols).cast(out_schema)
+
+    return ltag.union(rtag).groupby(_BUCKET).map_groups(_merge, batch_format="pyarrow")

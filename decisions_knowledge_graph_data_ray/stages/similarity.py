@@ -33,33 +33,45 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class TopKScorer:
-    """Actor: query matrix fetched from the object store once per actor."""
+    """Actor: query matrix fetched from the object store once per actor.
 
-    def __init__(self, queries_ref, k: int):
+    ``dtype`` selects the matmul precision (float32 default; float64 when an
+    exact-oracle match is required). ``round_to`` rounds cosines BEFORE the
+    per-batch top-k so the (cosine desc, vec_id asc) tie-break is applied to
+    the same values the consumer sees — the partial top-k then selects
+    exactly the rows the global ordering would, making the combiner lossless
+    even across rounding ties.
+    """
+
+    def __init__(self, queries_ref, k: int, dtype=np.float32, round_to: int | None = None):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self._qids = np.asarray(q["query_id"], dtype=np.int64)
-        self._qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))  # (Q, D)
+        self._qm = _normalize(np.asarray(q["matrix"], dtype=dtype))  # (Q, D)
         self._k = k
+        self._dtype = dtype
+        self._round_to = round_to
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_as_matrix(batch["embedding"]))  # (B, D)
+        vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=self._dtype))
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         sims = vecs @ self._qm.T  # (B, Q)
+        if self._round_to is not None:
+            sims = np.round(sims, self._round_to)
         # per-batch partial top-k per query (final top-k after a tiny groupby)
         k = min(self._k, len(ids))
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            idx = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
-            for i in idx:
-                out_q.append(int(self._qids[qi]))
-                out_v.append(int(ids[i]))
-                out_s.append(float(col[i]))
+            # deterministic (cosine desc, vec_id asc) selection
+            idx = np.lexsort((ids, -col))[:k]
+            out_q.append(np.full(k, self._qids[qi], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(col[idx].astype(np.float64))
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -70,12 +82,16 @@ def brute_force_topk(
     k: int = 10,
     concurrency: int | tuple = 4,
     batch_size: int = 4096,
+    dtype=np.float32,
+    round_to: int | None = None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k: per-batch partial top-k (combiner) → per-query
     final top-k in a small map_groups."""
     partials = embeddings.map_batches(
         TopKScorer,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k, "dtype": dtype, "round_to": round_to
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
