@@ -88,6 +88,101 @@ def _kg_mentions(sf_dir: str):
     return extractions.map_batches(_explode, batch_format="pyarrow")
 
 
+def _kg_teachings(sf_dir: str):
+    """Exploded legal-teaching entities (TEACH- family: ids, closed-set
+    classifications, hierarchy + provision/decision references)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    extractions = extract_documents(docs)
+    cols = [
+        "conv_id", "teaching_seq", "teaching_id", "principle_type", "legal_area",
+        "court_level", "clarity", "binding", "refines_parent", "exception_to",
+        "n_conflicts", "n_related_provisions", "n_related_decisions",
+    ]
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            for te in rec["legal_teachings"] or []:
+                rows.append(
+                    {
+                        "conv_id": rec["conv_id"],
+                        "teaching_seq": te["teaching_seq"],
+                        "teaching_id": te["teaching_id"],
+                        "principle_type": te["principle_type"],
+                        "legal_area": te["legal_area"],
+                        "court_level": te["court_level"],
+                        "clarity": te["clarity"],
+                        "binding": te["binding"],
+                        "refines_parent": te["refines_parent"] or "",
+                        "exception_to": te["exception_to"] or "",
+                        "n_conflicts": len(te["conflicts_with"]),
+                        "n_related_provisions": len(te["related_provision_ids"]),
+                        "n_related_decisions": len(te["related_decision_ids"]),
+                    }
+                )
+        if not rows:
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
+        return pa.Table.from_pylist(rows).select(cols)
+
+    return (
+        extractions.map_batches(_explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["conv_id", "teaching_seq"])
+        .reset_index(drop=True)
+    )
+
+
+def _kg_parties(sf_dir: str):
+    """Exploded PARTY- entities with type/role closed sets."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    extractions = extract_documents(docs)
+    cols = ["conv_id", "party_seq", "internal_party_id", "name", "party_type", "procedural_role"]
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            for p in rec["parties"] or []:
+                rows.append({"conv_id": rec["conv_id"], **p})
+        if not rows:
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
+        return pa.Table.from_pylist(rows).select(cols)
+
+    return (
+        extractions.map_batches(_explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["conv_id", "party_seq"])
+        .reset_index(drop=True)
+    )
+
+
+def _kg_outcomes(sf_dir: str):
+    """Per-document outcome classification through the closed-set
+    validate/retry stage (review tiers included)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.classify import classify_outcomes
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    return (
+        classify_outcomes(docs.select_columns(["conv_id", "text"]))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
 def _kg_transcripts_roundtrip(sf_dir: str):
     """Assemble → explode roundtrip (the per-turn text-equality invariant as
     a query: output must equal the input transcript rows)."""
@@ -312,6 +407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_html_blocks": _documents_html_blocks,
         "kg_documents": _kg_documents,
         "kg_mentions": _kg_mentions,
+        "kg_teachings": _kg_teachings,
+        "kg_parties": _kg_parties,
+        "kg_outcomes": _kg_outcomes,
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
         "kg_transcripts_roundtrip": _kg_transcripts_roundtrip,

@@ -75,16 +75,24 @@ def assemble_document(conv_id: str, turn_idxs, roles, texts) -> dict:
 
 def extract_document(doc: dict) -> dict:
     """Full deterministic extraction for one assembled document."""
+    from .parties import classify_outcome, extract_parties
+    from .teachings import extract_legal_teachings
+
     conv_id, text = doc["conv_id"], doc["text"]
     refs = extract_references(text)
+    provisions = extract_cited_provisions(text, conv_id)
+    decisions = extract_cited_decisions(text, conv_id, doc.get("self_ecli", ""))
     return {
         "conv_id": conv_id,
         "self_ecli": doc.get("self_ecli", ""),
-        "cited_provisions": extract_cited_provisions(text, conv_id),
-        "cited_decisions": extract_cited_decisions(text, conv_id, doc.get("self_ecli", "")),
+        "cited_provisions": provisions,
+        "cited_decisions": decisions,
         "references": refs,
         "keywords": extract_keywords(text),
         "micro_summary": micro_summary(text),
+        "legal_teachings": extract_legal_teachings(text, conv_id, provisions, decisions),
+        "parties": extract_parties(text, conv_id),
+        "outcome": classify_outcome(text),
     }
 
 
@@ -134,7 +142,10 @@ def emit_triples(extraction: dict, links: list[dict]) -> list[dict]:
     """(subj, pred, obj) triples for one document (pre-dedup, pre-canonical).
 
     Preds: cites_provision, of_act, cites_decision, treatment:<T>, links_to,
-    has_celex, has_numac, has_file_number, has_eu_url, has_be_url, has_keyword.
+    has_celex, has_numac, has_file_number, has_eu_url, has_be_url, has_keyword,
+    has_teaching, teaching_cites_provision, teaching_cites_decision,
+    refines, exception_to, conflicts_with, has_party, party_role:<R>,
+    party_type:<T>, has_outcome.
     """
     conv_id = extraction["conv_id"]
     triples: list[dict] = []
@@ -164,6 +175,33 @@ def emit_triples(extraction: dict, links: list[dict]) -> list[dict]:
         t(conv_id, "has_be_url", u)
     for w in extraction["keywords"]:
         t(conv_id, "has_keyword", w)
+    # teaching entity family (ref extract-legal-teachings/schema.ts:101-142,189-197)
+    for teach in extraction.get("legal_teachings", ()):
+        tid = teach["teaching_id"]
+        t(conv_id, "has_teaching", tid)
+        for pid in teach["related_provision_ids"]:
+            t(tid, "teaching_cites_provision", pid)
+        for did in teach["related_decision_ids"]:
+            t(tid, "teaching_cites_decision", did)
+        if teach["refines_parent"]:
+            t(tid, "refines", teach["refines_parent"])
+        if teach["exception_to"]:
+            t(tid, "exception_to", teach["exception_to"])
+        for other in teach["conflicts_with"]:
+            # symmetric relation: emit each unordered pair once (min side)
+            if tid < other:
+                t(tid, "conflicts_with", other)
+            else:
+                t(other, "conflicts_with", tid)
+    # parties (ref extract-comprehensive/config.ts:204-283)
+    for party in extraction.get("parties", ()):
+        pid = party["internal_party_id"]
+        t(conv_id, "has_party", pid)
+        t(pid, f"party_role:{party['procedural_role']}", conv_id)
+        t(pid, f"party_type:{party['party_type']}", party["name"])
+    outcome = extraction.get("outcome", "")
+    if outcome:
+        t(conv_id, "has_outcome", outcome)
     return triples
 
 

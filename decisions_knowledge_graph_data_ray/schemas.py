@@ -81,6 +81,42 @@ REFERENCES_STRUCT = pa.struct(
     ]
 )
 
+TEACHING_STRUCT = pa.struct(
+    [
+        ("teaching_seq", pa.int32()),
+        ("teaching_id", pa.string()),
+        ("text", pa.string()),
+        ("court_verbatim", pa.string()),
+        ("court_verbatim_language", pa.string()),
+        ("factual_trigger", pa.string()),
+        ("relevant_factual_context", pa.string()),
+        ("principle_type", pa.string()),
+        ("legal_area", pa.string()),
+        ("court_level", pa.string()),
+        ("binding", pa.bool_()),
+        ("clarity", pa.string()),
+        ("novel_principle", pa.bool_()),
+        ("refines_parent", pa.string()),
+        ("refined_by", pa.list_(pa.string())),
+        ("exception_to", pa.string()),
+        ("excepted_by", pa.list_(pa.string())),
+        ("conflicts_with", pa.list_(pa.string())),
+        ("related_provision_ids", pa.list_(pa.string())),
+        ("related_decision_ids", pa.list_(pa.string())),
+        ("source_author", pa.string()),
+    ]
+)
+
+PARTY_STRUCT = pa.struct(
+    [
+        ("party_seq", pa.int32()),
+        ("internal_party_id", pa.string()),
+        ("name", pa.string()),
+        ("party_type", pa.string()),
+        ("procedural_role", pa.string()),
+    ]
+)
+
 EXTRACTIONS_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -90,6 +126,9 @@ EXTRACTIONS_SCHEMA = pa.schema(
         ("references", REFERENCES_STRUCT),
         ("keywords", pa.list_(pa.string())),
         ("micro_summary", pa.string()),
+        ("legal_teachings", pa.list_(TEACHING_STRUCT)),
+        ("parties", pa.list_(PARTY_STRUCT)),
+        ("outcome", pa.string()),
     ]
 )
 
@@ -127,6 +166,88 @@ _ID_PATTERNS = {
     "internal_provision_id": r"^ART-.+-\d{3}$",
     "internal_parent_act_id": r"^ACT-.+-\d{3}$",
     "internal_decision_id": r"^DEC-.+-\d{3}$",
+    # ref extract-legal-teachings/schema.ts:37-40, extract-comprehensive/config.ts:214-218
+    "teaching_id": r"^TEACH-[a-zA-Z0-9:.]+-\d{3}$",
+    "internal_party_id": r"^PARTY-[a-zA-Z0-9:.]+-\d{3}$",
+}
+
+_TEACH_REF = {
+    "anyOf": [{"type": "string", "pattern": _ID_PATTERNS["teaching_id"]}, {"type": "null"}]
+}
+_TEACH_REF_LIST = {
+    "type": "array", "items": {"type": "string", "pattern": _ID_PATTERNS["teaching_id"]}
+}
+
+TEACHING_JSON_SCHEMA = {
+    "type": "object",
+    "additionalProperties": False,
+    "required": [
+        "teaching_seq", "teaching_id", "text", "court_verbatim",
+        "court_verbatim_language", "factual_trigger", "relevant_factual_context",
+        "principle_type", "legal_area", "court_level", "binding", "clarity",
+        "novel_principle", "refines_parent", "refined_by", "exception_to",
+        "excepted_by", "conflicts_with", "related_provision_ids",
+        "related_decision_ids", "source_author",
+    ],
+    "properties": {
+        "teaching_seq": {"type": "integer", "minimum": 1},
+        "teaching_id": {"type": "string", "pattern": _ID_PATTERNS["teaching_id"]},
+        "text": {"type": "string", "minLength": 10, "maxLength": 1000},
+        "court_verbatim": {"type": "string", "minLength": 10, "maxLength": 2000},
+        "court_verbatim_language": {"enum": ["FR", "NL"]},
+        "factual_trigger": {"type": "string", "minLength": 5, "maxLength": 300},
+        "relevant_factual_context": {"type": "string", "minLength": 5, "maxLength": 500},
+        "principle_type": {
+            "enum": [
+                "INTERPRETATION_RULE", "APPLICATION_STANDARD", "LEGAL_TEST",
+                "BURDEN_PROOF", "BALANCING_TEST", "PROCEDURAL_RULE", "REMEDIAL_PRINCIPLE",
+            ]
+        },
+        "legal_area": {
+            "enum": [
+                "DISCRIMINATION_LAW", "DATA_PROTECTION", "EMPLOYMENT_LAW",
+                "CONTRACT_LAW", "CIVIL_LIABILITY", "ADMINISTRATIVE_LAW",
+                "PROCEDURAL_LAW", "COMPETITION_LAW", "INTELLECTUAL_PROPERTY",
+                "FAMILY_LAW", "OTHER",
+            ]
+        },
+        "court_level": {"enum": ["CASSATION", "APPEAL", "FIRST_INSTANCE"]},
+        "binding": {"type": "boolean"},
+        "clarity": {"enum": ["EXPLICIT", "IMPLICIT"]},
+        "novel_principle": {"type": "boolean"},
+        "refines_parent": _TEACH_REF,
+        "refined_by": _TEACH_REF_LIST,
+        "exception_to": _TEACH_REF,
+        "excepted_by": _TEACH_REF_LIST,
+        "conflicts_with": _TEACH_REF_LIST,
+        "related_provision_ids": {
+            "type": "array",
+            "items": {"type": "string", "pattern": _ID_PATTERNS["internal_provision_id"]},
+        },
+        "related_decision_ids": {
+            "type": "array",
+            "items": {"type": "string", "pattern": _ID_PATTERNS["internal_decision_id"]},
+        },
+        "source_author": {"enum": ["RULE_BASED", "AI_GENERATED"]},
+    },
+}
+
+PARTY_JSON_SCHEMA = {
+    "type": "object",
+    "additionalProperties": False,
+    "required": ["party_seq", "internal_party_id", "name", "party_type", "procedural_role"],
+    "properties": {
+        "party_seq": {"type": "integer", "minimum": 1},
+        "internal_party_id": {"type": "string", "pattern": _ID_PATTERNS["internal_party_id"]},
+        "name": {"type": "string", "minLength": 2, "maxLength": 200},
+        "party_type": {
+            "enum": [
+                "NATURAL_PERSON", "LEGAL_ENTITY", "PUBLIC_AUTHORITY",
+                "DE_FACTO_ASSOCIATION", "OTHER", "UNCLEAR",
+            ]
+        },
+        "procedural_role": {"type": "string", "minLength": 1},
+    },
 }
 
 # strict draft-07-style schema for one extraction record (validated with
@@ -136,7 +257,8 @@ EXTRACTION_JSON_SCHEMA = {
     "additionalProperties": False,
     "required": [
         "conv_id", "self_ecli", "cited_provisions", "cited_decisions",
-        "references", "keywords", "micro_summary",
+        "references", "keywords", "micro_summary", "legal_teachings",
+        "parties", "outcome",
     ],
     "properties": {
         "conv_id": {"type": "string", "minLength": 1},
@@ -205,5 +327,8 @@ EXTRACTION_JSON_SCHEMA = {
         },
         "keywords": {"type": "array", "items": {"type": "string"}, "maxItems": 10},
         "micro_summary": {"type": "string", "maxLength": 200},
+        "legal_teachings": {"type": "array", "items": TEACHING_JSON_SCHEMA},
+        "parties": {"type": "array", "items": PARTY_JSON_SCHEMA},
+        "outcome": {"type": "string"},
     },
 }

@@ -71,6 +71,44 @@ def _nl_date(iso: str) -> str:
     return f"{int(d)} {_MONTH_NL[int(m) - 1]} {y}"
 
 
+_TEACHING_CLAUSES_FR = [
+    # (clause, expected principle_type cue) — feeds functions/teachings lexicon
+    "la charge de la preuve du manquement incombe à la partie qui l'invoque",
+    "le juge doit procéder à une mise en balance des intérêts en présence",
+    "cette disposition doit être interprété de manière restrictive",
+    "la responsabilité suppose une faute, un dommage et un lien causal",
+    "la réparation du dommage doit être intégrale et en nature lorsque c'est possible",
+]
+_TEACHING_CLAUSES_NL = [
+    "de bewijslast van de tekortkoming rust op de partij die ze aanvoert",
+    "de rechter moet een belangenafweging maken tussen de betrokken belangen",
+]
+_HIER_MARKERS_FR = [
+    "En précisant le principe précédent",
+    "Par exception au principe précédent",
+    "Contrairement au principe précédent",
+]
+_PARTY_COMPANIES = [
+    "S.A. Alpha Invest", "N.V. Beta Industries", "S.P.R.L. Gamma Conseil",
+    "B.V.B.A. Delta Bouw", "l'État belge", "association de fait Epsilon",
+]
+_PARTY_PERSONS = ["M. Dupont", "Mme Lemaire", "Dhr. Janssens", "Mevr. Peeters", "M. Garcia"]
+_OUTCOME_PHRASES_FR = [
+    "La cour rejette le pourvoi.",
+    "La cour casse l'arrêt attaqué.",
+    "La cour casse partiellement la décision entreprise.",
+    "La cour renvoie la cause devant la cour d'appel autrement composée.",
+    "La cour confirme le jugement entrepris.",
+    "La cour condamne la partie défenderesse aux dépens.",
+]
+_OUTCOME_PHRASES_NL = [
+    "Het hof verklaart het middel ongegrond.",
+    "Het hof verklaart het middel gegrond.",
+    "Het hof vernietigt het bestreden arrest.",
+    "Het hof wijst de vordering af.",
+]
+
+
 def render_turn_text(c: int, t: int, world: dict) -> str:
     """Template bank (FIXTURES.md F5). Pure function of (c, t, world)."""
     h = stable_hash32(f"{conv_id_for(c)}:{t}")
@@ -78,7 +116,7 @@ def render_turn_text(c: int, t: int, world: dict) -> str:
     acts = world["acts"]
     alias_names = world["_alias_names"]
     dec = decisions[h % len(decisions)]
-    k = h % 15
+    k = h % 18
 
     if k == 0:
         # plain chatter — negative control, no triggers
@@ -152,6 +190,44 @@ def render_turn_text(c: int, t: int, world: dict) -> str:
         name = alias_names[h // 8 % len(alias_names)]
         art = 1 + (h // 128) % 3
         return f"Sur la base de l'article {art} de la {name}, la cour décide ce qui suit."
+    if k == 15:
+        # legal teaching with an in-sentence provision citation (TEACH- + ART- link)
+        if h // 32 % 4 == 0:
+            clause = _TEACHING_CLAUSES_NL[h // 128 % len(_TEACHING_CLAUSES_NL)]
+            art = 10 + (h // 64) % 180
+            return (
+                f"Het hof stelt het volgende beginsel voorop: overeenkomstig artikel {art} "
+                f"van de Grondwet, {clause}."
+            )
+        clause = _TEACHING_CLAUSES_FR[h // 128 % len(_TEACHING_CLAUSES_FR)]
+        art = [1382, 544, 6, 17, 29][h // 64 % 5]
+        return (
+            f"La cour énonce le principe suivant: en application de l'article {art} "
+            f"du Code civil, {clause}."
+        )
+    if k == 16:
+        # hierarchy teaching (refines/exception/conflicts the PREVIOUS teaching
+        # if any) with an in-sentence decision citation (TEACH- ↔ DEC- link)
+        marker = _HIER_MARKERS_FR[h // 32 % len(_HIER_MARKERS_FR)]
+        clause = _TEACHING_CLAUSES_FR[h // 256 % len(_TEACHING_CLAUSES_FR)]
+        # ECLI citation (HIGH region → one DEC- record per distinct ECLI) so
+        # the teaching→decision link resolves even when regions merge
+        return f"{marker}, {clause}, comme l'a décidé l'arrêt {dec['decision_id']}."
+    if k == 17:
+        # parties block + dispositif outcome phrase (PARTY- ids + outcome enum)
+        company = _PARTY_COMPANIES[h // 32 % len(_PARTY_COMPANIES)]
+        person = _PARTY_PERSONS[h // 256 % len(_PARTY_PERSONS)]
+        if h // 16 % 3 == 0:
+            outcome = _OUTCOME_PHRASES_NL[h // 512 % len(_OUTCOME_PHRASES_NL)]
+            return (
+                f"In zake: de {company}, eiser tot cassatie, tegen {person}, "
+                f"verweerder in cassatie. {outcome}"
+            )
+        outcome = _OUTCOME_PHRASES_FR[h // 512 % len(_OUTCOME_PHRASES_FR)]
+        return (
+            f"En cause: la {company}, demanderesse en cassation, contre {person}, "
+            f"défendeur en cassation. {outcome}"
+        )
     raise AssertionError("unreachable")
 
 
@@ -236,7 +312,7 @@ def get_world() -> dict:
     return _WORLD_CACHE
 
 
-GEN_VERSION = "v2"  # bump to invalidate /tmp caches when generation rules change
+GEN_VERSION = "v3"  # bump to invalidate /tmp caches when generation rules change
 
 
 def n_conversations_for_sf_dir(sf_dir: str) -> int:

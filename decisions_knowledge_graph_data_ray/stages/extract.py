@@ -48,6 +48,9 @@ _EMPTY_EXTRACTION = {
     },
     "keywords": [],
     "micro_summary": "",
+    "legal_teachings": [],
+    "parties": [],
+    "outcome": "",
 }
 
 
@@ -81,6 +84,22 @@ class ExtractorActor:
                     valid=False,
                     failure_reason=schemas.REASON_SCHEMA_VALIDATION,
                     failure_error=err.message[:500],
+                )
+                rows.append(bad)
+                continue
+            # cross-item check jsonschema can't express: every hierarchy ref
+            # must name a teaching of the SAME document (the reference's
+            # validationChecks.allHierarchyReferencesValid,
+            # extract-legal-teachings/schema.ts:288-301)
+            from ..functions.teachings import hierarchy_reference_errors
+
+            href_errors = hierarchy_reference_errors(rec.get("legal_teachings", []))
+            if href_errors:
+                bad = {"conv_id": conv_id, "self_ecli": self_ecli, **_EMPTY_EXTRACTION}
+                bad.update(
+                    valid=False,
+                    failure_reason=schemas.REASON_POST_PROCESSING,
+                    failure_error="; ".join(href_errors)[:500],
                 )
                 rows.append(bad)
             else:
