@@ -1,0 +1,214 @@
+"""Evaluation harness: fixed-corpus extractor scoring with a deterministic judge.
+
+Rebuilds the reference's eval layer (/root/reference/evals/types.ts:10-63,
+evals/runners/evaluation-runner.ts:47-120) Ray-Data-first:
+
+  - a FIXED eval corpus (the first ``sample_size`` conversations of the
+    deterministic synthetic corpus — the analogue of the reference's
+    197-decision ground-truth set);
+  - a per-document, per-dimension judge producing
+    ``{expected, extracted, matched, missing, hallucinated}`` counts plus a
+    0-100 score and a PASS / FAIL / REVIEW_REQUIRED verdict with an
+    ACCEPT / REJECT / REVIEW_MANUALLY recommendation (types.ts:10-63);
+  - the judge is DETERMINISTIC: ground truth comes from the engine's serial
+    reference extractor (functions/document.extract_document) run beside the
+    candidate in the same batch — no network judge, same semantics.
+
+Run it over any candidate ``extract_fn`` (e.g. a new LLM extractor) to get
+the per-dimension precision/recall gate the reference's judges provide.
+Distributed shape: one actor-pool ``map_batches`` pass over assembled
+documents; both extractors and the judge run co-resident per batch, so the
+eval of a 10^12-turn corpus shuffles nothing but the verdict rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data
+
+from .functions.document import extract_document
+from .functions.normalize import normalize_string
+
+VERDICTS = ("PASS", "FAIL", "REVIEW_REQUIRED")
+EVAL_SAMPLE_SIZE = 197  # mirrors the reference's 197-decision eval corpus
+
+
+def _provision_keys(rec: dict) -> set:
+    return {
+        (p["provision_number_key"], normalize_string(p["parent_act_name"]))
+        for p in rec.get("cited_provisions", [])
+    }
+
+
+def _decision_keys(rec: dict) -> set:
+    return {
+        (d.get("ecli"), d.get("court_name"), d.get("date"), d.get("case_number"))
+        for d in rec.get("cited_decisions", [])
+    }
+
+
+def _teaching_keys(rec: dict) -> set:
+    return {t["court_verbatim"] for t in rec.get("legal_teachings", [])}
+
+
+def _party_keys(rec: dict) -> set:
+    return {(p["name"], p["procedural_role"]) for p in rec.get("parties", [])}
+
+
+def _keyword_keys(rec: dict) -> set:
+    return set(rec.get("keywords", []))
+
+
+def _outcome_keys(rec: dict) -> set:
+    out = rec.get("outcome", "")
+    return {out} if out else set()
+
+
+DIMENSIONS: dict[str, Callable[[dict], set]] = {
+    "provisions": _provision_keys,
+    "decisions": _decision_keys,
+    "teachings": _teaching_keys,
+    "parties": _party_keys,
+    "keywords": _keyword_keys,
+    "outcome": _outcome_keys,
+}
+
+
+def judge_document(expected: dict, extracted: dict, dimensions=None) -> list[dict]:
+    """Deterministic judge: one verdict row per evaluated dimension
+    (types.ts counts block: expected/extracted/matched/missing/hallucinated)."""
+    dims = dimensions or list(DIMENSIONS)
+    rows = []
+    for dim in dims:
+        key_fn = DIMENSIONS[dim]
+        want, got = key_fn(expected), key_fn(extracted)
+        matched = want & got
+        missing = want - got
+        hallucinated = got - want
+        denom = len(want | got)
+        score = 100.0 if denom == 0 else round(100.0 * len(matched) / denom, 2)
+        if not missing and not hallucinated:
+            verdict, recommendation = "PASS", "ACCEPT"
+        elif score >= 80.0:
+            verdict, recommendation = "REVIEW_REQUIRED", "REVIEW_MANUALLY"
+        else:
+            verdict, recommendation = "FAIL", "REJECT"
+        rows.append(
+            {
+                "conv_id": expected["conv_id"],
+                "dimension": dim,
+                "expected": len(want),
+                "extracted": len(got),
+                "matched": len(matched),
+                "missing": len(missing),
+                "hallucinated": len(hallucinated),
+                "score": score,
+                "verdict": verdict,
+                "recommendation": recommendation,
+                "missing_samples": "; ".join(sorted(str(m) for m in missing)[:3]),
+                "hallucinated_samples": "; ".join(sorted(str(h) for h in hallucinated)[:3]),
+            }
+        )
+    return rows
+
+
+_EVAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("dimension", pa.string()),
+        ("expected", pa.int64()),
+        ("extracted", pa.int64()),
+        ("matched", pa.int64()),
+        ("missing", pa.int64()),
+        ("hallucinated", pa.int64()),
+        ("score", pa.float64()),
+        ("verdict", pa.string()),
+        ("recommendation", pa.string()),
+        ("missing_samples", pa.string()),
+        ("hallucinated_samples", pa.string()),
+    ]
+)
+
+
+class JudgeActor:
+    """Ground-truth extractor + candidate extractor + judge, co-resident:
+    the eval pass shuffles only verdict rows."""
+
+    def __init__(self, candidate_fn=None, reference_fn=None, dimensions=None):
+        self._candidate = candidate_fn or extract_document
+        self._reference = reference_fn or extract_document
+        self._dimensions = dimensions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            doc = {"conv_id": rec["conv_id"], "text": rec["text"],
+                   "self_ecli": rec.get("self_ecli", "")}
+            expected = self._reference(doc)
+            try:
+                extracted = self._candidate(doc)
+            except Exception as e:
+                extracted = {"conv_id": doc["conv_id"]}  # total extraction loss
+                rows.append(
+                    {
+                        "conv_id": doc["conv_id"], "dimension": "__error__",
+                        "expected": 0, "extracted": 0, "matched": 0,
+                        "missing": 0, "hallucinated": 0, "score": 0.0,
+                        "verdict": "FAIL", "recommendation": "REJECT",
+                        "missing_samples": "", "hallucinated_samples": str(e)[:200],
+                    }
+                )
+            rows.extend(judge_document(expected, extracted, self._dimensions))
+        return pa.Table.from_pylist(rows, schema=_EVAL_SCHEMA)
+
+
+def evaluate_extractor(
+    docs: ray.data.Dataset,
+    candidate_fn=None,
+    reference_fn=None,
+    dimensions=None,
+    sample_size: int | None = EVAL_SAMPLE_SIZE,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Per-(document, dimension) verdict rows for a candidate extractor over
+    the fixed eval corpus (first ``sample_size`` docs by conv_id)."""
+    if sample_size:
+        docs = docs.sort("conv_id").limit(sample_size)
+    return docs.map_batches(
+        JudgeActor,
+        fn_constructor_kwargs={
+            "candidate_fn": candidate_fn,
+            "reference_fn": reference_fn,
+            "dimensions": dimensions,
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+def summarize_evaluation(verdict_rows: ray.data.Dataset) -> dict:
+    """Aggregate report: per-dimension micro P/R/F1 + verdict histogram
+    (the reference's experiment summary, evaluation-runner.ts tail)."""
+    df = verdict_rows.to_pandas()
+    report: dict = {"dimensions": {}, "n_documents": int(df["conv_id"].nunique())}
+    for dim, g in df.groupby("dimension"):
+        tp = int(g["matched"].sum())
+        fp = int(g["hallucinated"].sum())
+        fn = int(g["missing"].sum())
+        precision = tp / (tp + fp) if tp + fp else 1.0
+        recall = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        report["dimensions"][dim] = {
+            "precision": round(precision, 4),
+            "recall": round(recall, 4),
+            "f1": round(f1, 4),
+            "verdicts": g["verdict"].value_counts().to_dict(),
+        }
+    overall = df["verdict"].value_counts().to_dict()
+    report["verdicts"] = overall
+    report["pass_rate"] = round(overall.get("PASS", 0) / max(1, len(df)), 4)
+    return report

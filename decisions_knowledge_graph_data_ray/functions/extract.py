@@ -147,9 +147,21 @@ def extract_cited_decisions(text: str, conv_id: str, self_ecli: str) -> list[dic
     if self_date:
         citations = [c for c in citations if c["date"] != self_date]
 
+    # M10 wiring: locate each citation's snippet in the source text AT
+    # EXTRACTION TIME (text is resident here; linking stages never re-ship
+    # the document — the snippet travels as a <=600-char mention field).
+    # Ref map-cited-decisions/citation-finder.ts:335-365: the snippet is the
+    # disambiguation context for the mapping step.
+    from .citation_finder import find_citation_snippet
+
     for i, c in enumerate(citations):
         c["decision_seq"] = i + 1
         c["internal_decision_id"] = f"DEC-{conv_id}-{pad3(i + 1)}"
+        found = find_citation_snippet(
+            text, c.get("court_name"), c.get("date"), c.get("case_number"), c.get("ecli")
+        )
+        c["snippet"] = found["snippet"] or ""
+        c["snippet_matched_on"] = found["matched_on"] or ""
     return citations
 
 

@@ -235,10 +235,21 @@ def link_provision_no_date(item: dict, idx: LinkerIndex, decision_date: str | No
     return _result("DISAMBIGUATED", scored[:MAX_CANDIDATES][:3])
 
 
+def _case_norm(s: str | None) -> str:
+    return str(s or "").replace(" ", "").replace(".", "").replace("-", "").lower()
+
+
 def link_cited_decision(item: dict, idx: LinkerIndex) -> dict:
     """Cited-decision mapping (steps.ts:784-929): missing-court skip, date
     validation, date-keyed candidates, exact-ECLI fast path, else scored
-    disambiguation (court trigram sim 60% + case-number match 40%)."""
+    disambiguation (court trigram sim 60% + case evidence 40%).
+
+    M10 wiring (map-cited-decisions/citation-finder.ts:335-365): the
+    mention's extraction-time ``snippet`` is the disambiguation context —
+    a candidate whose ECLI occurs in the snippet is an exact match even
+    when the mention's ecli attribute was lost to region merging, and a
+    candidate case number co-occurring in the snippet counts as case
+    evidence alongside attribute equality."""
     court = item.get("court_name")
     if court and normalize_court_name(court) in idx.missing_courts:
         return _result("NO_MATCH", [], f'Court "{court}" is not in database')
@@ -251,6 +262,10 @@ def link_cited_decision(item: dict, idx: LinkerIndex) -> dict:
     if not candidates:
         return _result("NO_MATCH", [], f"No decisions found for date {date}")
 
+    snippet = item.get("snippet") or ""
+    snippet_low = snippet.lower()
+    snippet_case = _case_norm(snippet)
+
     ecli = item.get("ecli")
     if ecli:
         for c in candidates:
@@ -259,14 +274,21 @@ def link_cited_decision(item: dict, idx: LinkerIndex) -> dict:
                     "EXACT_ECLI",
                     [{"document_number": c["decision_id"], "score": 100, "confidence": 1.0}],
                 )
+    elif snippet_low:
+        for c in candidates:
+            if c["decision_id"].lower() in snippet_low:
+                return _result(
+                    "SNIPPET_ECLI",
+                    [{"document_number": c["decision_id"], "score": 100, "confidence": 1.0}],
+                )
 
-    case_number = (item.get("case_number") or "").replace(" ", "").replace(".", "").lower()
+    case_number = _case_norm(item.get("case_number"))
     scored = []
     for c in candidates:
         sim = trigram_similarity(c.get("court_name", ""), court or "")
-        case_hit = bool(
-            case_number
-            and case_number == str(c.get("case_number") or "").replace(" ", "").replace(".", "").lower()
+        cand_case = _case_norm(c.get("case_number"))
+        case_hit = bool(case_number and case_number == cand_case) or bool(
+            cand_case and snippet_case and cand_case in snippet_case
         )
         score = int(round(sim * 60)) + (40 if case_hit else 0)
         scored.append({"document_number": c["decision_id"], "score": score, "confidence": sim})

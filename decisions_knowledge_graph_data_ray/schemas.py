@@ -66,6 +66,8 @@ DECISION_STRUCT = pa.struct(
         ("jurisdiction", pa.string()),
         ("confidence", pa.string()),
         ("internal_decision_id", pa.string()),
+        ("snippet", pa.string()),
+        ("snippet_matched_on", pa.string()),
     ]
 )
 
@@ -294,7 +296,7 @@ EXTRACTION_JSON_SCHEMA = {
                 "required": [
                     "decision_seq", "ecli", "court_name", "date", "case_number",
                     "treatment", "type", "jurisdiction", "confidence",
-                    "internal_decision_id",
+                    "internal_decision_id", "snippet", "snippet_matched_on",
                 ],
                 "properties": {
                     "decision_seq": {"type": "integer", "minimum": 1},
@@ -307,6 +309,10 @@ EXTRACTION_JSON_SCHEMA = {
                     "jurisdiction": {"enum": ["BE", "EU", "INT", "UNKNOWN"]},
                     "confidence": {"enum": ["HIGH", "MEDIUM", "LOW"]},
                     "internal_decision_id": {"type": "string", "pattern": _ID_PATTERNS["internal_decision_id"]},
+                    "snippet": {"type": "string", "maxLength": 1000},
+                    "snippet_matched_on": {
+                        "enum": ["", "ECLI", "CASE_NUMBER", "COURT_DATE", "COURT_ONLY"]
+                    },
                 },
             },
         },

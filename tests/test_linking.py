@@ -136,3 +136,67 @@ def test_provision_bucket_routing():
     assert L.provision_bucket({"parent_act_type": "CODE"}) == "code"
     assert L.provision_bucket({"parent_act_type": "LOI", "parent_act_date": "2000-01-01"}) == "standard"
     assert L.provision_bucket({"parent_act_type": "LOI", "parent_act_date": None}) == "no_date"
+
+
+# ---------------------------------------------------------------------------
+# M10 wiring: snippet context in decision disambiguation
+# (map-cited-decisions/citation-finder.ts:335-365)
+# ---------------------------------------------------------------------------
+
+
+def _some_decision():
+    return get_world()["decisions"][0]
+
+
+def test_snippet_ecli_fast_path_when_attr_lost():
+    """Mention lost its ecli attribute (region merging) but the snippet
+    contains the ECLI → exact match via SNIPPET_ECLI."""
+    idx = _idx()
+    dec = _some_decision()
+    item = {
+        "ecli": None,
+        "court_name": None,
+        "date": str(dec["decision_date"])[:10],
+        "case_number": None,
+        "snippet": f"...comme l'a décidé l'arrêt {dec['decision_id']}, le moyen est fondé...",
+    }
+    res = L.link_cited_decision(item, idx)
+    assert res["method"] == "SNIPPET_ECLI"
+    assert res["matches"][0]["document_number"] == dec["decision_id"]
+    assert res["matches"][0]["score"] == 100
+
+
+def test_snippet_case_number_cooccurrence_scores_case_evidence():
+    """No case_number attribute; the candidate's case number inside the
+    snippet supplies the 40-point case evidence."""
+    idx = _idx()
+    dec = _some_decision()
+    base = {
+        "ecli": None,
+        "court_name": dec["court_name"],
+        "date": str(dec["decision_date"])[:10],
+        "case_number": None,
+    }
+    without = L.link_cited_decision({**base, "snippet": ""}, idx)
+    with_snip = L.link_cited_decision(
+        {**base, "snippet": f"zoals beslist in zaak {dec['case_number']} door het hof"}, idx
+    )
+    top_without = {m["document_number"]: m["score"] for m in without["matches"]}
+    top_with = {m["document_number"]: m["score"] for m in with_snip["matches"]}
+    assert top_with[dec["decision_id"]] == top_without.get(dec["decision_id"], 0) + 40
+    assert L.top_match(with_snip["matches"])["document_number"] == dec["decision_id"]
+
+
+def test_extraction_attaches_snippets():
+    from decisions_knowledge_graph_data_ray.functions.extract import extract_cited_decisions
+
+    dec = _some_decision()
+    text = (
+        "assistant: irrelevant preamble about the case history.\n"
+        f"assistant: See {dec['decision_id']}, followed by the court below.\n"
+        "assistant: closing remarks."
+    )
+    cites = extract_cited_decisions(text, "C1", "")
+    assert len(cites) == 1
+    assert cites[0]["snippet_matched_on"] == "ECLI"
+    assert dec["decision_id"] in cites[0]["snippet"]
