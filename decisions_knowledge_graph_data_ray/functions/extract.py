@@ -141,6 +141,7 @@ def extract_cited_decisions(text: str, conv_id: str, self_ecli: str) -> list[dic
             if key in seen:
                 continue
             seen.add(key)
+            c["_region"] = region  # private: snippet search scope (popped below)
             citations.append(c)
 
     self_date = extract_date_from_ecli(self_ecli)
@@ -151,17 +152,24 @@ def extract_cited_decisions(text: str, conv_id: str, self_ecli: str) -> list[dic
     # EXTRACTION TIME (text is resident here; linking stages never re-ship
     # the document — the snippet travels as a <=600-char mention field).
     # Ref map-cited-decisions/citation-finder.ts:335-365: the snippet is the
-    # disambiguation context for the mapping step.
-    from .citation_finder import find_citation_snippet
+    # disambiguation context for the mapping step. The pattern search runs
+    # over the citation's SOURCE REGION (<=1.2KB window), not the whole
+    # document — O(1) per citation regardless of document length; the
+    # snippet itself is then sentence-aligned against the full text.
+    from .citation_finder import extract_snippet, find_citation_position
 
     for i, c in enumerate(citations):
         c["decision_seq"] = i + 1
         c["internal_decision_id"] = f"DEC-{conv_id}-{pad3(i + 1)}"
-        found = find_citation_snippet(
-            text, c.get("court_name"), c.get("date"), c.get("case_number"), c.get("ecli")
+        region = c.pop("_region")
+        match = find_citation_position(
+            region.text, c.get("ecli"), c.get("case_number"), c.get("court_name"), c.get("date")
         )
-        c["snippet"] = found["snippet"] or ""
-        c["snippet_matched_on"] = found["matched_on"] or ""
+        if match is None:
+            c["snippet"], c["snippet_matched_on"] = "", ""
+        else:
+            c["snippet"] = extract_snippet(text, region.position + match.position)
+            c["snippet_matched_on"] = match.match_type
     return citations
 
 

@@ -28,6 +28,18 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_cache(ref):
+    """Per-worker-process cache for ray.put broadcast objects used from
+    TASK-based map_batches (actors cache in __init__; tasks cache here)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    return _BCAST_CACHE[key]
+
+
 def _partitioned_groupby(ds: rd.Dataset, key: str, per_group_fn, out_columns: list[str],
                          num_partitions: int = 64) -> rd.Dataset:
     """Hash-partition by key, ONE pandas groupby per partition: avoids Ray's
@@ -117,27 +129,27 @@ def q_orders_priority_revenue(sf_dir: str):
     )
     lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    class PartialRevenue:
-        def __init__(self):
-            dim = ray.get(dim_ref)
-            self._index, self._codes, self._n = dim["index"], dim["codes"], dim["n_prio"]
+    # plain tasks, not an actor pool: the broadcast side is fetched via a
+    # per-worker-process cache (ray.get is zero-copy-ish and amortized over
+    # every batch the worker processes), so there is no actor cold-start
+    def _partial_revenue(batch: pa.Table) -> pa.Table:
+        dim = _broadcast_cache(dim_ref)
+        index, codes_all, n = dim["index"], dim["codes"], dim["n_prio"]
+        pos = index.get_indexer(batch["l_orderkey"].to_numpy())
+        hit = pos >= 0  # inner-join semantics: drop unmatched keys
+        codes = codes_all[pos[hit]]
+        rev = (
+            batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        )[hit]
+        return pa.table(
+            {
+                "prio_code": pa.array(np.arange(n), pa.int64()),
+                "revenue": pa.array(np.bincount(codes, weights=rev, minlength=n)),
+                "n_items": pa.array(np.bincount(codes, minlength=n).astype(np.int64)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = self._index.get_indexer(batch["l_orderkey"].to_numpy())
-            hit = pos >= 0  # inner-join semantics: drop unmatched keys
-            codes = self._codes[pos[hit]]
-            rev = (
-                batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
-            )[hit]
-            return pa.table(
-                {
-                    "prio_code": pa.array(np.arange(self._n), pa.int64()),
-                    "revenue": pa.array(np.bincount(codes, weights=rev, minlength=self._n)),
-                    "n_items": pa.array(np.bincount(codes, minlength=self._n).astype(np.int64)),
-                }
-            )
-
-    partials = lineitem.map_batches(PartialRevenue, batch_format="pyarrow", concurrency=(1, 8))
+    partials = lineitem.map_batches(_partial_revenue, batch_format="pyarrow")
     out = (
         partials.groupby("prio_code")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
@@ -161,15 +173,12 @@ def q_top_customers(sf_dir: str):
         .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
     )
 
-    class AttachName:
-        def __init__(self):
-            self._names = ray.get(cust_ref)
+    def _attach_name(batch: pa.Table) -> pa.Table:
+        names_map = _broadcast_cache(cust_ref)
+        names = [names_map.get(k) for k in batch["o_custkey"].to_pylist()]
+        return batch.append_column("c_name", pa.array(names, pa.string()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [self._names.get(k) for k in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_name", pa.array(names, pa.string()))
-
-    named = totals.map_batches(AttachName, batch_format="pyarrow", concurrency=2)
+    named = totals.map_batches(_attach_name, batch_format="pyarrow")
 
     # per-batch partial top-10 (combiner) → driver sorts ≤ 10×blocks rows,
     # never the full per-customer table
@@ -395,9 +404,7 @@ def q_embeddings_topk(sf_dir: str, k: int = 5):
             "matrix": np.asarray(qdf["embedding"].tolist(), dtype=np.float64),
         }
     )
-    out = brute_force_topk(
-        emb, q_ref, k=k, concurrency=(1, 4), dtype=np.float64, round_to=6
-    ).to_pandas()
+    out = brute_force_topk(emb, q_ref, k=k, dtype=np.float64, round_to=6).to_pandas()
     return (
         out[["query_id", "vec_id", "cosine", "rank"]]
         .sort_values(["query_id", "rank"])

@@ -44,6 +44,27 @@ def _default_partitions() -> int:
     return max(16, cpus * 4)
 
 
+# Hash-shuffle is Ray's scale path for the pid cogroup (aggregator actors,
+# no global sort barrier — the sort-based shuffle's merge step is the part
+# that stops scaling past a few nodes). Measured on the 1.7M-turn corpus:
+# sort 22.3s@4cpu → 10.4s@16cpu (eff 0.53); hash 25.6s → 9.7s (eff 0.66).
+# Default on; ``DKG_ASSEMBLY_SHUFFLE=sort`` reverts.
+def _hash_partitions() -> int | None:
+    import os
+
+    import ray as _ray
+
+    if os.environ.get("DKG_ASSEMBLY_SHUFFLE", "hash") == "sort":
+        return None
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(cpus, 64))
+
+
+def _grouped(ds: ray.data.Dataset, key: str):
+    np_ = _hash_partitions()
+    return ds.groupby(key, num_partitions=np_) if np_ else ds.groupby(key)
+
+
 def _finalize(conv_id: str, text: str, n_turns: int) -> dict:
     return {
         "conv_id": conv_id,
@@ -80,7 +101,7 @@ def assemble_documents(
     num_partitions = num_partitions or _default_partitions()
     ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
     ds = ds.map_batches(_add_pid("conv_id", num_partitions), batch_format="pyarrow")
-    return ds.groupby("pid").map_groups(_assemble_block, batch_format="pandas")
+    return _grouped(ds, "pid").map_groups(_assemble_block, batch_format="pandas")
 
 
 def _assemble_partials_block(group: pd.DataFrame) -> pd.DataFrame:
@@ -131,10 +152,10 @@ def assemble_documents_salted(
         )
 
     phase1 = ds.map_batches(_add_salt_pid, batch_format="pyarrow")
-    partials = phase1.groupby("pid").map_groups(_assemble_partials_block, batch_format="pandas")
+    partials = _grouped(phase1, "pid").map_groups(_assemble_partials_block, batch_format="pandas")
 
     phase2 = partials.map_batches(_add_pid("conv_id", num_partitions), batch_format="pyarrow")
-    return phase2.groupby("pid").map_groups(_merge_partials_block, batch_format="pandas")
+    return _grouped(phase2, "pid").map_groups(_merge_partials_block, batch_format="pandas")
 
 
 def explode_documents(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -76,26 +76,49 @@ class TopKScorer:
         )
 
 
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(queries_ref, k, dtype, round_to) -> TopKScorer:
+    """Per-worker-process TopKScorer cache for the TASK-based path (actors
+    build theirs in __init__; tasks amortize construction here)."""
+    key = (queries_ref.hex() if hasattr(queries_ref, "hex") else id(queries_ref),
+           k, np.dtype(dtype).str, round_to)
+    if key not in _SCORER_CACHE:
+        _SCORER_CACHE[key] = TopKScorer(queries_ref, k, dtype=dtype, round_to=round_to)
+    return _SCORER_CACHE[key]
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries_ref,
     k: int = 10,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
     batch_size: int = 4096,
     dtype=np.float32,
     round_to: int | None = None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k: per-batch partial top-k (combiner) → per-query
-    final top-k in a small map_groups."""
-    partials = embeddings.map_batches(
-        TopKScorer,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref, "k": k, "dtype": dtype, "round_to": round_to
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    final top-k in a small map_groups.
+
+    ``concurrency=None`` (default) runs plain tasks with a per-worker
+    scorer cache — no actor-pool cold-start, right for one-shot queries.
+    Pass an int/tuple to pin an actor pool (long-lived query services)."""
+    if concurrency is None:
+        def _score(batch: pa.Table) -> pa.Table:
+            return _cached_scorer(queries_ref, k, dtype, round_to)(batch)
+
+        partials = embeddings.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        partials = embeddings.map_batches(
+            TopKScorer,
+            fn_constructor_kwargs={
+                "queries_ref": queries_ref, "k": k, "dtype": dtype, "round_to": round_to
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     def _final(group):
         g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
