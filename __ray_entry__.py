@@ -183,6 +183,43 @@ def _kg_outcomes(sf_dir: str):
     )
 
 
+def _kg_comprehensive(sf_dir: str):
+    """currentInstance block per document (facts/requests/arguments/
+    courtOrder/outcome — extract-comprehensive/config.ts:285-455)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.functions.comprehensive import (
+        extract_current_instance,
+    )
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            ci = extract_current_instance(rec)
+            rows.append(
+                {
+                    "conv_id": ci["conv_id"],
+                    "facts_len": len(ci["facts"]),
+                    "n_requests": len(ci["requests"]),
+                    "n_arguments": len(ci["arguments"]),
+                    "court_order": ci["court_order"],
+                    "outcome": ci["outcome"],
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return (
+        docs.map_batches(_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
 def _kg_transcripts_roundtrip(sf_dir: str):
     """Assemble → explode roundtrip (the per-turn text-equality invariant as
     a query: output must equal the input transcript rows)."""
@@ -353,6 +390,41 @@ def _documents_html_blocks(sf_dir: str):
     )
 
 
+def _multimodal_pipeline(sf_dir: str):
+    """Full multimodal routing: image decode+resize, video frame-sample
+    (explode), audio MFCC — deterministic fake kernels, real Ray plumbing.
+    Returns the exploded frame table (payload length, not bytes, so the
+    rows-only check hashes deterministically)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.multimodal import (
+        make_fake_media_dataset,
+        multimodal_pipeline,
+    )
+
+    res = multimodal_pipeline(make_fake_media_dataset(n=96), fake=True)
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "ts_s": batch["ts_s"],
+                "frame_bytes": pa.array(
+                    [len(p) for p in batch["frame_payload"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        res["frames"]
+        .map_batches(_meta, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _multimodal_decode(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.multimodal import (
         decode_media,
@@ -401,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_lsh_topk": _lsh_topk,
         "documents_fingerprints": _fingerprints,
         "multimodal_decode": _multimodal_decode,
+        "multimodal_pipeline": _multimodal_pipeline,
         # KG pipeline (rows-only: regex/cluster/link semantics not in SQL)
         "kg_run_summary": _kg_run_summary,
         "kg_citation_stats": _kg_citation_stats,
@@ -410,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_teachings": _kg_teachings,
         "kg_parties": _kg_parties,
         "kg_outcomes": _kg_outcomes,
+        "kg_comprehensive": _kg_comprehensive,
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
         "kg_transcripts_roundtrip": _kg_transcripts_roundtrip,

@@ -90,3 +90,130 @@ def decode_media(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImageActor:
+    """Resize stage (images): actor pool, small batches. Real path stubbed
+    (needs PIL); fake path emits a deterministic proportional payload so the
+    output schema/size accounting is real."""
+
+    def __init__(self, target_w: int = 128, target_h: int = 128, fake: bool = False):
+        self._w, self._h, self._fake = target_w, target_h, fake
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv — not available in this environment; "
+            "construct with fake=True for the deterministic stub"
+        )
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        out_len = max(32, self._w * self._h // 16)
+        seed = hashlib.blake2b(payload, digest_size=32, person=b"resize").digest()
+        return (seed * (out_len // 32 + 1))[:out_len]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resize = self._resize_fake if self._fake else self._resize_real
+        out = [resize(p) for p in batch["payload"].to_pylist()]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([self._w] * n, pa.int32()),
+                "height": pa.array([self._h] * n, pa.int32()),
+            }
+        )
+
+
+class FrameSampleActor:
+    """Video frame sampling: one output row PER SAMPLED FRAME (explode with
+    binary columns — the flat_map shape for video at scale). Fake duration
+    and frame payloads are hash-derived; real path stubbed (needs libav)."""
+
+    def __init__(self, every_s: float = 1.0, fake: bool = False):
+        self._every = every_s
+        self._fake = fake
+
+    def _duration_fake(self, payload: bytes) -> float:
+        h = hashlib.blake2b(payload, digest_size=4, person=b"duration").digest()
+        return 1.0 + h[0] % 8  # 1..8 seconds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._fake:
+            raise NotImplementedError(
+                "video demux requires libav/ffmpeg — not available in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+        ids, idxs, tss, frames = [], [], [], []
+        for media_id, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            duration = self._duration_fake(payload)
+            t, idx = 0.0, 0
+            while t < duration:
+                fh = hashlib.blake2b(
+                    payload + idx.to_bytes(4, "little"), digest_size=32, person=b"frame"
+                ).digest()
+                ids.append(media_id)
+                idxs.append(idx)
+                tss.append(t)
+                frames.append((fh * 8)[:256])
+                idx += 1
+                t += self._every
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_s": pa.array(tss, pa.float64()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+class AudioFeatureActor:
+    """Audio feature extraction (MFCC-shaped fixed-length vector). Fake
+    derives 13 coefficients from hash windows; real path stubbed."""
+
+    N_COEFF = 13
+
+    def __init__(self, fake: bool = False):
+        self._fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._fake:
+            raise NotImplementedError(
+                "audio decode requires libsndfile/librosa — not available in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            h = hashlib.blake2b(payload, digest_size=self.N_COEFF, person=b"mfcc").digest()
+            feats.append([b / 255.0 - 0.5 for b in h])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mfcc": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def multimodal_pipeline(media: ray.data.Dataset, fake: bool = True) -> dict:
+    """Route by media_type → per-modality actor-pool stages:
+    images: decode → resize; video: frame-sample; audio: MFCC features.
+    Returns the three result Datasets (callers union/join as needed)."""
+    images = media.filter(expr="media_type == 'image/jpeg'")
+    audio = media.filter(expr="media_type == 'audio/wav'")
+    video = media.filter(expr="media_type == 'video/mp4'")
+    decoded = decode_media(images, fake=fake)
+    resized = images.map_batches(
+        ResizeImageActor, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+    frames = video.map_batches(
+        FrameSampleActor, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    )
+    mfcc = audio.map_batches(
+        AudioFeatureActor, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+    return {"decoded": decoded, "resized": resized, "frames": frames, "mfcc": mfcc}

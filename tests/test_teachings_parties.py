@@ -226,3 +226,32 @@ def test_teachings_flow_through_kg_pipeline(ray_session):
     assert "has_outcome" in preds
     assert preds & {"teaching_cites_provision", "teaching_cites_decision"}
     assert preds & {"refines", "exception_to", "conflicts_with"}
+
+
+def test_comprehensive_current_instance():
+    from decisions_knowledge_graph_data_ray.functions.comprehensive import (
+        extract_current_instance,
+    )
+
+    text = "\n".join(
+        [
+            "user: Le litige porte sur un accident de la circulation survenu en 2019.",
+            "assistant: La partie demanderesse demande la réparation intégrale du dommage.",
+            "assistant: Le moyen soutient que l'article 1382 du Code civil a été violé.",
+            "assistant: La cour rejette le pourvoi.",
+        ]
+    )
+    ci = extract_current_instance({"conv_id": "C1", "text": text})
+    assert ci["facts"].startswith("Le litige porte")
+    assert len(ci["requests"]) >= 1 and "demande" in ci["requests"][0]
+    assert len(ci["arguments"]) >= 1 and "moyen" in ci["arguments"][0].lower()
+    assert ci["court_order"] == "La cour rejette le pourvoi."
+    assert ci["outcome"] == "REJET"
+
+
+def test_comprehensive_no_dispositif():
+    from decisions_knowledge_graph_data_ray.functions.comprehensive import (
+        extract_court_order,
+    )
+
+    assert extract_court_order("user: nothing here") == ""

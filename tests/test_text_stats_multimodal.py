@@ -84,3 +84,43 @@ def test_multimodal_real_decode_is_stubbed():
     actor = DecodeImageActor(fake=False)
     with pytest.raises(NotImplementedError):
         actor(pa.table({"media_id": [1], "media_type": ["image/jpeg"], "payload": [b"xx"]}))
+
+
+def test_multimodal_pipeline_routing(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.multimodal import (
+        make_fake_media_dataset,
+        multimodal_pipeline,
+    )
+
+    media = make_fake_media_dataset(n=30)  # 10 of each modality
+    res = multimodal_pipeline(media, fake=True)
+    decoded = res["decoded"].to_pandas()
+    resized = res["resized"].to_pandas()
+    frames = res["frames"].to_pandas()
+    mfcc = res["mfcc"].to_pandas()
+    assert len(decoded) == 10 and len(resized) == 10 and len(mfcc) == 10
+    assert (resized["width"] == 128).all() and (resized["height"] == 128).all()
+    # frame explode: >= 1 frame per video, deterministic across runs
+    assert frames["media_id"].nunique() == 10 and len(frames) >= 10
+    frames2 = multimodal_pipeline(media, fake=True)["frames"].to_pandas()
+    assert frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
+        frames2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+    assert all(len(v) == 13 for v in mfcc["mfcc"])
+
+
+def test_multimodal_real_paths_stub_clearly(ray_session):
+    import pytest
+
+    from decisions_knowledge_graph_data_ray.stages.multimodal import (
+        FrameSampleActor,
+        ResizeImageActor,
+        make_fake_media_dataset,
+    )
+
+    media = make_fake_media_dataset(n=3)
+    with pytest.raises(Exception, match="NotImplementedError|requires"):
+        media.map_batches(
+            ResizeImageActor, fn_constructor_kwargs={"fake": False},
+            batch_format="pyarrow", concurrency=1,
+        ).materialize()
