@@ -183,6 +183,23 @@ def _kg_outcomes(sf_dir: str):
     )
 
 
+def _kg_eval(sf_dir: str):
+    """Eval-harness verdict rows for the shipped extractor over the fixed
+    100-doc eval corpus (all PASS by construction — the judge output
+    surface itself is what this query exposes)."""
+    from decisions_knowledge_graph_data_ray.evals import evaluate_extractor
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    return (
+        evaluate_extractor(docs, sample_size=100)
+        .to_pandas()
+        .sort_values(["conv_id", "dimension"])
+        .reset_index(drop=True)
+    )
+
+
 def _kg_comprehensive(sf_dir: str):
     """currentInstance block per document (facts/requests/arguments/
     courtOrder/outcome — extract-comprehensive/config.ts:285-455)."""
@@ -257,6 +274,23 @@ def _simhash_pairs(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_pairs(docs).to_pandas().sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def _near_dup_verified(sf_dir: str):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard (the
+    two-stage near-dup pipeline: sketch recall → exact precision)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    df = ngram_jaccard_verify(pairs, docs, threshold=0.7).to_pandas()
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
 
 
 def _near_dedup_keep(sf_dir: str):
@@ -469,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_minhash_pairs": _minhash_pairs,
         "documents_simhash_pairs": _simhash_pairs,
         "documents_near_dedup_keep": _near_dedup_keep,
+        "documents_near_dup_verified": _near_dup_verified,
         "embeddings_dup_pairs": _embedding_dups,
         "embeddings_lsh_topk": _lsh_topk,
         "documents_fingerprints": _fingerprints,
@@ -484,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_parties": _kg_parties,
         "kg_outcomes": _kg_outcomes,
         "kg_comprehensive": _kg_comprehensive,
+        "kg_eval": _kg_eval,
         "kg_links": _kg_links,
         "kg_triples": _kg_triples,
         "kg_transcripts_roundtrip": _kg_transcripts_roundtrip,

@@ -165,6 +165,27 @@ class JudgeActor:
         return pa.Table.from_pylist(rows, schema=_EVAL_SCHEMA)
 
 
+def write_testset_csv(docs: ray.data.Dataset, path: str, n: int = EVAL_SAMPLE_SIZE) -> int:
+    """Persist the fixed eval corpus as a CSV test-set file (S9 — the
+    reference's CSV test-set loader surface). One row per document:
+    conv_id,text_len. Returns the row count."""
+    import csv
+
+    rows = docs.sort("conv_id").limit(n).select_columns(["conv_id", "text"]).take_all()
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["conv_id", "text_len"])
+        for r in rows:
+            w.writerow([r["conv_id"], len(r["text"])])
+    return len(rows)
+
+
+def load_testset_ids(path: str) -> set[str]:
+    """CSV test-set → conv_id set (stock ray.data.read_csv)."""
+    ds = ray.data.read_csv(path)
+    return {r["conv_id"] for r in ds.take_all()}
+
+
 def evaluate_extractor(
     docs: ray.data.Dataset,
     candidate_fn=None,
@@ -172,10 +193,23 @@ def evaluate_extractor(
     dimensions=None,
     sample_size: int | None = EVAL_SAMPLE_SIZE,
     concurrency: int | tuple = (1, 8),
+    testset_csv: str | None = None,
 ) -> ray.data.Dataset:
     """Per-(document, dimension) verdict rows for a candidate extractor over
-    the fixed eval corpus (first ``sample_size`` docs by conv_id)."""
-    if sample_size:
+    the fixed eval corpus (first ``sample_size`` docs by conv_id, or the
+    conv_ids named in ``testset_csv``)."""
+    if testset_csv:
+        import ray as _ray
+
+        ids_ref = _ray.put(load_testset_ids(testset_csv))
+
+        def _in_testset(batch: pa.Table) -> pa.Table:
+            ids = _ray.get(ids_ref)
+            mask = pa.array([c in ids for c in batch["conv_id"].to_pylist()])
+            return batch.filter(mask)
+
+        docs = docs.map_batches(_in_testset, batch_format="pyarrow")
+    elif sample_size:
         docs = docs.sort("conv_id").limit(sample_size)
     return docs.map_batches(
         JudgeActor,

@@ -288,13 +288,22 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_top_users(sf_dir: str):
-    """Top-20 users by event count (tie-broken by user_id)."""
+    """Top-20 users by event count (tie-broken by user_id): per-batch
+    partial top-20 combiner after the per-user aggregate, so the driver
+    sorts ≤ 20×blocks rows, never the full user table."""
     events = _read(sf_dir, "events", columns=["user_id", "value"])
-    out = (
-        events.groupby("user_id")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    totals = events.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
+
+    def _partial_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n_events", "user_id"], ascending=[False, True]).head(20),
+            preserve_index=False,
+        )
+
+    out = totals.map_batches(_partial_top, batch_format="pyarrow").to_pandas()
     out = _round_cols(out, {"sum_value": 2})
     out = out.sort_values(["n_events", "user_id"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True)

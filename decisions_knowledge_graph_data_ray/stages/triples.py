@@ -154,17 +154,15 @@ def _unpack_pick(batch: pa.Table) -> pa.Table:
 
 def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
     """Distinct (subj,pred,obj) keeping min conv_id then max score:
-    vectorized pack → hash-partition shuffle (int key — far cheaper than a
-    sort over the full spo strings) → per-partition pandas groupby-min →
-    vectorized unpack."""
-    from ..functions.normalize import stable_hash32
+    vectorized pack → per-batch combiner (Arrow C++ hash aggregate — dups
+    that co-occur in a batch never enter the shuffle) → vectorized
+    hash-partition (polars, no Python loop) → per-partition aggregate →
+    vectorized unpack. The pid cogroup uses Ray's hash-shuffle when
+    available (same choice as assembly — no global sort barrier)."""
+    from ..functions.hashing import bucket_ids
 
     if num_partitions is None:
         num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)) * 4) if ray.is_initialized() else 64
-
-    def _pid(batch: pa.Table) -> pa.Table:
-        pids = [stable_hash32(s) % num_partitions for s in batch["spo"].to_pylist()]
-        return batch.append_column("pid", pa.array(pids, pa.int32()))
 
     def _min_per_spo(group: pa.Table) -> pa.Table:
         # Arrow C++ hash aggregate — no pandas string boxing
@@ -173,10 +171,21 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
         )
         return out.rename_columns(["spo", "packed"])
 
-    packed = triples.map_batches(_pack_pick, batch_format="pyarrow")
-    reduced = (
-        packed.map_batches(_pid, batch_format="pyarrow")
-        .groupby("pid")
-        .map_groups(_min_per_spo, batch_format="pyarrow")
+    def _combine_and_pid(batch: pa.Table) -> pa.Table:
+        combined = _min_per_spo(batch)
+        return combined.append_column("pid", bucket_ids(combined["spo"], num_partitions))
+
+    import os
+
+    hash_parts = None
+    if os.environ.get("DKG_ASSEMBLY_SHUFFLE", "hash") != "sort" and ray.is_initialized():
+        hash_parts = max(2, min(int(ray.cluster_resources().get("CPU", 8)), 64))
+
+    packed = triples.map_batches(_pack_pick, batch_format="pyarrow").map_batches(
+        _combine_and_pid, batch_format="pyarrow"
     )
+    grouped = (
+        packed.groupby("pid", num_partitions=hash_parts) if hash_parts else packed.groupby("pid")
+    )
+    reduced = grouped.map_groups(_min_per_spo, batch_format="pyarrow")
     return reduced.map_batches(_unpack_pick, batch_format="pyarrow")

@@ -69,3 +69,24 @@ def test_crashing_extractor_yields_error_rows(ray_session):
     df = evaluate_extractor(_docs(5), candidate_fn=crashing, sample_size=5).to_pandas()
     assert (df[df["dimension"] == "__error__"]["verdict"] == "FAIL").all()
     assert len(df[df["dimension"] == "__error__"]) == 5
+
+
+def test_csv_testset_roundtrip(ray_session, tmp_path):
+    from decisions_knowledge_graph_data_ray.evals import (
+        load_testset_ids,
+        summarize_evaluation,
+        write_testset_csv,
+    )
+
+    docs = _docs(30)
+    path = str(tmp_path / "testset.csv")
+    n = write_testset_csv(docs, path, n=10)
+    assert n == 10
+    ids = load_testset_ids(path)
+    assert len(ids) == 10 and all(i.startswith("CONV:BE:") for i in ids)
+    # evaluation restricted to the CSV test set
+    report = summarize_evaluation(
+        evaluate_extractor(docs, testset_csv=path, sample_size=None)
+    )
+    assert report["n_documents"] == 10
+    assert report["pass_rate"] == 1.0
