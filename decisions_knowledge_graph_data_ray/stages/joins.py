@@ -125,4 +125,7 @@ def hash_bucket_join(
         }
         return pa.table(cols).cast(out_schema)
 
+    # NOTE: when the join result is EMPTY, Ray drops all zero-row blocks and
+    # the returned Dataset has no schema (to_pandas() → zero columns).
+    # Callers needing a typed empty frame should reindex to output_columns.
     return ltag.union(rtag).groupby(_BUCKET).map_groups(_merge, batch_format="pyarrow")
