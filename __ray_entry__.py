@@ -183,6 +183,26 @@ def _kg_outcomes(sf_dir: str):
     )
 
 
+def _kg_links_sharded(sf_dir: str):
+    """Entity links via the SHARDED index path (scale alternative to the
+    broadcast LinkerIndex — per-shard slices fetched lazily by actors).
+    Must equal kg_links row-for-row (gated by test_sharded_link)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.sources.transcripts import get_world
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+    from decisions_knowledge_graph_data_ray.stages.sharded_link import (
+        build_shard_refs,
+        link_mentions_sharded,
+    )
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    extractions = extract_documents(docs)
+    shard_refs = build_shard_refs(get_world())
+    df = link_mentions_sharded(extractions, shard_refs).to_pandas()
+    return df.sort_values(["conv_id", "mention_internal_id", "kind"]).reset_index(drop=True)
+
+
 def _kg_eval(sf_dir: str):
     """Eval-harness verdict rows for the shipped extractor over the fixed
     100-doc eval corpus (all PASS by construction — the judge output
@@ -521,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comprehensive": _kg_comprehensive,
         "kg_eval": _kg_eval,
         "kg_links": _kg_links,
+        "kg_links_sharded": _kg_links_sharded,
         "kg_triples": _kg_triples,
         "kg_transcripts_roundtrip": _kg_transcripts_roundtrip,
     }
