@@ -51,6 +51,16 @@ def _kg_links(sf_dir: str):
     return df.sort_values(["conv_id", "mention_internal_id", "kind"]).reset_index(drop=True)
 
 
+def _sf001_transcripts_path() -> str:
+    """Path of the deterministic sf0.01 transcript corpus, generated (cached)
+    on demand so the kg_* oracle SQL can read_parquet it — the driver runs
+    oracles at sf0.01 and the corpus is this engine's own mandated input
+    table, not one of the driver's pre-registered views."""
+    from decisions_knowledge_graph_data_ray.sources.transcripts import transcripts_path
+
+    return transcripts_path("/root/testdata/sf0.01")
+
+
 def _kg_documents(sf_dir: str):
     from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
@@ -519,6 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_corr": R.q_documents_corr,
         "documents_sample_limit": R.q_documents_sample_limit,
         "embeddings_topk": R.q_embeddings_topk,
+        "events_asof_join": R.q_events_asof_join,
+        "events_hopping": R.q_events_hopping,
+        "embeddings_cosine_pairs": R.q_embeddings_cosine_pairs,
+        "documents_jaccard_pairs": R.q_documents_jaccard_pairs,
         # sketch-based training-data ops (rows-only)
         "documents_minhash_pairs": _minhash_pairs,
         "documents_simhash_pairs": _simhash_pairs,
@@ -732,5 +746,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "events_asof_join": """
+            WITH v AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view'
+            ), vd AS (
+                SELECT user_id, ts, event_id, value FROM v WHERE rn = 1
+            ), p AS (
+                SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS value,
+                   coalesce(vd.event_id, -1) AS view_event_id,
+                   round(coalesce(vd.value, 0.0), 6) AS view_value
+            FROM p ASOF LEFT JOIN vd
+              ON p.user_id = vd.user_id AND vd.ts <= p.ts
+            ORDER BY p.event_id
+        """,
+        "events_hopping": """
+            WITH x AS (
+                SELECT make_timestamp(((epoch_us(ts) // 900000000) * 900000000)
+                                      - k.k::BIGINT * 900000000) AS window_start,
+                       event_type, value
+                FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   round(sum(value), 4) AS value_sum
+            FROM x GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "embeddings_cosine_pairs": """
+            WITH s AS (
+                SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]), 6) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT src_id, dst_id, cosine FROM s WHERE cosine >= 0.4
+            ORDER BY src_id, dst_id
+        """,
+        "documents_jaccard_pairs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, length(text) - 3),
+                                                    i -> substr(text, i, 5))) AS s
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, s, len(s) AS n FROM sh
+            ), pairs AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                       round(len(list_intersect(a.s, b.s))::DOUBLE /
+                             (a.n + b.n - len(list_intersect(a.s, b.s))), 6) AS jaccard
+                FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+                WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+            )
+            SELECT src_id, dst_id, jaccard FROM pairs WHERE jaccard >= 0.8
+            ORDER BY src_id, dst_id
+        """,
+        # flagship-assembly oracles: the transcript corpus is the engine's own
+        # deterministic synthetic input (BASELINE.json input_hint), not one of
+        # the driver's pre-registered views, so these read its parquet path
+        # directly; oracle_sql() pre-generates the sf0.01 corpus (cached).
+        "kg_documents": f"""
+            WITH d AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || text, chr(10)
+                                  ORDER BY turn_idx) AS text,
+                       count(*) AS n_turns
+                FROM read_parquet('{_sf001_transcripts_path()}')
+                GROUP BY conv_id
+            )
+            SELECT conv_id, text, n_turns, length(text) AS text_len,
+                   CASE WHEN length(text) < 10000 THEN 'short'
+                        WHEN length(text) < 30000 THEN 'medium'
+                        WHEN length(text) < 60000 THEN 'long'
+                        ELSE 'very_long' END AS length_category,
+                   coalesce(regexp_extract(text,
+                       '(?i)\\bDeze zaak\\s+(ECLI:[A-Z]{{2}}:[A-Z0-9]+:\\d{{4}}:[A-Z0-9.\\-]+)',
+                       1), '') AS self_ecli
+            FROM d ORDER BY conv_id
+        """,
+        "kg_transcripts_roundtrip": f"""
+            SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{_sf001_transcripts_path()}')
+            ORDER BY conv_id, turn_idx
         """,
     }

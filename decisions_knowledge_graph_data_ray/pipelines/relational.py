@@ -544,3 +544,80 @@ def q_documents_sample_limit(sf_dir: str, n: int = 50):
 
     out = docs.map_batches(_len, batch_format="pyarrow").sort("doc_id").limit(n).to_pandas()
     return out.reset_index(drop=True)
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join: for each 'purchase' event, the most recent prior (or
+    simultaneous) 'view' event by the same user — DuckDB ``ASOF JOIN``
+    semantics via stages/windows.asof_join (hash-bucketed by user, pandas
+    merge_asof per bucket)."""
+    from ..stages.windows import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+    # deterministic right side: one row per (user_id, ts) keeping max event_id
+    right = ev.filter(expr="event_type == 'view'").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+
+    def _dedupe(group):
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        return g.drop_duplicates(["user_id", "ts"], keep="last")
+
+    right = _partitioned_groupby(
+        right, "user_id", lambda g: _dedupe(g), ["event_id", "ts", "user_id", "value"]
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_columns=["event_id", "value"], suffix="_view"
+    ).to_pandas()
+    out = out.rename(columns={"event_id_view": "view_event_id", "value_view": "view_value"})
+    # no-match sentinels (-1 / 0.0) keep plain int64/float64 dtypes on both
+    # the Ray and DuckDB sides of the driver's value-hash compare
+    out["view_event_id"] = out["view_event_id"].fillna(-1).astype("int64")
+    out["view_value"] = out["view_value"].fillna(0.0)
+    out = _round_cols(out, {"value": 6, "view_value": 6})
+    return (
+        out[["event_id", "user_id", "ts", "value", "view_event_id", "view_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate: event counts + value sums per (1h window
+    every 15min, event_type) — combiner-first window expansion."""
+    from ..stages.windows import hopping_window_count
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = hopping_window_count(
+        ev, ts_col="ts", size_s=3600, hop_s=900, group_col="event_type", value_col="value"
+    ).to_pandas()
+    out = _round_cols(out, {"value_sum": 4})
+    return (
+        out[["window_start", "event_type", "n", "value_sum"]]
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def q_embeddings_cosine_pairs(sf_dir: str, threshold: float = 0.4):
+    """Exact cosine-threshold self-join (the LSH dup-pair oracle)."""
+    from ..stages.similarity import cosine_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_pairs_exact(emb, threshold=threshold).to_pandas()
+    # empty result drops columns (documented Ray empty-block contract)
+    out = out.reindex(columns=["src_id", "dst_id", "cosine"])
+    return out.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def q_documents_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    """Exact char-5-gram Jaccard self-join via prefix filtering (the
+    MinHash estimate's exact counterpart)."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = jaccard_similarity_join(docs, threshold=threshold).to_pandas()
+    return out.sort_values(["src_id", "dst_id"]).reset_index(drop=True)

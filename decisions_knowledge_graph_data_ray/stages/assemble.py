@@ -44,11 +44,17 @@ def _default_partitions() -> int:
     return max(16, cpus * 4)
 
 
-# Hash-shuffle is Ray's scale path for the pid cogroup (aggregator actors,
-# no global sort barrier — the sort-based shuffle's merge step is the part
-# that stops scaling past a few nodes). Measured on the 1.7M-turn corpus:
-# sort 22.3s@4cpu → 10.4s@16cpu (eff 0.53); hash 25.6s → 9.7s (eff 0.66).
-# Default on; ``DKG_ASSEMBLY_SHUFFLE=sort`` reverts.
+# ``groupby(key, num_partitions=cpus)`` caps the cogroup's output-partition
+# count at the CPU count (fewer, larger reduce partitions than Ray's
+# default). NOTE (measured, round 2): under the default DataContext this is
+# still the SORT-based shuffle — Ray only engages its hash-shuffle
+# aggregator actors when ``DataContext.shuffle_strategy = HASH_SHUFFLE``,
+# and enabling that here stalls the pipeline (>25 min vs 28 s at sf0.1):
+# the long-lived aggregator actors contend for CPUs with the near-full
+# extract/link actor pools. Measured on the 1.7M-turn corpus the capped
+# partitioning wins: default 22.3s@4cpu → 10.4s@16cpu (eff 0.53); capped
+# 25.6s → 9.7s (eff 0.66). Default on; ``DKG_ASSEMBLY_SHUFFLE=sort``
+# reverts to Ray's default partition count.
 def _hash_partitions() -> int | None:
     import os
 

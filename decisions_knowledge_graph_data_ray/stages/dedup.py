@@ -363,6 +363,146 @@ def ngram_jaccard_verify(
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
+def _char_ngrams(text: str, n: int) -> set:
+    """Distinct char n-grams — definition shared verbatim with the DuckDB
+    oracle (`list_distinct(list_transform(range(1, length(text)-n+2),
+    i -> substr(text, i, n)))`)."""
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def _prefix_rows(threshold: float, ngram: int):
+    """doc → (shingle_hash, doc_id, set_size) rows for the PREFIX shingles
+    only. Prefix filtering (SSJoin/PPJoin): under ANY fixed global order of
+    shingles, two sets with Jaccard >= t must share an element within each
+    set's first ``floor((1-t)*|s|) + 1`` shingles — hash order is used here,
+    which needs no global document-frequency pass."""
+    import zlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        hashes, ids, sizes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = _char_ngrams(text, ngram)
+            if not sh:
+                continue
+            hs = sorted(zlib.crc32(s.encode()) for s in sh)
+            p = int((1.0 - threshold) * len(hs)) + 1
+            hashes.extend(hs[:p])
+            ids.extend([doc_id] * p)
+            sizes.extend([len(hs)] * p)
+        return pa.table(
+            {
+                "shingle_hash": pa.array(hashes, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "set_size": pa.array(sizes, pa.int32()),
+            }
+        )
+
+    return f
+
+
+def jaccard_similarity_join(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    ngram: int = 5,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram-Jaccard self-join: every (src_id < dst_id) with
+    round(jaccard, 6) >= threshold. Unlike ``minhash_lsh_pairs`` (probabilistic
+    estimate) this is exact — guaranteed recall via prefix filtering, then
+    per-candidate verification on the real shingle sets.
+
+    Plan: prefix shingle rows (≈(1-t)·|shingles| rows/doc, ints only) →
+    shingle-hash bucket groupby → candidate pairs with the size-ratio filter
+    (|A| >= t·|B|) → distinct → text join-back (bucketed Arrow join) → exact
+    Jaccard verify. No stage holds more than a bucket; candidate count is
+    bounded by true near-dup density, not N²."""
+    from ray.data.aggregate import Count
+
+    num_partitions = num_partitions or _num_partitions_default()
+    prefix = docs.map_batches(_prefix_rows(threshold, ngram), batch_format="pyarrow")
+
+    def _add_pid(batch: pa.Table) -> pa.Table:
+        pids = (batch["shingle_hash"].to_numpy() % num_partitions).astype(np.int32)
+        return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+    def _pairs_block(group):
+        import pandas as pd
+
+        src, dst = [], []
+        for _, bucket in group.groupby("shingle_hash", sort=False):
+            uniq = bucket.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = uniq["doc_id"].to_numpy()
+            sizes = uniq["set_size"].to_numpy().astype(np.float64)
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            # size-ratio filter: jaccard >= t needs min(|A|,|B|) >= t*max(|A|,|B|)
+            ok = np.minimum(sizes[iu], sizes[ju]) >= threshold * np.maximum(sizes[iu], sizes[ju])
+            src.append(ids[iu][ok])
+            dst.append(ids[ju][ok])
+        if not src:
+            return pd.DataFrame(
+                {"src_id": pd.Series(dtype="int64"), "dst_id": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame({"src_id": np.concatenate(src), "dst_id": np.concatenate(dst)})
+
+    candidates = (
+        prefix.map_batches(_add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_pairs_block, batch_format="pandas")
+        .groupby(["src_id", "dst_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    from .joins import hash_bucket_join
+
+    texts = docs.select_columns(["doc_id", "text"])
+    src_texts = texts.map_batches(
+        lambda b: b.rename_columns(["src_doc_id", "src_text"]), batch_format="pyarrow"
+    )
+    dst_texts = texts.map_batches(
+        lambda b: b.rename_columns(["dst_doc_id", "dst_text"]), batch_format="pyarrow"
+    )
+    _CAND_SCHEMA = pa.schema([("src_id", pa.int64()), ("dst_id", pa.int64())])
+    a = hash_bucket_join(
+        candidates, src_texts, on="src_id", right_on="src_doc_id",
+        output_columns=["src_id", "dst_id", "src_text"],
+        num_buckets=num_partitions,
+        left_schema=_CAND_SCHEMA,
+        right_schema=pa.schema([("src_doc_id", pa.int64()), ("src_text", pa.string())]),
+    )
+    b = hash_bucket_join(
+        a, dst_texts, on="dst_id", right_on="dst_doc_id",
+        output_columns=["src_id", "dst_id", "src_text", "dst_text"],
+        num_buckets=num_partitions,
+        left_schema=pa.schema(
+            [("src_id", pa.int64()), ("dst_id", pa.int64()), ("src_text", pa.string())]
+        ),
+        right_schema=pa.schema([("dst_doc_id", pa.int64()), ("dst_text", pa.string())]),
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        jac = []
+        for s, d in zip(batch["src_text"].to_pylist(), batch["dst_text"].to_pylist()):
+            sa, sb = _char_ngrams(s, ngram), _char_ngrams(d, ngram)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac.append(round(inter / union, 6) if union else 0.0)
+        out = pa.table(
+            {
+                "src_id": batch["src_id"],
+                "dst_id": batch["dst_id"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return b.map_batches(_verify, batch_format="pyarrow")
+
+
 def near_dedup_keep_ids(docs: ray.data.Dataset, threshold: float = 0.8) -> ray.data.Dataset:
     """Full near-dedup: LSH pairs → connected components → keep min doc_id
     per component (plus all never-paired docs).

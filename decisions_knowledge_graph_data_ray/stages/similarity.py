@@ -256,3 +256,66 @@ def embedding_dup_pairs(
 def _infer_dim(embeddings: ray.data.Dataset) -> int:
     first = embeddings.take(1)[0]
     return len(first["embedding"])
+
+
+class _PairScorer:
+    """Exact all-pairs scorer: the full normalized corpus matrix is broadcast
+    once (ray.put) and fetched once per worker; each batch emits its pairs
+    (i < j) above threshold. float64 + round-before-compare keeps the
+    threshold decision identical to the DuckDB oracle."""
+
+    def __init__(self, corpus_ref, threshold: float, round_to: int):
+        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self._ids = np.asarray(c["vec_id"], dtype=np.int64)
+        self._m = _normalize(np.asarray(c["matrix"], dtype=np.float64))
+        self._threshold = threshold
+        self._round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = np.round(vecs @ self._m.T, self._round_to)  # (B, N)
+        bi, cj = np.nonzero(sims >= self._threshold)
+        # keep i < j only (dedupe the symmetric pair once, drop self-pairs)
+        keep = ids[bi] < self._ids[cj]
+        return pa.table(
+            {
+                "src_id": pa.array(ids[bi][keep], pa.int64()),
+                "dst_id": pa.array(self._ids[cj][keep], pa.int64()),
+                "cosine": pa.array(sims[bi, cj][keep], pa.float64()),
+            }
+        )
+
+
+_PAIR_CACHE: dict = {}
+
+
+def cosine_pairs_exact(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    batch_size: int = 4096,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """EXACT cosine-threshold self-join: every (src_id < dst_id) pair with
+    round(cosine, round_to) >= threshold.
+
+    Scale envelope (documented, deliberate): compute is O(N^2/P) distributed
+    across blocks; memory is one O(N*D) broadcast matrix per worker — the
+    exact baseline, same broadcast pattern as brute_force_topk. Beyond
+    broadcast capacity, use ``embedding_dup_pairs`` (LSH-bucketed, no
+    all-pairs scan) — this operator is its recall/correctness oracle."""
+    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
+    corpus_ref = ray.put(
+        {
+            "vec_id": [r["vec_id"] for r in rows],
+            "matrix": np.asarray([r["embedding"] for r in rows], dtype=np.float64),
+        }
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        key = corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref)
+        if key not in _PAIR_CACHE:
+            _PAIR_CACHE[key] = _PairScorer(corpus_ref, threshold, round_to)
+        return _PAIR_CACHE[key](batch)
+
+    return embeddings.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)

@@ -157,8 +157,10 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
     vectorized pack → per-batch combiner (Arrow C++ hash aggregate — dups
     that co-occur in a batch never enter the shuffle) → vectorized
     hash-partition (polars, no Python loop) → per-partition aggregate →
-    vectorized unpack. The pid cogroup uses Ray's hash-shuffle when
-    available (same choice as assembly — no global sort barrier)."""
+    vectorized unpack. The pid cogroup caps its partition count at the CPU
+    count (same choice as assembly — see the shuffle note in
+    stages/assemble.py: this is still Ray's sort-based shuffle; the true
+    hash-shuffle strategy stalls against the pipeline's actor pools)."""
     from ..functions.hashing import bucket_ids
 
     if num_partitions is None:
@@ -171,8 +173,8 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
         )
         return out.rename_columns(["spo", "packed"])
 
-    def _combine_and_pid(batch: pa.Table) -> pa.Table:
-        combined = _min_per_spo(batch)
+    def _pack_combine_pid(batch: pa.Table) -> pa.Table:
+        combined = _min_per_spo(_pack_pick(batch))
         return combined.append_column("pid", bucket_ids(combined["spo"], num_partitions))
 
     import os
@@ -181,9 +183,10 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
     if os.environ.get("DKG_ASSEMBLY_SHUFFLE", "hash") != "sort" and ray.is_initialized():
         hash_parts = max(2, min(int(ray.cluster_resources().get("CPU", 8)), 64))
 
-    packed = triples.map_batches(_pack_pick, batch_format="pyarrow").map_batches(
-        _combine_and_pid, batch_format="pyarrow"
-    )
+    # batch_size=None → one combiner call per block: the combiner's value
+    # scales with batch size (dups must co-occur in a batch to be pre-merged)
+    # and the Arrow hash aggregate amortizes over large batches
+    packed = triples.map_batches(_pack_combine_pid, batch_format="pyarrow", batch_size=None)
     grouped = (
         packed.groupby("pid", num_partitions=hash_parts) if hash_parts else packed.groupby("pid")
     )

@@ -1,0 +1,209 @@
+"""Time-ordered operators Ray Data lacks natively: as-of join and
+hopping-window aggregation.
+
+Both follow the engine's standard scale pattern — co-locate by a hash of the
+equality key, then run a vectorized kernel per partition:
+
+- ``asof_join``: for every left row, the right row with the same ``by`` key
+  and the greatest ``on`` value <= the left ``on`` (backward as-of, the
+  semantics of DuckDB ``ASOF JOIN`` / pandas ``merge_asof``). Partitioning
+  assumption: rows sharing a ``by`` key fit one hash bucket (same contract as
+  the groupby stages; raise ``num_buckets`` for skew — a single user's event
+  history is the unit of locality, never the whole table).
+- ``hopping_window_count``: count/sum per (window_start, group) for hopping
+  (overlapping) windows of ``size`` every ``hop``. Each row belongs to
+  ``size/hop`` windows; the expansion happens vectorized inside the batch
+  and is immediately pre-aggregated (combiner), so the shuffle moves at most
+  ``windows x groups`` partial rows per block, never ``rows x size/hop``.
+
+Reference parity note: the reference's closest analogues are the date-cutoff
+("version as-of decision date") lookup inside provision mapping
+(src/pipeline/mapping/steps.ts candidate filtering) and the calendar-window
+validation in the N8N reference extractor; this module generalizes them to
+first-class operators with DuckDB-checkable semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import bucket_ids
+
+_BUCKET = "__asof_bucket"
+_SIDE = "__asof_side"
+
+
+def _to_arrow_schema(sch) -> pa.Schema:
+    """ray.data.Schema → pyarrow.Schema, whether the dataset's last operator
+    produced Arrow blocks (base_schema IS a pa.Schema) or pandas blocks
+    (base_schema is a PandasBlockSchema carrying numpy dtypes)."""
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        else:
+            fields.append((name, pa.from_numpy_dtype(typ)))
+    return pa.schema(fields)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: str,
+    right_columns: list[str],
+    suffix: str = "_r",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Backward as-of left join (allow-exact-match), DuckDB ``ASOF LEFT
+    JOIN ... ON l.by = r.by AND r.on <= l.on`` semantics.
+
+    ``right_columns`` are the right-side payload columns to attach (the
+    ``on`` column itself may be included; every attached column is renamed
+    with ``suffix``). Left rows with no match keep nulls. Ties on the right
+    ``on`` value within a ``by`` key are broken deterministically by keeping
+    the LAST row under a stable sort of the right side's remaining columns —
+    callers wanting a specific tie rule should pre-deduplicate (by, on).
+    """
+    lsch = _to_arrow_schema(left.schema())
+    rsch = _to_arrow_schema(right.schema())
+    rkeep = [by, on] + [c for c in right_columns if c not in (by, on)]
+    rtypes = {f.name: f.type for f in rsch}
+    ltypes = {f.name: f.type for f in lsch}
+    lnames = [f.name for f in lsch]
+
+    out_fields = [(n, ltypes[n]) for n in lnames] + [
+        (c + suffix, rtypes[c]) for c in right_columns
+    ]
+    out_schema = pa.schema([(_BUCKET, pa.int32()), (_SIDE, pa.int8())] + out_fields)
+    out_names = [n for n, _ in out_fields]
+
+    def _pack(side: int, keep: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                _BUCKET: bucket_ids(batch[by], num_buckets),
+                _SIDE: pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            if side == 0:
+                for name in lnames:
+                    cols[name] = batch[name]
+                for c in right_columns:
+                    cols[c + suffix] = pa.nulls(n, rtypes[c])
+            else:
+                # right rows ride in the right-payload slots; by/on travel in
+                # dedicated left slots so the merge can read them uniformly
+                for name in lnames:
+                    if name == by:
+                        cols[name] = batch[by].cast(ltypes[name])
+                    elif name == on:
+                        cols[name] = batch[on].cast(ltypes[name])
+                    else:
+                        cols[name] = pa.nulls(n, ltypes[name])
+                for c in right_columns:
+                    cols[c + suffix] = batch[c]
+            return pa.table({k: cols[k] for k in out_schema.names}, schema=out_schema)
+
+        return f
+
+    ltag = left.map_batches(_pack(0, lnames), batch_format="pyarrow")
+    rtag = right.select_columns(rkeep).map_batches(_pack(1, rkeep), batch_format="pyarrow")
+
+    rpayload = [c + suffix for c in right_columns]
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        lmask = group[_SIDE].to_numpy() == 0
+        ldf = group.loc[lmask, out_names]
+        rdf = group.loc[~lmask, [by, on] + rpayload]
+        if not len(ldf):
+            return pd.DataFrame(columns=out_names)
+        if not len(rdf):
+            return ldf.reset_index(drop=True)
+        ldf = ldf.drop(columns=rpayload).sort_values(on, kind="stable")
+        rdf = rdf.sort_values(on, kind="stable")
+        merged = pd.merge_asof(
+            ldf, rdf, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        return merged[out_names]
+
+    return (
+        ltag.union(rtag)
+        .groupby(_BUCKET)
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def hopping_window_count(
+    events: ray.data.Dataset,
+    ts_col: str,
+    size_s: int,
+    hop_s: int,
+    group_col: str | None = None,
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Hopping-window aggregate: for windows [w, w + size) with starts every
+    ``hop`` (epoch-aligned), count rows (and sum ``value_col`` if given) per
+    (window_start, group). ``size_s`` must be a multiple of ``hop_s``.
+
+    Emits window_start as timestamp[us]. Combiner-first: the k-fold row
+    expansion is pre-aggregated inside each batch before the groupby.
+    """
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+    keys = ["window_start"] + ([group_col] if group_col else [])
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        # last (most recent) window containing ts starts at floor(ts/hop)*hop;
+        # the k-1 hops before it also contain ts
+        hop_us = hop_s * 1_000_000
+        last_start = (ts // hop_us) * hop_us
+        starts = (last_start[:, None] - np.arange(k)[None, :] * hop_us).ravel()
+        cols = {
+            "window_start": pa.array(starts, pa.int64()),
+            "n": pa.array(np.ones(n * k, dtype=np.int64)),
+        }
+        if group_col:
+            idx = np.repeat(np.arange(n), k)
+            cols[group_col] = batch[group_col].take(pa.array(idx))
+        if value_col:
+            cols["value_sum"] = pa.array(
+                np.repeat(batch[value_col].to_numpy(zero_copy_only=False), k)
+            )
+        expanded = pa.table(cols)
+        spec = [("n", "sum")] + ([("value_sum", "sum")] if value_col else [])
+        out = pa.TableGroupBy(expanded, keys).aggregate(spec)
+        return out.rename_columns(keys + ["n"] + (["value_sum"] if value_col else []))
+
+    expanded = events.map_batches(_expand, batch_format="pyarrow", batch_size=None)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n", alias_name="n")] + ([Sum("value_sum", alias_name="value_sum")] if value_col else [])
+    out = expanded.groupby(keys).aggregate(*aggs)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ws = batch["window_start"].cast(pa.timestamp("us"))
+        cols = {"window_start": ws}
+        for c in batch.column_names:
+            if c != "window_start":
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    return out.map_batches(_finish, batch_format="pyarrow")

@@ -1,0 +1,226 @@
+"""Unit tests: as-of join, hopping-window aggregate, exact cosine pairs,
+exact prefix-filtered Jaccard join — each checked against a tiny serial
+reference computation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+class TestAsofJoin:
+    def test_backward_asof_matches_pandas(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.windows import asof_join
+
+        rng = np.random.RandomState(7)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(n_l, dtype=np.int64),
+                "ts": [_ts(int(x)) for x in rng.randint(0, 10_000, n_l)],
+                "key": rng.randint(0, 12, n_l).astype(np.int64),
+                "lval": rng.rand(n_l),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rid": np.arange(n_r, dtype=np.int64),
+                "ts": [_ts(int(x)) for x in rng.randint(0, 10_000, n_r)],
+                "key": rng.randint(0, 12, n_r).astype(np.int64),
+                "rval": rng.rand(n_r),
+            }
+        ).drop_duplicates(["key", "ts"])
+
+        got = (
+            asof_join(
+                rd.from_pandas(left).repartition(7),
+                rd.from_pandas(right).repartition(5),
+                on="ts",
+                by="key",
+                right_columns=["rid", "rval"],
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable")[["key", "ts", "rid", "rval"]].rename(
+                columns={"rid": "rid_r", "rval": "rval_r"}
+            ),
+            on="ts",
+            by="key",
+            direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+
+        assert len(got) == len(left)
+        pd.testing.assert_series_equal(
+            got["rid_r"].astype("float64"), want["rid_r"].astype("float64"), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            got["rval_r"].fillna(-1).round(9), want["rval_r"].fillna(-1).round(9), check_names=False
+        )
+
+    def test_left_rows_without_match_survive(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.windows import asof_join
+
+        left = pd.DataFrame(
+            {"lid": [1, 2], "ts": [_ts(10), _ts(20)], "key": [1, 2], "lval": [0.5, 0.6]}
+        )
+        right = pd.DataFrame({"ts": [_ts(15)], "key": [1], "rval": [9.0]})
+        got = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts", by="key",
+                      right_columns=["rval"])
+            .to_pandas()
+            .sort_values("lid")
+        )
+        assert len(got) == 2
+        assert got["rval_r"].isna().all()  # t=10 is before t=15; key 2 has no right rows
+
+
+class TestHoppingWindow:
+    def test_counts_match_serial(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.windows import hopping_window_count
+
+        rng = np.random.RandomState(3)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "ts": [_ts(int(x)) for x in rng.randint(0, 50_000, n)],
+                "g": rng.choice(["a", "b"], n),
+                "v": rng.rand(n),
+            }
+        )
+        size_s, hop_s = 3600, 900
+        got = (
+            hopping_window_count(
+                rd.from_pandas(df).repartition(5), "ts", size_s, hop_s,
+                group_col="g", value_col="v",
+            )
+            .to_pandas()
+            .sort_values(["window_start", "g"])
+            .reset_index(drop=True)
+        )
+
+        # serial reference: row belongs to window w iff w <= ts < w + size
+        rows = []
+        for _, r in df.iterrows():
+            e = int(r["ts"].timestamp())
+            last = (e // hop_s) * hop_s
+            for k in range(size_s // hop_s):
+                rows.append(
+                    {
+                        "window_start": dt.datetime.utcfromtimestamp(last - k * hop_s),
+                        "g": r["g"],
+                        "v": r["v"],
+                    }
+                )
+        ref = (
+            pd.DataFrame(rows)
+            .groupby(["window_start", "g"], as_index=False)
+            .agg(n=("v", "size"), value_sum=("v", "sum"))
+            .sort_values(["window_start", "g"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref)
+        assert (got["n"].to_numpy() == ref["n"].to_numpy()).all()
+        np.testing.assert_allclose(got["value_sum"].to_numpy(), ref["value_sum"].to_numpy(), rtol=1e-9)
+
+    def test_every_row_in_k_windows(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.windows import hopping_window_count
+
+        df = pd.DataFrame({"ts": [_ts(0), _ts(1000)]})
+        out = hopping_window_count(rd.from_pandas(df), "ts", 3600, 900).to_pandas()
+        assert out["n"].sum() == 2 * 4  # each row counted in size/hop windows
+
+
+class TestExactPairs:
+    def test_cosine_pairs_match_numpy(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.similarity import cosine_pairs_exact
+
+        rng = np.random.RandomState(11)
+        m = rng.rand(120, 16)
+        m[50] = m[10] * 1.7  # planted exact-direction duplicate
+        m[77] = m[20] + 0.01 * rng.rand(16)  # planted near-duplicate
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(120), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in m],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        got = (
+            cosine_pairs_exact(rd.from_arrow(tbl).repartition(4), threshold=0.99)
+            .to_pandas()
+            .sort_values(["src_id", "dst_id"])
+            .reset_index(drop=True)
+        )
+
+        mf = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 6)
+        iu, ju = np.triu_indices(len(mn), k=1)
+        keep = sims[iu, ju] >= 0.99
+        ref = pd.DataFrame(
+            {"src_id": iu[keep], "dst_id": ju[keep], "cosine": sims[iu, ju][keep]}
+        )
+        assert (10, 50) in set(zip(got["src_id"], got["dst_id"]))
+        assert len(got) == len(ref)
+        np.testing.assert_array_equal(got["src_id"].to_numpy(), ref["src_id"].to_numpy())
+        np.testing.assert_allclose(got["cosine"].to_numpy(), ref["cosine"].to_numpy())
+
+    def test_jaccard_join_equals_bruteforce(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.dedup import (
+            _char_ngrams,
+            jaccard_similarity_join,
+        )
+
+        base = (
+            "le tribunal examine la demande et statue sur les frais de justice "
+            "après avoir entendu les parties en leurs moyens"
+        )
+        texts = [base]
+        # near-dups: small edits; far docs: distinct content
+        texts.append(base.replace("demande", "requête"))
+        texts.append(base.replace("frais", "dépens").replace("moyens", "arguments"))
+        texts += [
+            f"document totalement différent numéro {i} avec un contenu distinct {i * 31}"
+            for i in range(40)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+        got = (
+            jaccard_similarity_join(rd.from_pandas(df).repartition(4), threshold=0.7)
+            .to_pandas()
+            .sort_values(["src_id", "dst_id"])
+            .reset_index(drop=True)
+        )
+
+        ref_rows = []
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                a, b = _char_ngrams(texts[i], 5), _char_ngrams(texts[j], 5)
+                inter = len(a & b)
+                jac = round(inter / (len(a) + len(b) - inter), 6)
+                if jac >= 0.7:
+                    ref_rows.append((i, j, jac))
+        assert len(ref_rows) >= 2  # the planted near-dups
+        assert list(map(tuple, got[["src_id", "dst_id", "jaccard"]].to_numpy())) == [
+            (float(a), float(b), c) for a, b, c in ref_rows
+        ]
