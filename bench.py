@@ -95,10 +95,12 @@ def run_bench(headline_only: bool = False) -> dict:
         link_concurrency=(pool, pool),
     )
 
-    # best-of-2: single runs on this box vary ±15% (actor cold-start, page
-    # cache); the min is the reproducible compute+shuffle cost
+    # best-of-3: single runs on this box vary ±30-70% (noisy-neighbor VM,
+    # actor cold-start, page cache); the min is the reproducible
+    # compute+shuffle cost. Measured same-code spread at sf0.1: 28-49s.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     headline_runs = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         res = run_kg_pipeline(rd.read_parquet(path), index_ref=index_ref, config=config)
         # count() forces full execution but leaves blocks in the object store —
@@ -132,6 +134,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "documents_exact_dedup": lambda: R.q_documents_exact_dedup(SF_DIR),
         "documents_token_counts": lambda: R.q_documents_token_counts(SF_DIR),
         "embeddings_topk": lambda: R.q_embeddings_topk(SF_DIR),
+        "events_hopping": lambda: R.q_events_hopping(SF_DIR),
+        "events_asof_join": lambda: R.q_events_asof_join(SF_DIR),
     }
     try:
         from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
@@ -178,6 +182,9 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_NCONV=str(SCALING_NCONV),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            # best-of-2 per level (the 4-cpu level is ~6 min/run; the
+            # efficiency RATIO is less noise-sensitive than absolute times)
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

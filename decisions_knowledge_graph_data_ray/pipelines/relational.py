@@ -557,20 +557,15 @@ def q_events_asof_join(sf_dir: str):
     left = ev.filter(expr="event_type == 'purchase'").select_columns(
         ["event_id", "ts", "user_id", "value"]
     )
-    # deterministic right side: one row per (user_id, ts) keeping max event_id
+    # deterministic right side: one row per (user_id, ts) keeping max
+    # event_id — tie-broken inside the as-of merge (rides the cogroup; no
+    # separate dedupe shuffle)
     right = ev.filter(expr="event_type == 'view'").select_columns(
         ["event_id", "ts", "user_id", "value"]
     )
-
-    def _dedupe(group):
-        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        return g.drop_duplicates(["user_id", "ts"], keep="last")
-
-    right = _partitioned_groupby(
-        right, "user_id", lambda g: _dedupe(g), ["event_id", "ts", "user_id", "value"]
-    )
     out = asof_join(
-        left, right, on="ts", by="user_id", right_columns=["event_id", "value"], suffix="_view"
+        left, right, on="ts", by="user_id", right_columns=["event_id", "value"],
+        suffix="_view", right_tie_cols=["event_id"],
     ).to_pandas()
     out = out.rename(columns={"event_id_view": "view_event_id", "value_view": "view_value"})
     # no-match sentinels (-1 / 0.0) keep plain int64/float64 dtypes on both

@@ -61,16 +61,20 @@ def asof_join(
     right_columns: list[str],
     suffix: str = "_r",
     num_buckets: int = 32,
+    right_tie_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Backward as-of left join (allow-exact-match), DuckDB ``ASOF LEFT
     JOIN ... ON l.by = r.by AND r.on <= l.on`` semantics.
 
     ``right_columns`` are the right-side payload columns to attach (the
     ``on`` column itself may be included; every attached column is renamed
-    with ``suffix``). Left rows with no match keep nulls. Ties on the right
-    ``on`` value within a ``by`` key are broken deterministically by keeping
-    the LAST row under a stable sort of the right side's remaining columns —
-    callers wanting a specific tie rule should pre-deduplicate (by, on).
+    with ``suffix``). Left rows with no match keep nulls.
+
+    Duplicate right rows per (by, on): pass ``right_tie_cols`` to break ties
+    deterministically INSIDE the merge (keep the last row under a stable
+    sort by those columns) — this rides the existing cogroup, so no extra
+    dedupe shuffle; it is exact because every row of a ``by`` key lands in
+    one bucket. Without it, pre-deduplicate (by, on) upstream.
     """
     lsch = _to_arrow_schema(left.schema())
     rsch = _to_arrow_schema(right.schema())
@@ -127,6 +131,11 @@ def asof_join(
         if not len(rdf):
             return ldf.reset_index(drop=True)
         ldf = ldf.drop(columns=rpayload).sort_values(on, kind="stable")
+        if right_tie_cols:
+            tie = [c + suffix if c in right_columns else c for c in right_tie_cols]
+            rdf = rdf.sort_values([on] + tie, kind="stable").drop_duplicates(
+                [by, on], keep="last"
+            )
         rdf = rdf.sort_values(on, kind="stable")
         merged = pd.merge_asof(
             ldf, rdf, on=on, by=by, direction="backward", allow_exact_matches=True
