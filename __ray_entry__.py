@@ -230,6 +230,23 @@ def _kg_eval(sf_dir: str):
     )
 
 
+def _kg_block_citations(sf_dir: str):
+    """Per-entity block-citation enrichment rows (Agents 2D/5B analogue:
+    block ids + snippets, self-ref-first related arrays, validated teaching
+    relationships)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+    from decisions_knowledge_graph_data_ray.stages.enrich import block_citation_rows
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    return (
+        block_citation_rows(docs)
+        .to_pandas()
+        .sort_values(["conv_id", "kind", "entity_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _kg_comprehensive(sf_dir: str):
     """currentInstance block per document (facts/requests/arguments/
     courtOrder/outcome — extract-comprehensive/config.ts:285-455)."""
@@ -553,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_parties": _kg_parties,
         "kg_outcomes": _kg_outcomes,
         "kg_comprehensive": _kg_comprehensive,
+        "kg_block_citations": _kg_block_citations,
         "kg_eval": _kg_eval,
         "kg_links": _kg_links,
         "kg_links_sharded": _kg_links_sharded,
