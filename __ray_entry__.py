@@ -230,6 +230,48 @@ def _kg_eval(sf_dir: str):
     )
 
 
+def _kg_interpretations(sf_dir: str):
+    """Agent-2C rows: per provision the matching key (provision_seq) plus
+    nullable interpretation / factual-context sentences (null-heavy by
+    design — interpret-provisions/prompt.ts:483)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
+
+    docs = assemble_documents_salted(read_transcripts(sf_dir))
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        from decisions_knowledge_graph_data_ray.functions.extract import (
+            extract_cited_provisions,
+        )
+        from decisions_knowledge_graph_data_ray.functions.interpret import (
+            interpret_provisions,
+        )
+
+        rows = []
+        for conv_id, text in zip(batch["conv_id"].to_pylist(), batch["text"].to_pylist()):
+            provisions = extract_cited_provisions(text, conv_id)
+            for r in interpret_provisions(text, provisions):
+                rows.append({"conv_id": conv_id, **r})
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("provision_seq", pa.int64()),
+                ("provision_interpretation", pa.string()),
+                ("relevant_factual_context", pa.string()),
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=schema) if rows else schema.empty_table()
+
+    return (
+        docs.map_batches(_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["conv_id", "provision_seq"])
+        .reset_index(drop=True)
+    )
+
+
 def _kg_block_citations(sf_dir: str):
     """Per-entity block-citation enrichment rows (Agents 2D/5B analogue:
     block ids + snippets, self-ref-first related arrays, validated teaching
@@ -571,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_outcomes": _kg_outcomes,
         "kg_comprehensive": _kg_comprehensive,
         "kg_block_citations": _kg_block_citations,
+        "kg_interpretations": _kg_interpretations,
         "kg_eval": _kg_eval,
         "kg_links": _kg_links,
         "kg_links_sharded": _kg_links_sharded,

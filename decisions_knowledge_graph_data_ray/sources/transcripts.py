@@ -141,12 +141,22 @@ def render_turn_text(c: int, t: int, world: dict) -> str:
             "responsable du dommage causé par sa faute."
         )
     if k == 4:
-        # dated law provision — standard path candidate generation
+        # dated law provision — standard path candidate generation; a
+        # deterministic minority of these carry an Agent-2C interpretation
+        # sentence + an en-l'espèce factual-context clause (functions/interpret)
         loi_acts = world["_loi_acts"]
         act = loi_acts[h // 16 % len(loi_acts)]
         title = act["title"]
         art = 1 + (h // 64) % 3
-        return f"conformément à l'article {art} de la {title[0].lower()}{title[1:]}, le moyen est fondé."
+        base = f"conformément à l'article {art} de la {title[0].lower()}{title[1:]}, le moyen est fondé."
+        if h // 512 % 3 == 0:
+            base += (
+                f" La cour estime que l'article {art} impose une obligation stricte dont "
+                "la méconnaissance entraîne la cassation de la décision attaquée; "
+                f"en l'espèce, l'application de l'article {art} n'était pas justifiée "
+                "par le juge du fond."
+            )
+        return base
     if k == 5:
         # treaty reference
         return "Le tribunal rappelle l'article 6, §1 EVRM relatif au droit à un procès équitable."
@@ -312,7 +322,7 @@ def get_world() -> dict:
     return _WORLD_CACHE
 
 
-GEN_VERSION = "v3"  # bump to invalidate /tmp caches when generation rules change
+GEN_VERSION = "v4"  # bump to invalidate /tmp caches when generation rules change
 
 
 def n_conversations_for_sf_dir(sf_dir: str) -> int:
