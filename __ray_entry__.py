@@ -425,6 +425,26 @@ def _lsh_topk(sf_dir: str):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _ivf_topk(sf_dir: str):
+    """IVF ANN top-k (deterministic k-means coarse quantizer, nprobe cells
+    scored per query) — the second ANN scale path next to LSH."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    ref = ray.put(
+        {"query_id": qdf["vec_id"].tolist(), "matrix": np.asarray(qdf["embedding"].tolist(), dtype=np.float32)}
+    )
+    df = ivf_topk(emb, ref, k=5, nlist=16, nprobe=4).to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -599,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_near_dup_verified": _near_dup_verified,
         "embeddings_dup_pairs": _embedding_dups,
         "embeddings_lsh_topk": _lsh_topk,
+        "embeddings_ivf_topk": _ivf_topk,
         "documents_fingerprints": _fingerprints,
         "multimodal_decode": _multimodal_decode,
         "multimodal_pipeline": _multimodal_pipeline,

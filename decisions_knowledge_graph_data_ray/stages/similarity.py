@@ -209,6 +209,126 @@ def lsh_bucketed_topk(
     return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
 
 
+def kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a (normalized) sample: seed-stable
+    farthest-point-style init (first centroid = lowest-hash row, then
+    greedily farthest), fixed iteration count, no RNG state. Runs on the
+    driver over a bounded sample — the IVF coarse quantizer's train step."""
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n = len(sample)
+    nlist = min(nlist, n)
+    # deterministic init: start from the row whose bytes hash lowest, then
+    # farthest-point traversal (k-means++ without randomness)
+    h0 = min(
+        range(n),
+        key=lambda i: hashlib.blake2b(sample[i].tobytes(), digest_size=8).digest(),
+    )
+    centroids = [sample[h0]]
+    d2 = 1.0 - sample @ centroids[0]
+    for _ in range(1, nlist):
+        nxt = int(np.argmax(d2))
+        centroids.append(sample[nxt])
+        d2 = np.minimum(d2, 1.0 - sample @ centroids[-1])
+    C = np.stack(centroids)
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for j in range(nlist):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    queries_ref,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_sample: int = 10_000,
+    concurrency: int | tuple = 4,
+) -> ray.data.Dataset:
+    """IVF ANN top-k: coarse k-means quantizer; a corpus vector is scored
+    against a query only when its cell is among the query's ``nprobe``
+    nearest centroids. ``nprobe == nlist`` degenerates to exact brute force
+    (the recall test exploits this).
+
+    Scale path: train on a bounded sample (driver), broadcast centroids
+    once; assignment + scoring are one streaming map_batches pass with a
+    per-batch partial top-k — same combiner discipline as brute_force_topk,
+    so the shuffle moves at most k rows per (batch, query)."""
+    q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+    qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+    sample = embeddings.limit(train_sample).to_pandas()["embedding"]
+    C = kmeans_centroids(np.asarray(sample.tolist(), dtype=np.float32), nlist)
+    nprobe = min(nprobe, len(C))
+    # per query: the nprobe nearest cells
+    probes = np.argsort(-(qm @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    ctx_ref = ray.put(
+        {"C": C, "cell_to_queries": cell_to_queries, "qm": qm, "qids": list(q["query_id"]), "k": k}
+    )
+
+    class CellScorer:
+        def __init__(self):
+            ctx = ray.get(ctx_ref)
+            self._C = ctx["C"]
+            self._ctq = ctx["cell_to_queries"]
+            self._qm = ctx["qm"]
+            self._qids = np.asarray(ctx["qids"], dtype=np.int64)
+            self._k = ctx["k"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch["embedding"]))
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            cells = np.argmax(vecs @ self._C.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            # group batch rows by cell, score each group against its queries
+            for cell in np.unique(cells):
+                qids = self._ctq.get(int(cell))
+                if not qids:
+                    continue
+                mask = cells == cell
+                sub, sub_ids = vecs[mask], ids[mask]
+                sims = sub @ self._qm[qids].T  # (m, |qids|)
+                kk = min(self._k, len(sub_ids))
+                for col, qi in enumerate(qids):
+                    sel = np.lexsort((sub_ids, -sims[:, col]))[:kk]
+                    out_q.append(np.full(kk, self._qids[qi], dtype=np.int64))
+                    out_v.append(sub_ids[sel])
+                    out_s.append(sims[sel, col].astype(np.float64))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        CellScorer, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )
+
+    def _final(group):
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
 def embedding_dup_pairs(
     embeddings: ray.data.Dataset, threshold: float = 0.95, n_planes: int = 10,
     concurrency: int | tuple = 4,

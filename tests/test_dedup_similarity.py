@@ -154,3 +154,54 @@ def test_lsh_bucketed_topk_contains_exact_match(ray_session):
     out = lsh_bucketed_topk(ds, ref, k=3).to_pandas()
     # the identical vector shares every hyperplane sign → always same bucket
     assert 0 in set(out["vec_id"])
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        make_queries_ref,
+    )
+
+    # tie-free corpus (distinct pseudo-random directions) so the exact
+    # comparison is not float-noise-sensitive
+    rng = np.random.RandomState(5)
+    m = rng.rand(80, 16).astype(np.float32) - 0.5
+    rows = [{"vec_id": i, "embedding": [float(x) for x in m[i]]} for i in range(len(m))]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    ref = make_queries_ref(m[:2], query_ids=[0, 1])
+    # nprobe == nlist → every cell probed → exact
+    got = ivf_topk(ds, ref, k=3, nlist=8, nprobe=8).to_pandas().sort_values(
+        ["query_id", "rank"]
+    )
+    want = brute_force_topk(ds, ref, k=3).to_pandas().sort_values(["query_id", "rank"])
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    np.testing.assert_allclose(got["cosine"].to_numpy(), want["cosine"].to_numpy(), atol=1e-5)
+
+
+def test_ivf_topk_partial_probe_finds_own_cell(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        ivf_topk,
+        make_queries_ref,
+    )
+
+    ds = _emb_ds()
+    q = np.array([[((0 * 31 + j * 7) % 13) - 6.0 for j in range(16)]], dtype=np.float32)
+    ref = make_queries_ref(q, query_ids=[0])
+    out = ivf_topk(ds, ref, k=3, nlist=8, nprobe=2).to_pandas()
+    # query equals vec 0; its identical-direction vectors live in the
+    # query's own (first-probed) cell
+    assert 0 in set(out["vec_id"])
+    assert out["rank"].max() <= 3
+
+
+def test_kmeans_centroids_deterministic():
+    from decisions_knowledge_graph_data_ray.stages.similarity import kmeans_centroids
+
+    m = np.array([[((i * 31 + j * 7) % 13) - 6.0 for j in range(16)] for i in range(64)],
+                 dtype=np.float32)
+    c1 = kmeans_centroids(m, nlist=8)
+    c2 = kmeans_centroids(m, nlist=8)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
