@@ -38,16 +38,52 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
-def _kg_triples(sf_dir: str):
-    from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
 
-    return run_for_sf_dir(sf_dir)["triples"]
+# ---------------------------------------------------------------------------
+# per-process memoization for the driver's correctness sweep: the ~12 kg_*
+# queries each need the same assembled docs / extraction pass at one sf_dir;
+# materializing each ONCE pins id-sized blocks in the object store and turns
+# the sweep from O(queries) extraction passes into O(1)
+# ---------------------------------------------------------------------------
+
+_DOCS_CACHE: dict = {}
+_EXTR_CACHE: dict = {}
+_RUN_CACHE: dict = {}
+
+
+def _docs_for(sf_dir: str):
+    if sf_dir not in _DOCS_CACHE:
+        from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+        from decisions_knowledge_graph_data_ray.stages.assemble import (
+            assemble_documents_salted,
+        )
+
+        _DOCS_CACHE[sf_dir] = assemble_documents_salted(read_transcripts(sf_dir)).materialize()
+    return _DOCS_CACHE[sf_dir]
+
+
+def _extractions_for(sf_dir: str):
+    if sf_dir not in _EXTR_CACHE:
+        from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+
+        _EXTR_CACHE[sf_dir] = extract_documents(_docs_for(sf_dir)).materialize()
+    return _EXTR_CACHE[sf_dir]
+
+
+def _kg_run_for(sf_dir: str):
+    if sf_dir not in _RUN_CACHE:
+        from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
+
+        _RUN_CACHE[sf_dir] = run_for_sf_dir(sf_dir)
+    return _RUN_CACHE[sf_dir]
+
+
+def _kg_triples(sf_dir: str):
+    return _kg_run_for(sf_dir)["triples"]
 
 
 def _kg_links(sf_dir: str):
-    from decisions_knowledge_graph_data_ray.pipelines.kg import run_for_sf_dir
-
-    df = run_for_sf_dir(sf_dir)["links"].to_pandas()
+    df = _kg_run_for(sf_dir)["links"].to_pandas()
     return df.sort_values(["conv_id", "mention_internal_id", "kind"]).reset_index(drop=True)
 
 
@@ -62,10 +98,7 @@ def _sf001_transcripts_path() -> str:
 
 
 def _kg_documents(sf_dir: str):
-    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
-    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
-
-    return assemble_documents_salted(read_transcripts(sf_dir))
+    return _docs_for(sf_dir)
 
 
 def _kg_mentions(sf_dir: str):
@@ -76,8 +109,7 @@ def _kg_mentions(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
     from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    extractions = extract_documents(docs)
+    extractions = _extractions_for(sf_dir)
 
     def _explode(batch: pa.Table) -> pa.Table:
         rows = []
@@ -107,8 +139,7 @@ def _kg_teachings(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
     from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    extractions = extract_documents(docs)
+    extractions = _extractions_for(sf_dir)
     cols = [
         "conv_id", "teaching_seq", "teaching_id", "principle_type", "legal_area",
         "court_level", "clarity", "binding", "refines_parent", "exception_to",
@@ -156,8 +187,7 @@ def _kg_parties(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
     from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    extractions = extract_documents(docs)
+    extractions = _extractions_for(sf_dir)
     cols = ["conv_id", "party_seq", "internal_party_id", "name", "party_type", "procedural_role"]
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -184,7 +214,7 @@ def _kg_outcomes(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
     from decisions_knowledge_graph_data_ray.stages.classify import classify_outcomes
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    docs = _docs_for(sf_dir)
     return (
         classify_outcomes(docs.select_columns(["conv_id", "text"]))
         .to_pandas()
@@ -206,8 +236,7 @@ def _kg_links_sharded(sf_dir: str):
         link_mentions_sharded,
     )
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    extractions = extract_documents(docs)
+    extractions = _extractions_for(sf_dir)
     shard_refs = build_shard_refs(get_world())
     df = link_mentions_sharded(extractions, shard_refs).to_pandas()
     return df.sort_values(["conv_id", "mention_internal_id", "kind"]).reset_index(drop=True)
@@ -221,7 +250,7 @@ def _kg_eval(sf_dir: str):
     from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    docs = _docs_for(sf_dir)
     return (
         evaluate_extractor(docs, sample_size=100)
         .to_pandas()
@@ -239,7 +268,7 @@ def _kg_interpretations(sf_dir: str):
     from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    docs = _docs_for(sf_dir)
 
     def _rows(batch: pa.Table) -> pa.Table:
         from decisions_knowledge_graph_data_ray.functions.extract import (
@@ -280,7 +309,7 @@ def _kg_block_citations(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
     from decisions_knowledge_graph_data_ray.stages.enrich import block_citation_rows
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    docs = _docs_for(sf_dir)
     return (
         block_citation_rows(docs)
         .to_pandas()
@@ -300,7 +329,7 @@ def _kg_comprehensive(sf_dir: str):
     from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
     from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_salted
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
+    docs = _docs_for(sf_dir)
 
     def _rows(batch: pa.Table) -> pa.Table:
         rows = []
@@ -469,8 +498,7 @@ def _kg_run_summary(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
     from decisions_knowledge_graph_data_ray.stages.sinks import run_summary
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    s = run_summary(extract_documents(docs))
+    s = run_summary(_extractions_for(sf_dir))
     return pd.DataFrame(
         [
             {
@@ -490,8 +518,7 @@ def _kg_citation_stats(sf_dir: str):
     from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
     from decisions_knowledge_graph_data_ray.stages.sinks import citation_statistics
 
-    docs = assemble_documents_salted(read_transcripts(sf_dir))
-    extractions = extract_documents(docs)
+    extractions = _extractions_for(sf_dir)
     return (
         citation_statistics(extractions)
         .to_pandas()
