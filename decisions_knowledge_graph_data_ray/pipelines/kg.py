@@ -22,7 +22,11 @@ import ray.data
 
 from ..functions.linking import LinkerIndex
 from ..sources.transcripts import get_world, transcripts_path
-from ..stages.assemble import assemble_documents, assemble_documents_salted
+from ..stages.assemble import (
+    assemble_documents,
+    assemble_documents_hot_aware,
+    assemble_documents_salted,
+)
 from ..stages.canonicalize import canonical_triples, connected_components
 from ..stages.extract import extract_documents
 from ..stages.triples import LinkTripleActor, dedup_triples, split_fused
@@ -36,7 +40,11 @@ class KGConfig:
     link_concurrency: int | tuple = (1, 8)
     extract_batch_size: int = 64
     link_batch_size: int = 128
-    salted_assembly: bool = True
+    # "hot_aware" (default): one shuffle for normal conversations, salted
+    # two-phase only for heavy hitters; "salted": two-phase for everything;
+    # "single": plain single-phase (no skew protection)
+    assembly: str = "hot_aware"
+    salted_assembly: bool = True  # kept for back-compat; assembly wins
     cc_num_partitions: int = 8
     # candidate-pair edge count below which exact union-find runs on the
     # driver (ids only); larger graphs use distributed label propagation
@@ -46,6 +54,14 @@ class KGConfig:
     # reading `failures` then recomputes extract — fine when failures are
     # only counted, as in bench)
     materialize_extractions: bool = True
+
+
+def _assembler(config: "KGConfig"):
+    if config.assembly == "hot_aware":
+        return assemble_documents_hot_aware
+    if config.assembly == "salted" or config.salted_assembly:
+        return assemble_documents_salted
+    return assemble_documents
 
 
 def build_index_ref(world: dict | None = None):
@@ -76,7 +92,7 @@ def run_kg_pipeline(
     if index_ref is None:
         index_ref = build_index_ref()
 
-    assemble = assemble_documents_salted if config.salted_assembly else assemble_documents
+    assemble = _assembler(config)
     docs = assemble(transcripts)
 
     extractions = extract_documents(
@@ -155,7 +171,7 @@ def run_kg_pipeline_checkpointed(
         index_ref = build_index_ref()
     counters = counters if counters is not None else {}
 
-    assemble = assemble_documents_salted if config.salted_assembly else assemble_documents
+    assemble = _assembler(config)
     assemble_cp = StageCheckpoint(run_dir, "assemble", num_partitions)
     counters["assemble"] = {}
     docs = run_stage_checkpointed(

@@ -164,6 +164,83 @@ def assemble_documents_salted(
     return _grouped(phase2, "pid").map_groups(_merge_partials_block, batch_format="pandas")
 
 
+# a conversation is "hot" (needs the salted two-phase path) only when its
+# turn count would skew a single partition; everything below rides ONE
+# shuffle. 4 chunks of salt granularity is comfortably past any normal doc.
+HOT_TURN_THRESHOLD = 4 * SALT_CHUNK
+
+_HOT_SET_CACHE: dict = {}
+
+
+def assemble_documents_hot_aware(
+    ds: ray.data.Dataset, num_partitions: int | None = None,
+    hot_threshold: int = HOT_TURN_THRESHOLD,
+) -> ray.data.Dataset:
+    """Skew-aware assembly with MINIMAL text movement.
+
+    ``assemble_documents_salted`` pays for hot-key safety on every row: the
+    full turn text crosses TWO all-to-all sorts (phase-1 salted partials,
+    phase-2 partial merge). But only heavy-hitter conversations need that —
+    so first count turns per conversation (narrow (conv_id, n) rows, column-
+    pruned read, combiner-first), then route:
+
+    - normal conversations (the overwhelming mass): ONE shuffle straight to
+      their hash partition, assembled in place — text moves once;
+    - hot conversations (> ``hot_threshold`` turns): the salted two-phase
+      path, whose phase-2 only re-shuffles the hot partials (tiny).
+
+    The hot-id set collects on the driver — bounded by the number of heavy
+    hitters by definition (a web-scale corpus has few conversations with
+    >1024 turns; if yours has millions, raise ``hot_threshold``)."""
+    num_partitions = num_partitions or _default_partitions()
+    ds = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["conv_id"]), "conv_id").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["conv_id", "n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.select_columns(["conv_id"])
+        .map_batches(_partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("conv_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n > {int(hot_threshold)}")
+    )
+    hot_ids = [r["conv_id"] for r in counts.take_all()]  # heavy hitters only
+
+    if not hot_ids:
+        return assemble_documents(ds, num_partitions)
+
+    import ray as _ray
+
+    hot_ref = _ray.put(pa.array(sorted(hot_ids), pa.string()))
+
+    def _split(keep_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = hot_ref.hex() if hasattr(hot_ref, "hex") else id(hot_ref)
+            if key not in _HOT_SET_CACHE:  # fetched once per worker process
+                _HOT_SET_CACHE[key] = _ray.get(hot_ref)
+            hot_arr = _HOT_SET_CACHE[key]
+            mask = pc.is_in(batch["conv_id"], value_set=hot_arr)
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return f
+
+    normal = assemble_documents(
+        ds.map_batches(_split(False), batch_format="pyarrow"), num_partitions
+    )
+    hot = assemble_documents_salted(
+        ds.map_batches(_split(True), batch_format="pyarrow"), num_partitions
+    )
+    return normal.union(hot)
+
+
 def explode_documents(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Inverse of assembly: documents → (conv_id, turn_idx, role, text) rows.
 

@@ -131,3 +131,31 @@ def test_triples_schema(ray_session, tiny_transcripts):
     res = run_kg_pipeline(rd.from_arrow(tiny_transcripts))
     sch = res["triples"].schema()
     assert set(sch.names) == {"subj", "pred", "obj", "conv_id", "score"}
+
+
+def test_hot_aware_assembly_equals_salted(ray_session, tiny_transcripts):
+    """hot-aware routing must reproduce the salted output exactly — both on
+    a corpus with no heavy hitters (pure single-shuffle path) and with a
+    forced low threshold that routes the hot conversation through the
+    salted branch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.assemble import (
+        assemble_documents_hot_aware,
+        assemble_documents_salted,
+    )
+
+    ds = rd.from_arrow(tiny_transcripts)
+    want = (
+        assemble_documents_salted(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    for threshold in (10_000, 100):  # no hot convs / hot conv 0 routed salted
+        got = (
+            assemble_documents_hot_aware(rd.from_arrow(tiny_transcripts),
+                                         hot_threshold=threshold)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
