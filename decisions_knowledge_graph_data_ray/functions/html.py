@@ -5,9 +5,10 @@ Behavioral analogues of the reference's convert-md-to-html job
 transformer (/root/reference/src/utils/htmlTransformer.ts):
 
 - ``markdown_to_html``: pure-Python conversion of the markdown subset the
-  corpus uses (headings, paragraphs, blockquotes, unordered lists, bold /
-  italic) — replaces the external pandoc binary (not available here, and a
-  subprocess per document would be the wrong shape for map_batches anyway).
+  corpus uses (headings, paragraphs, blockquotes, ordered/unordered lists,
+  pipe tables, horizontal rules, links, inline code, bold / italic) —
+  replaces the external pandoc binary (not available here, and a subprocess
+  per document would be the wrong shape for map_batches anyway).
 - ``transform_html_blocks``: select leaf content elements (p, h1-h6,
   blockquote, li, td, th), skip empty, sequence 1..n, stamp
   ``data-id="{doc_id}:block-{seq:03d}"``, emit {block_id, plain_text,
@@ -25,21 +26,36 @@ BLOCK_TAGS = ("p", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "li", "td",
 _BOLD_RE = re.compile(r"\*\*(.+?)\*\*")
 _ITAL_RE = re.compile(r"(?<!\*)\*(?!\*)(.+?)(?<!\*)\*(?!\*)")
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_CODE_RE = re.compile(r"`([^`]+)`")
+_LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)")
+_OL_RE = re.compile(r"^\d+[.)]\s+(.*)$")
+_HR_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})$")
+_TABLE_SEP_RE = re.compile(r"^\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?$")
 
 
 def _inline(text: str) -> str:
     text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # code spans first so markup inside them is left literal
+    text = _CODE_RE.sub(r"<code>\1</code>", text)
     text = _BOLD_RE.sub(r"<strong>\1</strong>", text)
     text = _ITAL_RE.sub(r"<em>\1</em>", text)
+    text = _LINK_RE.sub(r'<a href="\2">\1</a>', text)
     return text
+
+
+def _split_table_row(line: str) -> list[str]:
+    cells = line.strip().strip("|").split("|")
+    return [c.strip() for c in cells]
 
 
 def markdown_to_html(md: str) -> str:
     """Minimal deterministic markdown→HTML5 (headings, paragraphs, quotes,
-    unordered lists)."""
+    ordered/unordered lists, pipe tables, horizontal rules)."""
     out: list[str] = []
     paragraph: list[str] = []
     list_items: list[str] = []
+    list_tag = "ul"
+    table_rows: list[str] = []
 
     def flush_paragraph():
         if paragraph:
@@ -48,25 +64,70 @@ def markdown_to_html(md: str) -> str:
 
     def flush_list():
         if list_items:
-            out.append("<ul>" + "".join(f"<li>{_inline(i)}</li>" for i in list_items) + "</ul>")
+            items = "".join(f"<li>{_inline(i)}</li>" for i in list_items)
+            out.append(f"<{list_tag}>{items}</{list_tag}>")
             list_items.clear()
+
+    def flush_table():
+        if not table_rows:
+            return
+        rows = list(table_rows)
+        table_rows.clear()
+        # pipe table: row 2 is the header separator; without one, every row
+        # is a body row (pandoc's headerless table)
+        header: list[str] | None = None
+        if len(rows) >= 2 and _TABLE_SEP_RE.match(rows[1]):
+            header = _split_table_row(rows[0])
+            rows = rows[2:]
+        parts = ["<table>"]
+        if header is not None:
+            parts.append(
+                "<tr>" + "".join(f"<th>{_inline(c)}</th>" for c in header) + "</tr>"
+            )
+        for r in rows:
+            parts.append(
+                "<tr>" + "".join(f"<td>{_inline(c)}</td>" for c in _split_table_row(r)) + "</tr>"
+            )
+        parts.append("</table>")
+        out.append("".join(parts))
 
     for raw in md.split("\n"):
         line = raw.rstrip()
         stripped = line.strip()
+        is_table_row = stripped.startswith("|") and stripped.count("|") >= 2
+        if table_rows and not is_table_row:
+            flush_table()
         m = _HEADING_RE.match(stripped)
-        if m:
+        ol = _OL_RE.match(stripped)
+        if is_table_row:
+            flush_paragraph()
+            flush_list()
+            table_rows.append(stripped)
+        elif m:
             flush_paragraph()
             flush_list()
             level = len(m.group(1))
             out.append(f"<h{level}>{_inline(m.group(2).strip())}</h{level}>")
+        elif _HR_RE.match(stripped):
+            flush_paragraph()
+            flush_list()
+            out.append("<hr />")
         elif stripped.startswith(">"):
             flush_paragraph()
             flush_list()
             out.append(f"<blockquote><p>{_inline(stripped[1:].strip())}</p></blockquote>")
         elif stripped.startswith(("- ", "* ")):
             flush_paragraph()
+            if list_items and list_tag != "ul":
+                flush_list()
+            list_tag = "ul"
             list_items.append(stripped[2:].strip())
+        elif ol:
+            flush_paragraph()
+            if list_items and list_tag != "ol":
+                flush_list()
+            list_tag = "ol"
+            list_items.append(ol.group(1).strip())
         elif stripped == "":
             flush_paragraph()
             flush_list()
@@ -75,6 +136,7 @@ def markdown_to_html(md: str) -> str:
             paragraph.append(stripped)
     flush_paragraph()
     flush_list()
+    flush_table()
     return "\n".join(out)
 
 

@@ -25,6 +25,44 @@ def test_markdown_to_html_basic():
     assert "<li>item one</li>" in html
 
 
+def test_markdown_to_html_extended_subset():
+    md = (
+        "1. first\n2. second\n\n"
+        "| Col A | Col B |\n| --- | --- |\n| a1 | b1 |\n| a2 | b2 |\n\n"
+        "---\n\n"
+        "See [the act](https://example.org/act) and `art. 5`."
+    )
+    html = H.markdown_to_html(md)
+    assert "<ol><li>first</li><li>second</li></ol>" in html
+    assert "<table><tr><th>Col A</th><th>Col B</th></tr>" in html
+    assert "<tr><td>a1</td><td>b1</td></tr><tr><td>a2</td><td>b2</td></tr></table>" in html
+    assert "<hr />" in html
+    assert '<a href="https://example.org/act">the act</a>' in html
+    assert "<code>art. 5</code>" in html
+
+
+def test_markdown_table_cells_become_blocks():
+    # td/th cells from a pipe table flow through the block transformer
+    md = "| H |\n| --- |\n| cell text |"
+    res = H.transform_html_blocks("T", H.markdown_to_html(md))
+    texts = {b["plain_text"]: b["element_type"] for b in res["blocks"]}
+    assert texts == {"H": "th", "cell text": "td"}
+
+
+def test_markdown_mixed_list_types_split():
+    md = "- a\n- b\n1. c\n2. d"
+    html = H.markdown_to_html(md)
+    assert "<ul><li>a</li><li>b</li></ul>" in html
+    assert "<ol><li>c</li><li>d</li></ol>" in html
+
+
+def test_markdown_headerless_table():
+    md = "| only | body |\n| row2 | here |"
+    html = H.markdown_to_html(md)
+    assert "<th>" not in html
+    assert "<tr><td>only</td><td>body</td></tr>" in html
+
+
 def test_transform_html_blocks_stamps_sequential_ids():
     html = "<p>one</p><h2>two</h2><p></p><p>three</p>"
     res = H.transform_html_blocks("DOC1", html)
