@@ -24,6 +24,8 @@ SURVEY.md §2.3); stages/linking.py ships it to actors via ray.put.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from .normalize import (
@@ -213,7 +215,11 @@ def link_provision_no_date(item: dict, idx: LinkerIndex, decision_date: str | No
 
     # M14: Dutch act names are translated (memoized) before similarity so the
     # French candidate titles can match (mapping/steps.ts:643-651)
-    search_name = translate_act_name_to_french(name) if looks_dutch(name) else name
+    search_name = (
+        translate_act_name_to_french(name)
+        if (looks_dutch(name) or looks_german(name))
+        else name
+    )
     qset = frozenset(trigram_set(search_name))
     scored = []
     # inverted article index: only acts actually containing the article are
@@ -321,26 +327,66 @@ def provision_bucket(item: dict) -> str:
 # ---------------------------------------------------------------------------
 # The reference translates non-French act names via an LLM with a per-run
 # memo Map (mapping/steps.ts:545-584). Our deterministic engine ships a
-# fixed bilingual dictionary (word/phrase level) with the same memo-cache
-# shape; a real translator slots into the same hook.
+# fixed trilingual dictionary (NL/DE → FR, longest phrase first) plus month
+# translation so date-carrying act names ("wet van 10 mei 2007") line up
+# with the FR-keyed entity index; a real translator slots into the same
+# memo-cache hook.
 
 _TRANSLATION_PHRASES = [
+    # NL (longest first — replacement is sequential)
     ("burgerlijk wetboek", "code civil"),
     ("strafwetboek", "code pénal"),
     ("gerechtelijk wetboek", "code judiciaire"),
     ("wetboek van koophandel", "code de commerce"),
+    ("wetboek van strafvordering", "code d'instruction criminelle"),
     ("grondwet", "constitution"),
     ("koninklijk besluit", "arrêté royal"),
+    ("ministerieel besluit", "arrêté ministériel"),
+    ("tot wijziging van", "modifiant"),
+    ("decreet van", "décret du"),
+    ("ordonnantie van", "ordonnance du"),
+    ("besluit van", "arrêté du"),
     ("wet van", "loi du"),
+    ("betreffende", "relatif à"),
+    ("houdende", "portant"),
+    ("inzake", "en matière de"),
+    ("decreet", "décret"),
+    ("ordonnantie", "ordonnance"),
+    ("besluit", "arrêté"),
     ("wetboek", "code"),
     ("wet", "loi"),
+    # DE
+    ("bürgerliches gesetzbuch", "code civil"),
+    ("strafgesetzbuch", "code pénal"),
+    ("königlicher erlass", "arrêté royal"),
+    ("gesetz vom", "loi du"),
+    ("gesetzbuch", "code"),
+    ("gesetz", "loi"),
+    ("erlass", "arrêté"),
+    ("verfassung", "constitution"),
 ]
+
+# NL and DE month names → FR (inside "loi du 10 mei 2007" style names)
+_MONTHS_TO_FR = {
+    "januari": "janvier", "februari": "février", "maart": "mars",
+    "april": "avril", "mei": "mai", "juni": "juin", "juli": "juillet",
+    "augustus": "août", "september": "septembre", "oktober": "octobre",
+    "november": "novembre", "december": "décembre",
+    "januar": "janvier", "februar": "février", "märz": "mars", "marz": "mars",
+    "august": "août", "dezember": "décembre",
+}
+_MONTH_TOKEN_RE = re.compile(
+    r"\b(" + "|".join(sorted(_MONTHS_TO_FR, key=len, reverse=True)) + r")\b"
+)
+# "arrêté royal van 25 ..." — a NL/DE date connective left over after the
+# act-type phrase was consumed by a longer replacement
+_DATE_CONNECTIVE_RE = re.compile(r"\b(van|vom)\b(?=\s+\d)")
 
 _translation_cache: dict[str, str] = {}
 
 
 def translate_act_name_to_french(name: str) -> str:
-    """Phrase-level NL→FR act-name translation, memoized per process."""
+    """Phrase-level NL/DE→FR act-name translation, memoized per process."""
     if not name or not name.strip():
         return name
     key = normalize_string(name)
@@ -348,15 +394,23 @@ def translate_act_name_to_french(name: str) -> str:
     if cached is not None:
         return cached
     out = key
-    for nl, fr in _TRANSLATION_PHRASES:
-        out = out.replace(nl, fr)
+    for src, fr in _TRANSLATION_PHRASES:
+        out = out.replace(src, fr)
+    out = _DATE_CONNECTIVE_RE.sub("du", out)
+    out = _MONTH_TOKEN_RE.sub(lambda m: _MONTHS_TO_FR[m.group(1)], out)
     _translation_cache[key] = out
     return out
 
 
-_NL_MARKERS = ("wet", "wetboek", "besluit", "grondwet", "artikel")
+_NL_MARKERS = ("wet", "wetboek", "besluit", "grondwet", "artikel", "decreet", "ordonnantie")
+_DE_MARKERS = ("gesetz", "erlass", "verfassung", "artikel")
 
 
 def looks_dutch(name: str) -> bool:
     norm = normalize_string(name)
     return any(marker in norm for marker in _NL_MARKERS)
+
+
+def looks_german(name: str) -> bool:
+    norm = normalize_string(name)
+    return any(marker in norm for marker in _DE_MARKERS)

@@ -6,6 +6,7 @@ import ray.data as rd
 from decisions_knowledge_graph_data_ray.functions.document import extract_document
 from decisions_knowledge_graph_data_ray.functions.linking import (
     looks_dutch,
+    looks_german,
     translate_act_name_to_french,
 )
 from decisions_knowledge_graph_data_ray.stages.extract import extract_with_escalation
@@ -13,7 +14,7 @@ from decisions_knowledge_graph_data_ray.stages.extract import extract_with_escal
 
 def test_translate_act_name():
     assert translate_act_name_to_french("Burgerlijk Wetboek") == "code civil"
-    assert translate_act_name_to_french("wet van 10 mei 2007") == "loi du 10 mei 2007"
+    assert translate_act_name_to_french("wet van 10 mei 2007") == "loi du 10 mai 2007"
     assert translate_act_name_to_french("Grondwet") == "constitution"
     assert translate_act_name_to_french("") == ""
     # memoized: repeated call returns identical object semantics
@@ -22,10 +23,37 @@ def test_translate_act_name():
     )
 
 
+def test_translate_act_name_extended_vocab():
+    assert (
+        translate_act_name_to_french("Decreet van 18 juli 2003 betreffende het waterbeleid")
+        == "décret du 18 juillet 2003 relatif à het waterbeleid"
+    )
+    assert (
+        translate_act_name_to_french("Koninklijk besluit van 25 augustus 2012")
+        == "arrêté royal du 25 août 2012"
+    )
+    assert (
+        translate_act_name_to_french("wet houdende diverse bepalingen")
+        == "loi portant diverse bepalingen"
+    )
+
+
+def test_translate_act_name_german():
+    assert translate_act_name_to_french("Gesetz vom 31. Dezember 1983") == (
+        "loi du 31. décembre 1983"
+    )
+    assert translate_act_name_to_french("Strafgesetzbuch") == "code pénal"
+
+
 def test_looks_dutch():
     assert looks_dutch("Burgerlijk Wetboek")
     assert looks_dutch("wet van 10 mei 2007")
     assert not looks_dutch("Code civil")
+
+
+def test_looks_german():
+    assert looks_german("Gesetz vom 31. Dezember 1983")
+    assert not looks_german("Code civil")
 
 
 def test_escalation_routes_failures_to_fallback(ray_session):
