@@ -374,8 +374,15 @@ def _prefix_rows(threshold: float, ngram: int):
     """doc → (shingle_hash, doc_id, set_size) rows for the PREFIX shingles
     only. Prefix filtering (SSJoin/PPJoin): under ANY fixed global order of
     shingles, two sets with Jaccard >= t must share an element within each
-    set's first ``floor((1-t)*|s|) + 1`` shingles — hash order is used here,
-    which needs no global document-frequency pass."""
+    set's first ``|s| - ceil(t*|s|) + 1`` shingles — hash order is used here,
+    which needs no global document-frequency pass.
+
+    Integer-safe prefix: ``|s| - floor(t*|s|) + 1`` (>= the minimal
+    ``|s| - ceil(t*|s|) + 1`` by at most one element, never too short).
+    The naive float form ``int((1-t)*|s|) + 1`` under-computes whenever
+    (1-t)*|s| lands just below an integer (e.g. t=0.8, |s|=10 gives
+    1.9999... -> prefix 2 where 3 is required), silently dropping
+    exact-boundary pairs with J == t."""
     import zlib
 
     def f(batch: pa.Table) -> pa.Table:
@@ -385,7 +392,7 @@ def _prefix_rows(threshold: float, ngram: int):
             if not sh:
                 continue
             hs = sorted(zlib.crc32(s.encode()) for s in sh)
-            p = int((1.0 - threshold) * len(hs)) + 1
+            p = len(hs) - int(threshold * len(hs)) + 1
             hashes.extend(hs[:p])
             ids.extend([doc_id] * p)
             sizes.extend([len(hs)] * p)
@@ -436,8 +443,14 @@ def jaccard_similarity_join(
             if len(ids) < 2:
                 continue
             iu, ju = np.triu_indices(len(ids), k=1)
-            # size-ratio filter: jaccard >= t needs min(|A|,|B|) >= t*max(|A|,|B|)
-            ok = np.minimum(sizes[iu], sizes[ju]) >= threshold * np.maximum(sizes[iu], sizes[ju])
+            # size-ratio filter: jaccard >= t needs min(|A|,|B|) >= t*max(|A|,|B|).
+            # Epsilon guards the exact-boundary case (t=0.8, sizes 4/5:
+            # 0.8*5 floats a hair above 4.0) — verify is exact, so slack
+            # only costs a candidate, never a wrong pair.
+            ok = (
+                np.minimum(sizes[iu], sizes[ju]) + 1e-9
+                >= threshold * np.maximum(sizes[iu], sizes[ju])
+            )
             src.append(ids[iu][ok])
             dst.append(ids[ju][ok])
         if not src:

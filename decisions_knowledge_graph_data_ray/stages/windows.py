@@ -122,14 +122,35 @@ def asof_join(
 
     rpayload = [c + suffix for c in right_columns]
 
+    # The packed union null-pads left slots on right-side rows, so the
+    # group's pandas conversion promotes int64 left columns to float64 (and
+    # bool to object). Restore the DECLARED dtypes on every return path via
+    # pandas nullable extension dtypes (round-trip cleanly to Arrow nulls).
+    def _nullable_dtype(typ: pa.DataType) -> str | None:
+        if pa.types.is_integer(typ):
+            return str(typ).replace("int", "Int").replace("uInt", "UInt")
+        if pa.types.is_boolean(typ):
+            return "boolean"
+        return None
+
+    restore = {
+        n: d for n, t in out_fields if (d := _nullable_dtype(t)) is not None
+    }
+
+    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+        for name, dtype in restore.items():
+            if str(df[name].dtype) != dtype:
+                df[name] = df[name].astype(dtype)
+        return df
+
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
         lmask = group[_SIDE].to_numpy() == 0
         ldf = group.loc[lmask, out_names]
         rdf = group.loc[~lmask, [by, on] + rpayload]
         if not len(ldf):
-            return pd.DataFrame(columns=out_names)
+            return _restore(pd.DataFrame(columns=out_names))
         if not len(rdf):
-            return ldf.reset_index(drop=True)
+            return _restore(ldf.reset_index(drop=True))
         ldf = ldf.drop(columns=rpayload).sort_values(on, kind="stable")
         if right_tie_cols:
             tie = [c + suffix if c in right_columns else c for c in right_tie_cols]
@@ -140,7 +161,7 @@ def asof_join(
         merged = pd.merge_asof(
             ldf, rdf, on=on, by=by, direction="backward", allow_exact_matches=True
         )
-        return merged[out_names]
+        return _restore(merged[out_names])
 
     return (
         ltag.union(rtag)
@@ -198,7 +219,10 @@ def hopping_window_count(
         expanded = pa.table(cols)
         spec = [("n", "sum")] + ([("value_sum", "sum")] if value_col else [])
         out = pa.TableGroupBy(expanded, keys).aggregate(spec)
-        return out.rename_columns(keys + ["n"] + (["value_sum"] if value_col else []))
+        # rename by NAME, not position — aggregate's column order has varied
+        # across pyarrow versions (keys first vs last)
+        remap = {"n_sum": "n", "value_sum_sum": "value_sum"}
+        return out.rename_columns([remap.get(c, c) for c in out.column_names])
 
     expanded = events.map_batches(_expand, batch_format="pyarrow", batch_size=None)
 

@@ -70,6 +70,10 @@ class TestAsofJoin:
         ).sort_values("lid").reset_index(drop=True)
 
         assert len(got) == len(left)
+        # int64 left columns must survive the null-padded union inside the
+        # merge (pandas would otherwise promote them to float64).
+        assert got["lid"].dtype.kind == "i"
+        assert got["key"].dtype.kind == "i"
         pd.testing.assert_series_equal(
             got["rid_r"].astype("float64"), want["rid_r"].astype("float64"), check_names=False
         )
