@@ -43,11 +43,16 @@ def turns_to_transformed_html(conv_id: str, text: str) -> str:
     """Assembled document → pre-transformed HTML, one <p data-id> block per
     turn line (the transcript analogue of decision_fulltext1.full_html)."""
     parts = []
-    for i, line in enumerate(text.split("\n")):
+    seq = 0
+    for line in text.split("\n"):
         line = line.strip()
         if not line:
             continue
-        parts.append(f'<p data-id="{conv_id}:block-{pad3(i + 1)}">{line}</p>')
+        # number EMITTED blocks so ids are contiguous 1..n (matching
+        # transform_html_blocks and the reference's block-id scheme) —
+        # skipped empty lines must not leave gaps
+        seq += 1
+        parts.append(f'<p data-id="{conv_id}:block-{pad3(seq)}">{line}</p>')
     return "\n".join(parts)
 
 

@@ -35,11 +35,21 @@ _TABLE_SEP_RE = re.compile(r"^\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?$")
 
 def _inline(text: str) -> str:
     text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    # code spans first so markup inside them is left literal
-    text = _CODE_RE.sub(r"<code>\1</code>", text)
+    # Extract code-span contents into placeholders first so the other inline
+    # substitutions never touch markup inside them (pandoc: `a*b*c` stays
+    # literal), then restore.
+    spans: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        spans.append(m.group(1))
+        return f"\x00{len(spans) - 1}\x00"
+
+    text = _CODE_RE.sub(_stash, text)
     text = _BOLD_RE.sub(r"<strong>\1</strong>", text)
     text = _ITAL_RE.sub(r"<em>\1</em>", text)
     text = _LINK_RE.sub(r'<a href="\2">\1</a>', text)
+    for i, body in enumerate(spans):
+        text = text.replace(f"\x00{i}\x00", f"<code>{body}</code>")
     return text
 
 

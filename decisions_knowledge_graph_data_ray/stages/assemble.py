@@ -199,7 +199,10 @@ def assemble_documents_hot_aware(
         out = pa.TableGroupBy(batch.select(["conv_id"]), "conv_id").aggregate(
             [([], "count_all")]
         )
-        return out.rename_columns(["conv_id", "n"])
+        # rename by NAME — aggregate's key/value column order has varied
+        # across pyarrow versions
+        remap = {"count_all": "n"}
+        return out.rename_columns([remap.get(c, c) for c in out.column_names])
 
     from ray.data.aggregate import Sum
 

@@ -171,7 +171,11 @@ def dedup_triples(triples: ray.data.Dataset, num_partitions: int | None = None) 
         out = pa.TableGroupBy(group.select(["spo", "packed"]), "spo").aggregate(
             [("packed", "min")]
         )
-        return out.rename_columns(["spo", "packed"])
+        # rename by NAME — aggregate's key/value column order has varied
+        # across pyarrow versions
+        remap = {"packed_min": "packed"}
+        out = out.rename_columns([remap.get(c, c) for c in out.column_names])
+        return out.select(["spo", "packed"])
 
     def _pack_combine_pid(batch: pa.Table) -> pa.Table:
         combined = _min_per_spo(_pack_pick(batch))
