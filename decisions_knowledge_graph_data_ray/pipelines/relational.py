@@ -103,21 +103,37 @@ def q_lineitem_agg(sf_dir: str):
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+# Above this many orders the (o_orderkey → priority) dimension no longer
+# belongs on the driver / in a broadcast object (orderkey cardinality grows
+# linearly with the fact table); q_orders_priority_revenue switches to a
+# bucketed shuffle join. Same pattern as stages/dedup.SIG_BROADCAST_MAX_DOCS.
+DIM_BROADCAST_MAX_KEYS = 5_000_000
+
+
 def q_orders_priority_revenue(sf_dir: str):
     """orders ⋈ lineitem → revenue per order priority.
 
-    Broadcast join + in-batch combiner: the dimension side
-    (o_orderkey → priority code) is ray.put once and fetched once per actor;
-    each lineitem batch maps keys to codes via a vectorized pandas-Index
-    lookup and bincounts revenue into ≤|priorities| partial rows. The
-    groupby then reduces |batches|×5 tiny rows — no all-to-all shuffle of
-    lineitem. (Replaces the Dataset.join hash shuffle flagged in round 1:
-    9.25s → sub-second; at 100× the dimension side still fits broadcast —
-    it is 2 narrow columns.)"""
+    Two paths, switched on dimension cardinality (DIM_BROADCAST_MAX_KEYS):
+
+    - **broadcast** (≤ threshold): the (o_orderkey → priority code) table is
+      ray.put once and fetched once per worker; each lineitem batch maps
+      keys to codes via a vectorized pandas-Index lookup and bincounts
+      revenue into ≤|priorities| partial rows. The groupby then reduces
+      |batches|×5 tiny rows — no all-to-all shuffle of lineitem.
+    - **bucketed join** (> threshold): lineitem is reduced to
+      (l_orderkey, revenue) and hash_bucket_join'd with orders, then a
+      per-batch pyarrow partial aggregate shrinks each block to
+      ≤|priorities| rows before the final tiny groupby. No driver-side
+      materialization of either side at any cardinality.
+    """
     import numpy as np
     import pandas as pd
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    orders_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    if orders_ds.count() > DIM_BROADCAST_MAX_KEYS:
+        return _orders_priority_revenue_join(sf_dir, orders_ds)
+
+    orders = orders_ds.to_pandas()
     prio_labels = sorted(orders["o_orderpriority"].unique())
     code_of = {p: i for i, p in enumerate(prio_labels)}
     dim_ref = ray.put(
@@ -156,6 +172,46 @@ def q_orders_priority_revenue(sf_dir: str):
         .to_pandas()
     )
     out["o_orderpriority"] = out["prio_code"].map(dict(enumerate(prio_labels)))
+    out = _round_cols(out, {"revenue": 2})
+    out = out[out["n_items"] > 0][["o_orderpriority", "revenue", "n_items"]]
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _orders_priority_revenue_join(sf_dir: str, orders_ds: rd.Dataset):
+    """Unbounded-dimension path: bucketed shuffle join, partial-aggregate
+    before the final groupby. Result-identical to the broadcast path
+    (test_relational gates equality)."""
+    from ..stages.joins import hash_bucket_join
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    rev = lineitem.map_batches(_revenue, batch_format="pyarrow")
+    joined = hash_bucket_join(
+        rev,
+        orders_ds,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        output_columns=["o_orderpriority", "revenue"],
+        num_buckets=64,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch, "o_orderpriority").aggregate(
+            [("revenue", "sum"), ([], "count_all")]
+        )
+        remap = {"revenue_sum": "revenue", "count_all": "n_items"}
+        return out.rename_columns([remap.get(c, c) for c in out.column_names])
+
+    out = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
     out = _round_cols(out, {"revenue": 2})
     out = out[out["n_items"] > 0][["o_orderpriority", "revenue", "n_items"]]
     return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -55,3 +55,17 @@ def test_one_to_many(ray_session):
     right = _ds([{"k": "a", "y": i} for i in range(5)])
     out = hash_bucket_join(left, right, on="k", output_columns=["k", "x", "y"]).to_pandas()
     assert len(out) == 5 and sorted(out["y"]) == [0, 1, 2, 3, 4]
+
+
+def test_orders_priority_revenue_join_path_matches_broadcast(ray_session, monkeypatch):
+    """The unbounded-dimension fallback (bucketed join + partial aggregate)
+    must be result-identical to the broadcast path."""
+    import os
+
+    from decisions_knowledge_graph_data_ray.pipelines import relational
+
+    sf_dir = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    broadcast = relational.q_orders_priority_revenue(sf_dir)
+    monkeypatch.setattr(relational, "DIM_BROADCAST_MAX_KEYS", 0)
+    joined = relational.q_orders_priority_revenue(sf_dir)
+    assert broadcast.to_dict("records") == joined.to_dict("records")
