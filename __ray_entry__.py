@@ -412,12 +412,20 @@ def _near_dup_verified(sf_dir: str):
 
 
 def _near_dedup_keep(sf_dir: str):
+    """Near-dedup keep-set in EXACT mode (prefix-filtered Jaccard self-join →
+    distributed CC → anti-join) so the DuckDB recursive-CTE oracle is a hard
+    guarantee; exact=False flips to the MinHash-LSH sketch scale path."""
     import ray.data as rd
 
     from decisions_knowledge_graph_data_ray.stages.dedup import near_dedup_keep_ids
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return near_dedup_keep_ids(docs, threshold=0.7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return (
+        near_dedup_keep_ids(docs, threshold=0.7, exact=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _embedding_dups(sf_dir: str):
@@ -910,10 +918,48 @@ def oracle_sql() -> dict[str, str]:
                        round(len(list_intersect(a.s, b.s))::DOUBLE /
                              (a.n + b.n - len(list_intersect(a.s, b.s))), 6) AS jaccard
                 FROM sized a JOIN sized b ON a.doc_id < b.doc_id
-                WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+                WHERE least(a.n, b.n) + 1e-9 >= 0.8 * greatest(a.n, b.n)
             )
             SELECT src_id, dst_id, jaccard FROM pairs WHERE jaccard >= 0.8
             ORDER BY src_id, dst_id
+        """,
+        # keep-set over EXACT Jaccard pairs (threshold 0.7): undirected
+        # connected components via a recursive reachability CTE, component
+        # root = STRING-min member id (matching connected_components' string
+        # labels), keep = roots + never-paired docs
+        "documents_near_dedup_keep": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, length(text) - 3),
+                                                    i -> substr(text, i, 5))) AS s
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, s, len(s) AS n FROM sh
+            ), pairs AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+                FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+                WHERE least(a.n, b.n) + 1e-9 >= 0.7 * greatest(a.n, b.n)
+                  AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                            (a.n + b.n - len(list_intersect(a.s, b.s))), 6) >= 0.7
+            ), edges AS (
+                SELECT src_id AS a, dst_id AS b FROM pairs
+                UNION ALL
+                SELECT dst_id, src_id FROM pairs
+            ), reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+            ), roots AS (
+                SELECT node, min(CAST(r AS VARCHAR)) AS root_str
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM roots
+                WHERE roots.node = d.doc_id
+                  AND CAST(d.doc_id AS VARCHAR) <> roots.root_str
+            )
+            ORDER BY d.doc_id
         """,
         # flagship-assembly oracles: the transcript corpus is the engine's own
         # deterministic synthetic input (BASELINE.json input_hint), not one of

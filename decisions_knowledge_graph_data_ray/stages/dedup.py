@@ -423,7 +423,6 @@ def jaccard_similarity_join(
     (|A| >= t·|B|) → distinct → text join-back (bucketed Arrow join) → exact
     Jaccard verify. No stage holds more than a bucket; candidate count is
     bounded by true near-dup density, not N²."""
-    from ray.data.aggregate import Count
 
     num_partitions = num_partitions or _num_partitions_default()
     prefix = docs.map_batches(_prefix_rows(threshold, ngram), batch_format="pyarrow")
@@ -435,6 +434,11 @@ def jaccard_similarity_join(
     def _pairs_block(group):
         import pandas as pd
 
+        # only shingle hashes shared by >=2 rows can yield a pair — filter
+        # vectorized BEFORE the per-bucket Python loop (the vast majority of
+        # shingle hashes are singletons; looping over them cost ~300s at
+        # t=0.7 on 500 docs)
+        group = group[group.duplicated("shingle_hash", keep=False)]
         src, dst = [], []
         for _, bucket in group.groupby("shingle_hash", sort=False):
             uniq = bucket.drop_duplicates("doc_id").sort_values("doc_id")
@@ -455,17 +459,35 @@ def jaccard_similarity_join(
             dst.append(ids[ju][ok])
         if not src:
             return pd.DataFrame(
-                {"src_id": pd.Series(dtype="int64"), "dst_id": pd.Series(dtype="int64")}
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "dst_id": pd.Series(dtype="int64"),
+                    "pair_pid": pd.Series(dtype="int32"),
+                }
             )
-        return pd.DataFrame({"src_id": np.concatenate(src), "dst_id": np.concatenate(dst)})
+        # combiner: a pair sharing k prefix shingles in this pid appears k
+        # times — dedup BEFORE the pair shuffle, then route by pair hash so
+        # the cross-pid distinct is a cogroup, not Ray's slow multi-key
+        # Aggregate (334s on 1.35M candidate rows at sf0.01)
+        out = pd.DataFrame(
+            {"src_id": np.concatenate(src), "dst_id": np.concatenate(dst)}
+        ).drop_duplicates(ignore_index=True)
+        out["pair_pid"] = (
+            (out["src_id"].to_numpy() * np.int64(1000003) + out["dst_id"].to_numpy())
+            % num_partitions
+        ).astype(np.int32)
+        return out
+
+    def _distinct_pairs(group: pa.Table) -> pa.Table:
+        # Arrow C++ hash aggregate with no aggregations == distinct keys
+        return pa.TableGroupBy(group.select(["src_id", "dst_id"]), ["src_id", "dst_id"]).aggregate([])
 
     candidates = (
         prefix.map_batches(_add_pid, batch_format="pyarrow")
         .groupby("pid")
         .map_groups(_pairs_block, batch_format="pandas")
-        .groupby(["src_id", "dst_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        .groupby("pair_pid")
+        .map_groups(_distinct_pairs, batch_format="pyarrow")
     )
 
     from .joins import hash_bucket_join
@@ -516,9 +538,16 @@ def jaccard_similarity_join(
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
-def near_dedup_keep_ids(docs: ray.data.Dataset, threshold: float = 0.8) -> ray.data.Dataset:
-    """Full near-dedup: LSH pairs → connected components → keep min doc_id
-    per component (plus all never-paired docs).
+def near_dedup_keep_ids(
+    docs: ray.data.Dataset, threshold: float = 0.8, exact: bool = False
+) -> ray.data.Dataset:
+    """Full near-dedup: near-dup pairs → connected components → keep min
+    doc_id per component (plus all never-paired docs).
+
+    ``exact=False`` (default, the 100-TB path) pairs via MinHash-LSH sketch
+    estimate; ``exact=True`` pairs via the prefix-filtered exact
+    n-gram-Jaccard self-join (guaranteed recall — the mode the DuckDB
+    keep-set oracle checks against, since sketch estimates are not SQL).
 
     The drop set never lands on the driver: non-root component members are
     removed by a distributed bucketed LEFT ANTI join (a web-scale corpus
@@ -526,7 +555,11 @@ def near_dedup_keep_ids(docs: ray.data.Dataset, threshold: float = 0.8) -> ray.d
     from .canonicalize import connected_components
     from .joins import hash_bucket_join
 
-    pairs = minhash_lsh_pairs(docs, threshold)
+    pairs = (
+        jaccard_similarity_join(docs, threshold)
+        if exact
+        else minhash_lsh_pairs(docs, threshold)
+    )
 
     def _to_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
