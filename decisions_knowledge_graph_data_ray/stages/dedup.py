@@ -131,22 +131,37 @@ def minhash_lsh_pairs(
     both sides → vectorized est-Jaccard → filter. The band shuffle moves
     ints only; signatures move once per candidate-pair side.
     """
-    from ray.data.aggregate import Count
-
     from .joins import hash_bucket_join
 
     num_partitions = num_partitions or _num_partitions_default()
     sigs = minhash_sig_table(docs).materialize()
 
+    def _pairs_with_pid(group):
+        # combiner-first distinct: the same pair surfaces from multiple
+        # bands/partitions — dedup inside the block, route by pair hash, and
+        # finish with a per-group Arrow distinct (Ray's multi-key Aggregate
+        # was the bottleneck at high collision counts; see
+        # jaccard_similarity_join for the measured numbers)
+        out = _candidate_pairs_block(group).drop_duplicates(ignore_index=True)
+        out["pair_pid"] = (
+            (out["src_id"].to_numpy() * np.int64(1_000_003) + out["dst_id"].to_numpy())
+            % num_partitions
+        ).astype(np.int32)
+        return out
+
+    def _distinct_pairs(group: pa.Table) -> pa.Table:
+        # Arrow C++ hash aggregate with no aggregations == distinct keys
+        return pa.TableGroupBy(
+            group.select(["src_id", "dst_id"]), ["src_id", "dst_id"]
+        ).aggregate([])
+
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
     pairs = (
         bands.map_batches(_add_bucket_pid(num_partitions), batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(_candidate_pairs_block, batch_format="pandas")
-        # same pair surfaces from multiple bands/partitions → global distinct
-        .groupby(["src_id", "dst_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        .map_groups(_pairs_with_pid, batch_format="pandas")
+        .groupby("pair_pid")
+        .map_groups(_distinct_pairs, batch_format="pyarrow")
     )
 
     def _estimate_arrays(src_sig: list, dst_sig: list) -> np.ndarray:
@@ -292,17 +307,31 @@ def simhash_pairs(
                 for j in range(i + 1, len(ids)):
                     d = bin(hs[i] ^ hs[j]).count("1")
                     if d <= max_hamming:
-                        out.append({"src_id": ids[i], "dst_id": ids[j], "hamming": d})
-        return pd.DataFrame(out, columns=["src_id", "dst_id", "hamming"])
+                        out.append((ids[i], ids[j], d))
+        df = pd.DataFrame(
+            out, columns=["src_id", "dst_id", "hamming"], dtype="int64"
+        ).drop_duplicates(ignore_index=True)
+        df["pair_pid"] = (
+            (df["src_id"].to_numpy() * np.int64(1_000_003) + df["dst_id"].to_numpy())
+            % num_partitions
+        ).astype(np.int32)
+        return df
 
-    pairs = (
+    def _distinct_pairs(group: pa.Table) -> pa.Table:
+        # hamming is a pure function of the pair's two simhashes, so it is
+        # identical across the bands that re-surface a pair — distinct over
+        # all three columns == distinct pairs with their hamming
+        return pa.TableGroupBy(
+            group.select(["src_id", "dst_id", "hamming"]), ["src_id", "dst_id", "hamming"]
+        ).aggregate([])
+
+    return (
         rows.map_batches(_add_pid, batch_format="pyarrow")
         .groupby("pid")
         .map_groups(_pairs_block, batch_format="pandas")
+        .groupby("pair_pid")
+        .map_groups(_distinct_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["src_id", "dst_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def ngram_jaccard_verify(
