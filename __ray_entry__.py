@@ -143,7 +143,7 @@ def _kg_teachings(sf_dir: str):
     cols = [
         "conv_id", "teaching_seq", "teaching_id", "principle_type", "legal_area",
         "court_level", "clarity", "binding", "refines_parent", "exception_to",
-        "n_conflicts", "n_related_provisions", "n_related_decisions",
+        "n_conflicts",
     ]
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -163,6 +163,40 @@ def _kg_teachings(sf_dir: str):
                         "refines_parent": te["refines_parent"] or "",
                         "exception_to": te["exception_to"] or "",
                         "n_conflicts": len(te["conflicts_with"]),
+                    }
+                )
+        if not rows:
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
+        return pa.Table.from_pylist(rows).select(cols)
+
+    return (
+        extractions.map_batches(_explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["conv_id", "teaching_seq"])
+        .reset_index(drop=True)
+    )
+
+
+def _kg_teaching_relations(sf_dir: str):
+    """Teaching→provision (ART-) / teaching→decision (DEC-) relation
+    surface — the non-SQL remainder of the teaching family (requires
+    re-running the provision extractor per teaching line), split out so
+    kg_teachings itself can carry a full DuckDB oracle."""
+    import pyarrow as pa
+
+    extractions = _extractions_for(sf_dir)
+    cols = ["conv_id", "teaching_seq", "teaching_id",
+            "n_related_provisions", "n_related_decisions"]
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            for te in rec["legal_teachings"] or []:
+                rows.append(
+                    {
+                        "conv_id": rec["conv_id"],
+                        "teaching_seq": te["teaching_seq"],
+                        "teaching_id": te["teaching_id"],
                         "n_related_provisions": len(te["related_provision_ids"]),
                         "n_related_decisions": len(te["related_decision_ids"]),
                     }
@@ -665,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_documents": _kg_documents,
         "kg_mentions": _kg_mentions,
         "kg_teachings": _kg_teachings,
+        "kg_teaching_relations": _kg_teaching_relations,
         "kg_parties": _kg_parties,
         "kg_outcomes": _kg_outcomes,
         "kg_comprehensive": _kg_comprehensive,
@@ -960,6 +995,235 @@ def oracle_sql() -> dict[str, str]:
                   AND CAST(d.doc_id AS VARCHAR) <> roots.root_str
             )
             ORDER BY d.doc_id
+        """,
+        # kg_* extraction oracles: DuckDB re-implementations of the SAME
+        # deterministic rules (marker regexes, ordered lexicons, closed-set
+        # enums) the Ray extractors apply — every rule is cited next to its
+        # Python twin in functions/teachings.py / functions/parties.py, so a
+        # drift on either side trips the hash gate.
+        "kg_teachings": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), lvl AS (
+                -- detect_court_level (functions/teachings.py:110-117)
+                SELECT conv_id,
+                       CASE WHEN bool_or(regexp_matches(text,
+                                '(?i)(cassatieberoep|pourvoi|\\bCass\\.)')) THEN 'CASSATION'
+                            WHEN bool_or(regexp_matches(text,
+                                '(?i)(cour d''appel|hof van beroep)')) THEN 'APPEAL'
+                            ELSE 'FIRST_INSTANCE' END AS court_level
+                FROM t GROUP BY conv_id
+            ), marked AS (
+                -- marker priority: explicit FR, explicit NL, then hierarchy
+                -- in _HIER_MARKERS order (teachings.py:48-63,167-179)
+                SELECT conv_id, turn_idx, text AS verbatim,
+                       CASE WHEN regexp_matches(text, '(?i)énonce le principe suivant\\s*:')
+                              OR regexp_matches(text, '(?i)stelt het volgende beginsel voorop\\s*:')
+                            THEN 'EXPLICIT'
+                            WHEN regexp_matches(text, '(?i)(en précisant le principe précédent|ter verfijning van het voorgaande beginsel|par exception au principe précédent|bij wijze van uitzondering op het voorgaande beginsel|contrairement au principe précédent|in strijd met het voorgaande beginsel)')
+                            THEN 'IMPLICIT' END AS clarity,
+                       CASE WHEN regexp_matches(text, '(?i)énonce le principe suivant\\s*:')
+                              OR regexp_matches(text, '(?i)stelt het volgende beginsel voorop\\s*:')
+                            THEN NULL
+                            WHEN regexp_matches(text, '(?i)(en précisant le principe précédent|ter verfijning van het voorgaande beginsel)') THEN 'refines'
+                            WHEN regexp_matches(text, '(?i)(par exception au principe précédent|bij wijze van uitzondering op het voorgaande beginsel)') THEN 'exception'
+                            WHEN regexp_matches(text, '(?i)(contrairement au principe précédent|in strijd met het voorgaande beginsel)') THEN 'conflicts'
+                            END AS hier_kind,
+                       -- clause = verbatim after the first occurrence of the
+                       -- winning marker (teachings.py:181)
+                       trim(CASE
+                            WHEN regexp_matches(text, '(?i)énonce le principe suivant\\s*:')
+                            THEN regexp_replace(text, '(?i)^.*?énonce le principe suivant\\s*:\\s*', '')
+                            WHEN regexp_matches(text, '(?i)stelt het volgende beginsel voorop\\s*:')
+                            THEN regexp_replace(text, '(?i)^.*?stelt het volgende beginsel voorop\\s*:\\s*', '')
+                            WHEN regexp_matches(text, '(?i)en précisant le principe précédent')
+                            THEN regexp_replace(text, '(?i)^.*?en précisant le principe précédent\\s*,?\\s*', '')
+                            WHEN regexp_matches(text, '(?i)ter verfijning van het voorgaande beginsel')
+                            THEN regexp_replace(text, '(?i)^.*?ter verfijning van het voorgaande beginsel\\s*,?\\s*', '')
+                            WHEN regexp_matches(text, '(?i)par exception au principe précédent')
+                            THEN regexp_replace(text, '(?i)^.*?par exception au principe précédent\\s*,?\\s*', '')
+                            WHEN regexp_matches(text, '(?i)bij wijze van uitzondering op het voorgaande beginsel')
+                            THEN regexp_replace(text, '(?i)^.*?bij wijze van uitzondering op het voorgaande beginsel\\s*,?\\s*', '')
+                            WHEN regexp_matches(text, '(?i)contrairement au principe précédent')
+                            THEN regexp_replace(text, '(?i)^.*?contrairement au principe précédent\\s*,?\\s*', '')
+                            WHEN regexp_matches(text, '(?i)in strijd met het voorgaande beginsel')
+                            THEN regexp_replace(text, '(?i)^.*?in strijd met het voorgaande beginsel\\s*,?\\s*', '')
+                            END) AS c0
+                FROM t
+            ), seqd AS (
+                SELECT conv_id, clarity, hier_kind,
+                       lower(CASE WHEN c0 = '' THEN verbatim ELSE c0 END) AS lc,
+                       row_number() OVER w AS seq,
+                       lead(hier_kind) OVER w AS next_kind
+                FROM marked WHERE clarity IS NOT NULL
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT s.conv_id, s.seq AS teaching_seq,
+                   'TEACH-' || s.conv_id || '-' || printf('%03d', s.seq) AS teaching_id,
+                   -- _TYPE_LEXICON in order (teachings.py:65-72)
+                   CASE WHEN lc LIKE '%charge de la preuve%' OR lc LIKE '%bewijslast%' THEN 'BURDEN_PROOF'
+                        WHEN lc LIKE '%mise en balance%' OR lc LIKE '%belangenafweging%' THEN 'BALANCING_TEST'
+                        WHEN lc LIKE '%doit être interprété%' OR lc LIKE '%moet worden uitgelegd%' THEN 'INTERPRETATION_RULE'
+                        WHEN lc LIKE '%suppose une faute%' OR lc LIKE '%vereist een fout%' OR lc LIKE '%critère%' OR lc LIKE '%criterium%' THEN 'LEGAL_TEST'
+                        WHEN lc LIKE '%procédure%' OR lc LIKE '%rechtspleging%' OR lc LIKE '%termijn%' OR lc LIKE '%délai%' THEN 'PROCEDURAL_RULE'
+                        WHEN lc LIKE '%réparation%' OR lc LIKE '%schadevergoeding%' OR lc LIKE '%herstel%' THEN 'REMEDIAL_PRINCIPLE'
+                        ELSE 'APPLICATION_STANDARD' END AS principle_type,
+                   -- _AREA_LEXICON in order (teachings.py:73-80)
+                   CASE WHEN lc LIKE '%discrimination%' OR lc LIKE '%discriminatie%' THEN 'DISCRIMINATION_LAW'
+                        WHEN lc LIKE '%données%' OR lc LIKE '%persoonsgegevens%' OR lc LIKE '%vie privée%' THEN 'DATA_PROTECTION'
+                        WHEN lc LIKE '%travail%' OR lc LIKE '%arbeidsovereenkomst%' THEN 'EMPLOYMENT_LAW'
+                        WHEN lc LIKE '%contrat%' OR lc LIKE '%overeenkomst%' THEN 'CONTRACT_LAW'
+                        WHEN lc LIKE '%responsab%' OR lc LIKE '%aansprakelijk%' OR lc LIKE '%dommage%' OR lc LIKE '%schade%' THEN 'CIVIL_LIABILITY'
+                        WHEN lc LIKE '%procédure%' OR lc LIKE '%rechtspleging%' OR lc LIKE '%pourvoi%' THEN 'PROCEDURAL_LAW'
+                        ELSE 'OTHER' END AS legal_area,
+                   lvl.court_level,
+                   s.clarity,
+                   lvl.court_level = 'CASSATION' AS binding,
+                   CASE WHEN s.hier_kind = 'refines' AND s.seq > 1
+                        THEN 'TEACH-' || s.conv_id || '-' || printf('%03d', s.seq - 1)
+                        ELSE '' END AS refines_parent,
+                   CASE WHEN s.hier_kind = 'exception' AND s.seq > 1
+                        THEN 'TEACH-' || s.conv_id || '-' || printf('%03d', s.seq - 1)
+                        ELSE '' END AS exception_to,
+                   (CASE WHEN s.hier_kind = 'conflicts' AND s.seq > 1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.next_kind = 'conflicts' THEN 1 ELSE 0 END)::BIGINT AS n_conflicts
+            FROM seqd s JOIN lvl USING (conv_id)
+            ORDER BY conv_id, teaching_seq
+        """,
+        "kg_parties": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), m AS (
+                -- _PARTY_BLOCK_RES (functions/parties.py:65-76); one block
+                -- per turn in the corpus, FR and NL mutually exclusive
+                SELECT conv_id, turn_idx,
+                       regexp_extract(text,
+                           '(?i)En cause\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*contre\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
+                           ['p1', 'r1', 'p2', 'r2']) AS fr,
+                       regexp_extract(text,
+                           '(?i)In zake\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*tegen\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
+                           ['p1', 'r1', 'p2', 'r2']) AS nl
+                FROM t
+            ), blocks AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN fr.p1 <> '' THEN fr ELSE nl END AS g
+                FROM m WHERE fr.p1 <> '' OR nl.p1 <> ''
+            ), expl AS (
+                SELECT conv_id, turn_idx, 1 AS pos, g.p1 AS rawname, g.r1 AS role FROM blocks
+                UNION ALL
+                SELECT conv_id, turn_idx, 2 AS pos, g.p2 AS rawname, g.r2 AS role FROM blocks
+            ), named AS (
+                SELECT conv_id, turn_idx, pos,
+                       trim(regexp_replace(rawname, '\\s+', ' ', 'g')) AS name,
+                       lower(role) AS role
+                FROM expl
+            ), dedup AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, lower(name)
+                                          ORDER BY turn_idx, pos) AS rn
+                FROM named WHERE name <> ''
+            ), seqd AS (
+                SELECT conv_id, name, role,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, pos) AS seq
+                FROM dedup WHERE rn = 1
+            )
+            SELECT conv_id, seq AS party_seq,
+                   'PARTY-' || conv_id || '-' || printf('%03d', seq) AS internal_party_id,
+                   name,
+                   -- classify_party_type rule order (parties.py:89-99)
+                   CASE WHEN regexp_matches(name, '(?i)(association de fait|feitelijke vereniging)') THEN 'DE_FACTO_ASSOCIATION'
+                        WHEN regexp_matches(name, '(?i)(état belge|belgische staat|la ville de|de stad|la commune|de gemeente|la région|het gewest)') THEN 'PUBLIC_AUTHORITY'
+                        WHEN regexp_matches(name, '(?i)^(la |de |het )?(s\\.?a\\.?|n\\.?v\\.?|s\\.?p\\.?r\\.?l\\.?|b\\.?v\\.?b\\.?a\\.?|b\\.?v\\.?|asbl|vzw)\\b') THEN 'LEGAL_ENTITY'
+                        WHEN regexp_matches(name, '^(m\\.|mme|dhr\\.|mevr\\.|[A-Z]\\.\\s)') THEN 'NATURAL_PERSON'
+                        WHEN len(string_split(name, ' ')) <= 3 THEN 'NATURAL_PERSON'
+                        ELSE 'UNCLEAR' END AS party_type,
+                   -- _ROLE_MAP exact lowercase surface → enum (parties.py:32-62)
+                   CASE role
+                        WHEN 'demanderesse en cassation' THEN 'DEMANDEUR_EN_CASSATION'
+                        WHEN 'demandeur en cassation' THEN 'DEMANDEUR_EN_CASSATION'
+                        WHEN 'défenderesse en cassation' THEN 'DEFENDEUR_EN_CASSATION'
+                        WHEN 'défendeur en cassation' THEN 'DEFENDEUR_EN_CASSATION'
+                        WHEN 'demanderesse' THEN 'DEMANDEUR'
+                        WHEN 'demandeur' THEN 'DEMANDEUR'
+                        WHEN 'défenderesse' THEN 'DEFENDEUR'
+                        WHEN 'défendeur' THEN 'DEFENDEUR'
+                        WHEN 'partie civile' THEN 'PARTIE_CIVILE'
+                        WHEN 'prévenu' THEN 'PREVENU'
+                        WHEN 'appelante' THEN 'APPELANT'
+                        WHEN 'appelant' THEN 'APPELANT'
+                        WHEN 'intimée' THEN 'INTIME'
+                        WHEN 'intimé' THEN 'INTIME'
+                        WHEN 'ministère public' THEN 'MINISTERE_PUBLIC'
+                        WHEN 'eiseres tot cassatie' THEN 'EISER_IN_CASSATIE'
+                        WHEN 'eiser tot cassatie' THEN 'EISER_IN_CASSATIE'
+                        WHEN 'verweerster in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
+                        WHEN 'verweerder in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
+                        WHEN 'eiseres' THEN 'EISER'
+                        WHEN 'eiser' THEN 'EISER'
+                        WHEN 'verweerster' THEN 'VERWEERDER'
+                        WHEN 'verweerder' THEN 'VERWEERDER'
+                        WHEN 'appellante' THEN 'APPELLANT'
+                        WHEN 'appellant' THEN 'APPELLANT'
+                        WHEN 'geïntimeerde' THEN 'GEÏNTIMEERDE'
+                        WHEN 'burgerlijke partij' THEN 'BURGERLIJKE_PARTIJ'
+                        WHEN 'beklaagde' THEN 'BEKLAAGDE'
+                        WHEN 'openbaar ministerie' THEN 'OPENBAAR_MINISTERIE'
+                        ELSE 'AUTRE' END AS procedural_role
+            FROM seqd
+            ORDER BY conv_id, party_seq
+        """,
+        "kg_outcomes": f"""
+            WITH d AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+                GROUP BY conv_id
+            ), low AS (
+                SELECT conv_id, text, lower(text) AS lt FROM d
+            ), ph(phrase, label, prio) AS (
+                -- _OUTCOME_PHRASES in list order (parties.py:160-176); the
+                -- LAST occurrence in document order wins, list order breaks
+                -- position ties (classify_outcome, parties.py:181-192)
+                VALUES
+                ('casse partiellement', 'CASSATION_PARTIELLE', 1),
+                ('rejette le pourvoi', 'REJET', 2),
+                ('casse l''arrêt', 'CASSATION', 3),
+                ('renvoie la cause', 'RENVOI', 4),
+                ('confirme le jugement', 'CONFIRMATION', 5),
+                ('déclare le moyen non fondé', 'NON_FONDE', 6),
+                ('déclare le moyen fondé', 'FONDE', 7),
+                ('déclare la demande irrecevable', 'IRRECEVABILITE', 8),
+                ('condamne', 'CONDAMNATION', 9),
+                ('verklaart het middel ongegrond', 'ONGEGROND', 10),
+                ('verklaart het middel gegrond', 'GEGROND', 11),
+                ('vernietigt het bestreden arrest', 'VERNIETIGING', 12),
+                ('wijst de vordering af', 'AFWIJZING', 13),
+                ('verwijst de zaak', 'VERWIJZING', 14),
+                ('bevestigt het vonnis', 'BEVESTIGING', 15)
+            ), pos AS (
+                SELECT conv_id, label, prio,
+                       length(lt) - strpos(reverse(lt), reverse(phrase))
+                         - length(phrase) + 2 AS p
+                FROM low CROSS JOIN ph
+                WHERE strpos(lt, phrase) > 0
+            ), best AS (
+                SELECT conv_id, label,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY p DESC, prio ASC) AS rn
+                FROM pos
+            )
+            SELECT d.conv_id,
+                   coalesce(b.label,
+                            CASE WHEN regexp_matches(d.text, '(?i)\\b(het|wordt|zaak|arrest)\\b')
+                                 THEN 'ANDERE' ELSE 'AUTRE' END) AS outcome,
+                   true AS valid, false AS retried, false AS used_fallback,
+                   'auto_accept' AS review_tier, '' AS errors
+            FROM d LEFT JOIN (SELECT conv_id, label FROM best WHERE rn = 1) b
+                   USING (conv_id)
+            ORDER BY conv_id
         """,
         # flagship-assembly oracles: the transcript corpus is the engine's own
         # deterministic synthetic input (BASELINE.json input_hint), not one of
