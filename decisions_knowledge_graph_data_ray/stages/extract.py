@@ -58,10 +58,12 @@ class ExtractorActor:
     """Stateful extraction stage: validator compiled once per actor."""
 
     def __init__(self, extract_fn: Callable[[dict], dict] | None = None):
-        import jsonschema
+        from ..functions.validate import first_error_fn
 
         self._extract_fn = extract_fn or extract_document
-        self._validator = jsonschema.Draft7Validator(schemas.EXTRACTION_JSON_SCHEMA)
+        # compiled-closure validator (AJV-style compile-once); falls back to
+        # jsonschema automatically for schemas outside the compiled subset
+        self._first_error = first_error_fn(schemas.EXTRACTION_JSON_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -77,18 +79,18 @@ class ExtractorActor:
                 rec.update(valid=False, failure_reason=schemas.REASON_REQUEST_ERROR, failure_error=str(e)[:500])
                 rows.append(rec)
                 continue
-            err = next(iter(self._validator.iter_errors(rec)), None)
+            err = self._first_error(rec)
             if err is not None:
                 bad = {"conv_id": conv_id, "self_ecli": self_ecli, **_EMPTY_EXTRACTION}
                 bad.update(
                     valid=False,
                     failure_reason=schemas.REASON_SCHEMA_VALIDATION,
-                    failure_error=err.message[:500],
+                    failure_error=err[:500],
                 )
                 rows.append(bad)
                 continue
-            # cross-item check jsonschema can't express: every hierarchy ref
-            # must name a teaching of the SAME document (the reference's
+            # cross-item check a JSON schema can't express: every hierarchy
+            # ref must name a teaching of the SAME document (the reference's
             # validationChecks.allHierarchyReferencesValid,
             # extract-legal-teachings/schema.ts:288-301)
             from ..functions.teachings import hierarchy_reference_errors
