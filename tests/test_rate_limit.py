@@ -1,0 +1,156 @@
+"""Rate-limit envelope: pacing, Retry-After, backoff, escalation flow."""
+
+import time
+
+import pytest
+import ray
+
+from decisions_knowledge_graph_data_ray.stages.rate_limit import (
+    RateLimitedClient,
+    RateLimitError,
+    TokenBucket,
+    is_rate_limit_error,
+    retry_after_of,
+)
+
+
+def test_classification_duck_typing():
+    assert is_rate_limit_error(RateLimitError())
+
+    class SDKErr(Exception):
+        status = 429
+
+    class SDKErr2(Exception):
+        code = "rate_limit_exceeded"
+
+    assert is_rate_limit_error(SDKErr())
+    assert is_rate_limit_error(SDKErr2())
+    assert not is_rate_limit_error(ValueError("x"))
+    assert retry_after_of(RateLimitError(retry_after=3)) == 3.0
+
+    class HdrErr(Exception):
+        headers = {"retry-after": "7"}
+
+    assert retry_after_of(HdrErr()) == 7.0
+
+    class DateErr(Exception):
+        headers = {"retry-after": "Wed, 21 Oct 2026 07:28:00 GMT"}
+
+    assert retry_after_of(DateErr()) is None  # HTTP-date → exponential path
+
+
+def test_retry_after_honored_then_success():
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky(doc):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RateLimitError(retry_after=0.25)
+        return {"ok": doc}
+
+    c = RateLimitedClient(flaky, sleep_fn=sleeps.append)
+    assert c("x") == {"ok": "x"}
+    assert calls["n"] == 3
+    assert sleeps == [0.25, 0.25]
+
+
+def test_exponential_backoff_capped_and_exhausted():
+    sleeps = []
+
+    def always(doc):
+        raise RateLimitError()  # no retry_after → exponential
+
+    c = RateLimitedClient(always, max_retries=5, sleep_fn=sleeps.append)
+    with pytest.raises(RateLimitError):
+        c("x")
+    # 5 backoffs (the 6th failure re-raises): 2^(n+1) + jitter, capped 60
+    assert len(sleeps) == 5
+    for i, s in enumerate(sleeps):
+        assert 2.0 ** (i + 1) <= s <= min(2.0 ** (i + 1) + 2.0, 60.0)
+
+
+def test_non_rate_limit_errors_propagate_immediately():
+    calls = {"n": 0}
+
+    def broken(doc):
+        calls["n"] += 1
+        raise ValueError("boom")
+
+    c = RateLimitedClient(broken, sleep_fn=lambda s: None)
+    with pytest.raises(ValueError):
+        c("x")
+    assert calls["n"] == 1
+
+
+def test_token_bucket_paces_globally(ray_session):
+    bucket = TokenBucket.remote(rps=50)
+    calls = []
+
+    def fn(doc):
+        calls.append(time.monotonic())
+        return doc
+
+    c = RateLimitedClient(fn, limiter=bucket)
+    t0 = time.monotonic()
+    for i in range(20):
+        c(i)
+    elapsed = time.monotonic() - t0
+    # 20 requests at 50 rps need >= 19/50 = 0.38s of schedule
+    assert elapsed >= 0.38
+    stats = ray.get(bucket.stats.remote())
+    assert stats["granted"] == 20
+    assert stats["inflight"] == 0
+
+
+def test_inflight_cap_blocks_until_finish(ray_session):
+    bucket = TokenBucket.remote(max_inflight=1)
+    granted, wait = ray.get(bucket.acquire.remote())
+    assert granted
+    refused, poll = ray.get(bucket.acquire.remote())
+    assert not refused and poll > 0
+    ray.get(bucket.finish.remote())
+    granted2, _ = ray.get(bucket.acquire.remote())
+    assert granted2
+
+
+def test_flaky_client_through_escalation(ray_session):
+    """A primary extractor that always rate-limits past its retries fails
+    rows to the escalation path; the wrapped fallback (flaky but
+    recovering) completes every document — bounded RPS, eventual success."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.functions.document import extract_document
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_with_escalation
+
+    docs = rd.from_items(
+        [
+            {"conv_id": f"conv:{i:04d}", "text": f"user: hello {i}", "self_ecli": ""}
+            for i in range(8)
+        ]
+    )
+
+    def exhausted(doc):
+        raise RateLimitError(retry_after=0.001)
+
+    primary = RateLimitedClient(exhausted, max_retries=1, sleep_fn=lambda s: None)
+
+    class FlakyOnce:
+        """Rate-limits the first time it sees each doc (per-process state)."""
+
+        def __init__(self):
+            self.seen = set()
+
+        def __call__(self, doc):
+            if doc["conv_id"] not in self.seen:
+                self.seen.add(doc["conv_id"])
+                raise RateLimitError(retry_after=0.001)
+            return extract_document(doc)
+
+    bucket = TokenBucket.remote(rps=500)
+    fallback = RateLimitedClient(FlakyOnce(), limiter=bucket, max_retries=3)
+
+    out = extract_with_escalation(docs, primary_fn=primary, fallback_fn=fallback).to_pandas()
+    assert len(out) == 8
+    assert bool(out["valid"].all())
+    assert ray.get(bucket.stats.remote())["granted"] >= 16  # ≥2 attempts/doc
