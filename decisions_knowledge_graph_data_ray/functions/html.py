@@ -28,13 +28,23 @@ _ITAL_RE = re.compile(r"(?<!\*)\*(?!\*)(.+?)(?<!\*)\*(?!\*)")
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
 _CODE_RE = re.compile(r"`([^`]+)`")
 _LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)")
+_REF_LINK_RE = re.compile(r"\[([^\]]+)\]\[([^\]]*)\]")
+_REF_DEF_RE = re.compile(r'^\s*\[([^\]]+)\]:\s*(\S+)(?:\s+"[^"]*")?\s*$')
 _OL_RE = re.compile(r"^\d+[.)]\s+(.*)$")
+_UL_RE = re.compile(r"^[-*]\s+(.*)$")
 _HR_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})$")
+_SETEXT_H1_RE = re.compile(r"^=+$")
+_SETEXT_H2_RE = re.compile(r"^-+$")
+_FENCE_RE = re.compile(r"^```")
 _TABLE_SEP_RE = re.compile(r"^\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?$")
 
 
-def _inline(text: str) -> str:
-    text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+def _escape(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _inline(text: str, refs: dict[str, str] | None = None) -> str:
+    text = _escape(text)
     # Extract code-span contents into placeholders first so the other inline
     # substitutions never touch markup inside them (pandoc: `a*b*c` stays
     # literal), then restore.
@@ -48,6 +58,13 @@ def _inline(text: str) -> str:
     text = _BOLD_RE.sub(r"<strong>\1</strong>", text)
     text = _ITAL_RE.sub(r"<em>\1</em>", text)
     text = _LINK_RE.sub(r'<a href="\2">\1</a>', text)
+    if refs:
+        def _ref(m: re.Match) -> str:
+            label = (m.group(2) or m.group(1)).lower()  # [t][] collapses to t
+            url = refs.get(label)
+            return f'<a href="{url}">{m.group(1)}</a>' if url else m.group(0)
+
+        text = _REF_LINK_RE.sub(_ref, text)
     for i, body in enumerate(spans):
         text = text.replace(f"\x00{i}\x00", f"<code>{body}</code>")
     return text
@@ -58,25 +75,95 @@ def _split_table_row(line: str) -> list[str]:
     return [c.strip() for c in cells]
 
 
+class _ListStack:
+    """Nested ordered/unordered list builder emitting pandoc-shaped HTML
+    (`<ul><li>a<ul><li>a1</li></ul></li></ul>`); flat lists render exactly
+    as the previous single-level implementation did."""
+
+    def __init__(self, inline):
+        self._inline = inline
+        self._stack: list[dict] = []  # {indent, tag, items: [html]}
+
+    def __bool__(self) -> bool:
+        return bool(self._stack)
+
+    def _render_top(self) -> str:
+        top = self._stack.pop()
+        items = "".join(f"<li>{i}</li>" for i in top["items"])
+        return f"<{top['tag']}>{items}</{top['tag']}>"
+
+    def _close_one(self) -> str | None:
+        html = self._render_top()
+        if self._stack:
+            self._stack[-1]["items"][-1] += html  # nest inside parent item
+            return None
+        return html
+
+    def add(self, indent: int, tag: str, item: str) -> str | None:
+        """Add an item; returns finished top-level list html when a sibling
+        list of a different tag forces a close at the top level."""
+        out = None
+        while self._stack and indent < self._stack[-1]["indent"]:
+            out = self._close_one() or out
+        if self._stack and indent >= self._stack[-1]["indent"] + 2:
+            # deeper: open a nested list under the last item
+            self._stack.append({"indent": indent, "tag": tag, "items": [self._inline(item)]})
+            return out
+        if self._stack and self._stack[-1]["tag"] != tag:
+            out = self._close_one() or out
+        if not self._stack:
+            self._stack.append({"indent": indent, "tag": tag, "items": []})
+        self._stack[-1]["items"].append(self._inline(item))
+        return out
+
+    def flush(self) -> str | None:
+        out = None
+        while self._stack:
+            out = self._close_one() or out
+        return out
+
+
 def markdown_to_html(md: str) -> str:
-    """Minimal deterministic markdown→HTML5 (headings, paragraphs, quotes,
-    ordered/unordered lists, pipe tables, horizontal rules)."""
+    """Deterministic markdown→HTML5: ATX + setext headings, paragraphs,
+    blockquotes, nested ordered/unordered lists, pipe tables, fenced code
+    blocks, horizontal rules, inline/reference links, raw-HTML block
+    passthrough (the pandoc subset of
+    /root/reference/src/utils/markdownToHtml.ts:53-98 the corpus uses)."""
+    lines = md.split("\n")
+
+    # pre-pass: collect reference-link definitions and drop their lines
+    refs: dict[str, str] = {}
+    body_lines: list[str] = []
+    in_fence = False
+    for raw in lines:
+        if _FENCE_RE.match(raw.strip()):
+            in_fence = not in_fence
+            body_lines.append(raw)
+            continue
+        d = None if in_fence else _REF_DEF_RE.match(raw)
+        if d:
+            refs[d.group(1).lower()] = _escape(d.group(2))
+        else:
+            body_lines.append(raw)
+
+    def inline(text: str) -> str:
+        return _inline(text, refs)
+
     out: list[str] = []
     paragraph: list[str] = []
-    list_items: list[str] = []
-    list_tag = "ul"
+    lists = _ListStack(inline)
     table_rows: list[str] = []
+    code_lines: list[str] | None = None  # inside a fence when not None
 
     def flush_paragraph():
         if paragraph:
-            out.append(f"<p>{_inline(' '.join(paragraph))}</p>")
+            out.append(f"<p>{inline(' '.join(paragraph))}</p>")
             paragraph.clear()
 
     def flush_list():
-        if list_items:
-            items = "".join(f"<li>{_inline(i)}</li>" for i in list_items)
-            out.append(f"<{list_tag}>{items}</{list_tag}>")
-            list_items.clear()
+        html = lists.flush()
+        if html:
+            out.append(html)
 
     def flush_table():
         if not table_rows:
@@ -92,32 +179,53 @@ def markdown_to_html(md: str) -> str:
         parts = ["<table>"]
         if header is not None:
             parts.append(
-                "<tr>" + "".join(f"<th>{_inline(c)}</th>" for c in header) + "</tr>"
+                "<tr>" + "".join(f"<th>{inline(c)}</th>" for c in header) + "</tr>"
             )
         for r in rows:
             parts.append(
-                "<tr>" + "".join(f"<td>{_inline(c)}</td>" for c in _split_table_row(r)) + "</tr>"
+                "<tr>" + "".join(f"<td>{inline(c)}</td>" for c in _split_table_row(r)) + "</tr>"
             )
         parts.append("</table>")
         out.append("".join(parts))
 
-    for raw in md.split("\n"):
+    for raw in body_lines:
         line = raw.rstrip()
         stripped = line.strip()
+
+        if code_lines is not None:  # inside a fenced code block
+            if _FENCE_RE.match(stripped):
+                out.append(f"<pre><code>{_escape(chr(10).join(code_lines))}</code></pre>")
+                code_lines = None
+            else:
+                code_lines.append(line)
+            continue
+
         is_table_row = stripped.startswith("|") and stripped.count("|") >= 2
         if table_rows and not is_table_row:
             flush_table()
         m = _HEADING_RE.match(stripped)
         ol = _OL_RE.match(stripped)
-        if is_table_row:
+        ul = _UL_RE.match(stripped)
+        indent = len(raw) - len(raw.lstrip(" "))
+        if _FENCE_RE.match(stripped):
+            flush_paragraph()
+            flush_list()
+            code_lines = []
+        elif is_table_row:
             flush_paragraph()
             flush_list()
             table_rows.append(stripped)
+        elif paragraph and _SETEXT_H1_RE.match(stripped):
+            out.append(f"<h1>{inline(' '.join(paragraph))}</h1>")
+            paragraph.clear()
+        elif paragraph and _SETEXT_H2_RE.match(stripped):
+            out.append(f"<h2>{inline(' '.join(paragraph))}</h2>")
+            paragraph.clear()
         elif m:
             flush_paragraph()
             flush_list()
             level = len(m.group(1))
-            out.append(f"<h{level}>{_inline(m.group(2).strip())}</h{level}>")
+            out.append(f"<h{level}>{inline(m.group(2).strip())}</h{level}>")
         elif _HR_RE.match(stripped):
             flush_paragraph()
             flush_list()
@@ -125,25 +233,29 @@ def markdown_to_html(md: str) -> str:
         elif stripped.startswith(">"):
             flush_paragraph()
             flush_list()
-            out.append(f"<blockquote><p>{_inline(stripped[1:].strip())}</p></blockquote>")
-        elif stripped.startswith(("- ", "* ")):
+            out.append(f"<blockquote><p>{inline(stripped[1:].strip())}</p></blockquote>")
+        elif ul:
             flush_paragraph()
-            if list_items and list_tag != "ul":
-                flush_list()
-            list_tag = "ul"
-            list_items.append(stripped[2:].strip())
+            html = lists.add(indent, "ul", ul.group(1).strip())
+            if html:
+                out.append(html)
         elif ol:
             flush_paragraph()
-            if list_items and list_tag != "ol":
-                flush_list()
-            list_tag = "ol"
-            list_items.append(ol.group(1).strip())
+            html = lists.add(indent, "ol", ol.group(1).strip())
+            if html:
+                out.append(html)
         elif stripped == "":
             flush_paragraph()
             flush_list()
+        elif stripped.startswith("<") and not paragraph and not lists:
+            # raw HTML block passthrough (pandoc: native blocks survive)
+            flush_table()
+            out.append(stripped)
         else:
             flush_list()
             paragraph.append(stripped)
+    if code_lines is not None:  # unterminated fence: pandoc closes it at EOF
+        out.append(f"<pre><code>{_escape(chr(10).join(code_lines))}</code></pre>")
     flush_paragraph()
     flush_list()
     flush_table()

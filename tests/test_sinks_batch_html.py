@@ -212,3 +212,48 @@ def test_write_triples_partitioned(ray_session, tmp_path):
     assert len(shard_dirs) >= 2  # hash-partitioned directories
     back = rd.read_parquet(out)
     assert back.count() == 100
+
+
+def test_markdown_nested_lists():
+    md = "- a\n  - a1\n  - a2\n- b\n"
+    html = H.markdown_to_html(md)
+    assert html == "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>"
+    md2 = "1. first\n   - x\n   - y\n2. second\n"
+    html2 = H.markdown_to_html(md2)
+    assert html2 == "<ol><li>first<ul><li>x</li><li>y</li></ul></li><li>second</li></ol>"
+    # three levels deep, closing two levels at once
+    md3 = "- a\n  - b\n    - c\n- d\n"
+    assert (
+        H.markdown_to_html(md3)
+        == "<ul><li>a<ul><li>b<ul><li>c</li></ul></li></ul></li><li>d</li></ul>"
+    )
+
+
+def test_markdown_setext_headings():
+    md = "Title line\n====\n\nSub heading\n---\n\nplain para\n"
+    html = H.markdown_to_html(md)
+    assert "<h1>Title line</h1>" in html
+    assert "<h2>Sub heading</h2>" in html
+    assert "<p>plain para</p>" in html
+    # a dash rule with no pending paragraph stays a horizontal rule
+    assert "<hr />" not in html
+    assert "<hr />" in H.markdown_to_html("para\n\n---\n")
+
+
+def test_markdown_reference_links():
+    md = "See [the act][loi] and [short][].\n\n[loi]: https://example.org/loi\n[short]: https://example.org/s\n"
+    html = H.markdown_to_html(md)
+    assert '<a href="https://example.org/loi">the act</a>' in html
+    assert '<a href="https://example.org/s">short</a>' in html
+    # unknown label stays literal
+    assert "[nope][missing]" in H.markdown_to_html("x [nope][missing] y\n")
+
+
+def test_markdown_fenced_code_and_html_passthrough():
+    md = "before\n\n```\ncode *not em* & <raw>\n```\n\n<div class=\"x\">kept</div>\n"
+    html = H.markdown_to_html(md)
+    assert "<pre><code>code *not em* &amp; &lt;raw&gt;</code></pre>" in html
+    assert '<div class="x">kept</div>' in html
+    # reference-style definitions inside fences are NOT link definitions
+    md2 = "```\n[label]: https://example.org\n```\n"
+    assert "[label]: https://example.org" in H.markdown_to_html(md2)
