@@ -260,7 +260,17 @@ def ivf_topk(
     so the shuffle moves at most k rows per (batch, query)."""
     q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
     qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
-    sample = embeddings.limit(train_sample).to_pandas()["embedding"]
+    # seeded random sample for the trainer — first-N is biased when the
+    # corpus is ordered (e.g. by source shard); the seed keeps the quantizer
+    # deterministic run-to-run
+    n_total = embeddings.count()
+    if n_total > train_sample:
+        sampled = embeddings.random_sample(train_sample / n_total, seed=2654435761)
+        sample = sampled.select_columns(["embedding"]).to_pandas()["embedding"]
+        if len(sample) < max(nlist, 2):  # fraction undershoot on tiny corpora
+            sample = embeddings.limit(train_sample).to_pandas()["embedding"]
+    else:
+        sample = embeddings.select_columns(["embedding"]).to_pandas()["embedding"]
     C = kmeans_centroids(np.asarray(sample.tolist(), dtype=np.float32), nlist)
     nprobe = min(nprobe, len(C))
     # per query: the nprobe nearest cells
