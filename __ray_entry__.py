@@ -101,6 +101,268 @@ def _kg_documents(sf_dir: str):
     return _docs_for(sf_dir)
 
 
+def _mentions_parts() -> dict:
+    """Shared SQL pieces of the provision-mention oracle — the DuckDB twin
+    of extract_cited_provisions (functions/extract.py:233-301 +
+    snippet_extractor.py:17-43 patterns). The regexes are copied
+    token-for-token with two RE2 translations: Python's unicode ``\\w``
+    becomes ``[\\p{L}\\p{N}_]`` (RE2 \\w is ASCII) and SQL quoting doubles
+    apostrophes. Matches never span turns (``[^.\\n]`` windows + the
+    name-continuation class excludes newlines), so the oracle extracts
+    per-turn and orders by (turn_idx, in-turn position, pattern priority) —
+    exactly the extractor's global sort of matches by start offset with
+    stable article<treaty<EU tie order."""
+    # PATTERN_ARTICLE_WITH_SOURCE — group 1 = article keyword, group 2 =
+    # source keyword (the last captured group, = the extractor's kw_group)
+    art_pat = (
+        r"(?i)(art\.?|artikel|articles?|artikelen?|article)\s*[0-9][0-9a-zA-Z./-°]*"
+        r"(?:\s*(?:§+|§|par(?:a|.)?graphe?|lid|alin[eé]a)\s*\d+)?"
+        r"(?:\s*,?\s*(?:§+|§|par(?:a|.)?graphe?|lid|alin[eé]a)\s*\d+)?"
+        r"(?:\s*(?:,|\bet\b|\ben\b)\s*[0-9][0-9a-zA-Z./-°]*"
+        r"(?:\s*(?:§+|§|par(?:a|.)?graphe?|lid|alin[eé]a)\s*\d+)?)*"
+        r"[^.\n]{0,160}?"
+        r"(Code|Wet|Loi|Grondwet|Constitution|C\.C\.|C\.P\.|C\.I\.C\.|C\.J\.|C\.Com\.|"
+        r"C\.\s*Const\.|B\.W\.|Sw\.|W\.?\s*Sv\.|Ger\.?\s*W\.|Gw\.|VenW\.|AR|A\.R\.|K\.B\.|KB|"
+        r"Koninklijk\s+besluit|Arr[êe]t|Arrêt[ée]?|Verordening|R[eè]glement|Regulation|"
+        r"Richtlijn|Directive|CEDH|EVRM|TFUE|TFEU|TUE|VWEU|WIB|Btw-Wetboek|"
+        r"loi\s+du\s+\d{1,2}\s+[\p{L}\p{N}_]+\s+\d{4}|wet\s+van\s+\d{1,2}\s+[\p{L}\p{N}_]+\s+\d{4}|loi\s+spéciale)"
+    )
+    # PATTERN_TREATY — group 2 = treaty token
+    treaty_pat = (
+        r"(?i)(art\.?|artikel|articles?|artikelen?|article)\s*[0-9][0-9a-zA-Z()./-]*"
+        r"(?:\s*,?\s*§\s*\d+)?\s*(CEDH|EVRM|TFUE|TFEU|TUE|VWEU)"
+    )
+    # PATTERN_EU_INSTRUMENT — the match starts at the instrument token
+    eu_pat = (
+        r"(?i)((Verordening|R[eè]glement|Regulation)[^.\n]{0,40}?(?:\((?:EU|UE|EG|CE)\))?"
+        r"[^.\n]{0,15}?(?:nr\.?|n°)?\s*\d{2,4}/\d{2,4}"
+        r"|(Richtlijn|Directive)\s+\d{2,4}/\d{2,4}/[A-Z]{2,5})"
+    )
+    # _ARTICLE_NUM_RE (extract.py:180) — note the narrower number class than
+    # the match pattern's (literal ./- vs the ./-° range): the number is
+    # re-extracted from the fragment exactly as the Python does
+    num_pat = r"(?i)(art\.?|artikel|articles?|artikelen?|article)\s*([0-9][0-9a-zA-Z./-]*)"
+    # _ACT_NAME_CONT_RE (extract.py:183) — unicode \w expanded for RE2
+    cont_pat = r"^[\p{L}\p{N}_'’ .\-]{0,60}"
+    # the cut-before-following-article-clause rule (extract.py:222)
+    cut_pat = r"(?i)\s+(?:et|en)\s+(?:l['’])?\s*(?:art\.?|artikel|article)\b.*$"
+    date_pat = r"(?i)(?:loi\s+du|wet\s+van)\s+(\d{1,2})\s+([\p{L}\p{N}_]+)\s+(\d{4})"
+
+    months = {
+        "januari": 1, "februari": 2, "maart": 3, "april": 4, "mei": 5, "juni": 6,
+        "juli": 7, "augustus": 8, "september": 9, "oktober": 10, "november": 11,
+        "december": 12,
+        "janvier": 1, "février": 2, "mars": 3, "avril": 4, "mai": 5, "juin": 6,
+        "juillet": 7, "août": 8, "septembre": 9, "octobre": 10, "novembre": 11,
+        "décembre": 12,
+    }
+    month_case = " ".join(f"WHEN '{m}' THEN {n}" for m, n in months.items())
+
+    def sq(p: str) -> str:
+        return p.replace("'", "''")
+
+    ctes = f"""t AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{_sf001_transcripts_path()}')
+        ), raw AS (
+            -- one row per (pattern, match); prio = the extractor's stable
+            -- tie order article(1) < treaty(2) < EU(3)
+            SELECT conv_id, turn_idx, 1 AS prio, i AS midx,
+                   regexp_extract_all(text, '{sq(art_pat)}', 0)[i] AS frag,
+                   regexp_extract_all(text, '{sq(art_pat)}', 2)[i] AS kw,
+                   text
+            FROM t, unnest(range(1, len(regexp_extract_all(text, '{sq(art_pat)}', 0)) + 1)) AS r(i)
+            UNION ALL
+            SELECT conv_id, turn_idx, 2, i,
+                   regexp_extract_all(text, '{sq(treaty_pat)}', 0)[i],
+                   regexp_extract_all(text, '{sq(treaty_pat)}', 2)[i],
+                   text
+            FROM t, unnest(range(1, len(regexp_extract_all(text, '{sq(treaty_pat)}', 0)) + 1)) AS r(i)
+            UNION ALL
+            SELECT conv_id, turn_idx, 3, i,
+                   regexp_extract_all(text, '{sq(eu_pat)}', 0)[i],
+                   '' AS kw,  -- EU matches start at the instrument token
+                   text
+            FROM t, unnest(range(1, len(regexp_extract_all(text, '{sq(eu_pat)}', 0)) + 1)) AS r(i)
+        ), located AS (
+            SELECT conv_id, turn_idx, prio, midx, frag,
+                   strpos(text, frag) AS pos,
+                   -- 80-char name window starting at the source keyword
+                   substr(text, strpos(text, frag) + length(frag) - length(kw), 80) AS tail,
+                   regexp_extract(frag, '{sq(num_pat)}', 2) AS num
+            FROM raw
+        ), named AS (
+            SELECT conv_id, turn_idx, prio, midx, pos, num,
+                   CASE WHEN prio = 3 AND num = ''
+                        THEN trim(regexp_replace(frag, '\\s+', ' ', 'g'))
+                        ELSE trim(regexp_replace(
+                                 regexp_replace(
+                                     regexp_extract(
+                                         regexp_extract(tail, '{sq(cont_pat)}'),
+                                         '^[^.,;]*'),
+                                     '{sq(cut_pat)}', ''),
+                                 '\\s+', ' ', 'g'))
+                        END AS name
+            FROM located
+        ), dedup AS (
+            SELECT *,
+                   regexp_replace(lower(num), '[^0-9a-z]+$', '') AS numkey,
+                   row_number() OVER (
+                       PARTITION BY conv_id,
+                                    regexp_replace(lower(num), '[^0-9a-z]+$', ''),
+                                    lower(name)
+                       ORDER BY turn_idx, pos, prio, midx) AS rn
+            FROM named WHERE name <> ''
+        ), seqd AS (
+            SELECT conv_id, numkey, num, name,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx, pos, prio, midx) AS provision_seq
+            FROM dedup WHERE rn = 1
+        )"""
+    return {"ctes": ctes, "month_case": month_case, "date_pat": sq(date_pat), "sq": sq}
+
+
+def _kg_mentions_sql() -> str:
+    p = _mentions_parts()
+    ctes, month_case = p["ctes"], p["month_case"]
+    date_sq = p["date_pat"]
+    return f"""
+        WITH {ctes}, act_first AS (
+            SELECT conv_id, lower(name) AS norm_name, min(provision_seq) AS fs
+            FROM seqd GROUP BY 1, 2
+        ), act_seqs AS (
+            SELECT conv_id, norm_name,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY fs) AS act_seq
+            FROM act_first
+        )
+        SELECT s.conv_id,
+               s.provision_seq,
+               a.act_seq,
+               s.num AS provision_number,
+               s.numkey AS provision_number_key,
+               s.name AS parent_act_name,
+               -- _ACT_TYPE_MAP in order (extract.py:189-201)
+               CASE WHEN regexp_matches(s.name, '(?i)^loi\\b') THEN 'LOI'
+                    WHEN regexp_matches(s.name, '(?i)^wet\\b') THEN 'WET'
+                    WHEN regexp_matches(s.name, '(?i)^grondwet') THEN 'GRONDWET'
+                    WHEN regexp_matches(s.name, '(?i)^constitution') THEN 'CONSTITUTION'
+                    WHEN regexp_matches(s.name, '(?i)^(k\\.?b\\.?|koninklijk\\s+besluit)') THEN 'KONINKLIJK_BESLUIT'
+                    WHEN regexp_matches(s.name, '(?i)^(a\\.?r\\.?|arr[êe]t[ée]?)$') THEN 'ARRETE_ROYAL'
+                    WHEN regexp_matches(s.name, '(?i)^(code|c\\.)') THEN 'CODE'
+                    WHEN regexp_matches(s.name, '(?i)^(b\\.w\\.|sw\\.|w\\.?\\s*sv\\.|ger\\.?\\s*w\\.|gw\\.|venw\\.|wib|btw-wetboek)') THEN 'CODE'
+                    WHEN regexp_matches(s.name, '(?i)^(verordening|r[eè]glement|regulation)') THEN 'EU_REGULATION'
+                    WHEN regexp_matches(s.name, '(?i)^(richtlijn|directive)') THEN 'EU_DIRECTIVE'
+                    WHEN regexp_matches(s.name, '(?i)^(cedh|evrm|tfue|tfeu|tue|vweu)') THEN 'TREATY'
+                    ELSE 'OTHER' END AS parent_act_type,
+               CASE WHEN regexp_extract(s.name, '{date_sq}', 2) <> ''
+                         AND (CASE lower(regexp_extract(s.name, '{date_sq}', 2))
+                              {month_case} ELSE NULL END) IS NOT NULL
+                    THEN printf('%04d-%02d-%02d',
+                                CAST(regexp_extract(s.name, '{date_sq}', 3) AS INTEGER),
+                                CASE lower(regexp_extract(s.name, '{date_sq}', 2))
+                                {month_case} ELSE NULL END,
+                                CAST(regexp_extract(s.name, '{date_sq}', 1) AS INTEGER))
+                    ELSE NULL END AS parent_act_date,
+               'ART-' || s.conv_id || '-' || printf('%03d', s.provision_seq) AS internal_provision_id,
+               'ACT-' || s.conv_id || '-' || printf('%03d', a.act_seq) AS internal_parent_act_id
+        FROM seqd s
+        JOIN act_seqs a ON a.conv_id = s.conv_id AND a.norm_name = lower(s.name)
+        ORDER BY s.conv_id, s.provision_seq
+    """
+
+
+def _kg_interpretations_sql() -> str:
+    """DuckDB twin of interpret_provisions (functions/interpret.py): per
+    provision the first interpretation-marker sentence (>=100 chars) and the
+    first en-l'espèce/in-casu sentence (>=50 chars), with the negative
+    (formal citation / party argument / quotation) filter. RE2 notes: the
+    sentence-split lookbehind ``(?<=[.!?;])\\s+`` becomes
+    punctuation-sentinel-split; the mention lookahead ``(?!\\d)`` becomes
+    ``([^0-9]|$)``; the trailing ``\\b`` after the accented ``espèce``
+    becomes ``($|[^\\p{{L}}\\p{{N}}_])`` (RE2 \\b is ASCII-word only)."""
+    p = _mentions_parts()
+    ctes = p["ctes"]
+
+    # regex-escape a provision number for per-row pattern construction (the
+    # SQL analogue of re.escape on the RE2-special characters)
+    esc_expr = (
+        "regexp_replace(lower(trim(num)), "
+        "'([\\.\\^\\$\\|\\(\\)\\[\\]\\{\\}\\*\\+\\?\\\\])', '\\\\\\1', 'g')"
+    )
+    neg_pat = (
+        r"(?i)(\bvu l''article\b|\bgelet op artikel\b"
+        r"|\b(?:soutient|soutiennent) que\b|\b(?:stelt|stellen) dat\b"
+        r"|\bselon l''article [^:]{0,20}:)"
+    )
+    fact_pat = r"(?i)(\ben l''espèce($|[^\p{L}\p{N}_])|\bin casu($|[^\p{L}\p{N}_]))"
+    # _INTERP_MARKERS (interpret.py:35-49) as one alternation over the
+    # lowercased sentence; {art} spliced per row
+    marker_expr = (
+        "'signifie que"
+        "|il résulte de l''article ' || num_esc || '"
+        "|cette disposition (?:impose|requiert|vise)"
+        "|l''article ' || num_esc || ' (?:impose|requiert|exige)"
+        "|s''applique lorsque"
+        "|la cour estime que l''article ' || num_esc || '"
+        "|les conditions de l''article ' || num_esc || '"
+        "|betekent dat"
+        "|uit artikel ' || num_esc || ' volgt dat"
+        "|deze bepaling (?:vereist|legt op|beoogt)"
+        "|artikel ' || num_esc || ' (?:vereist|legt op)"
+        "|is van toepassing wanneer"
+        "|het hof oordeelt dat artikel ' || num_esc"
+    )
+
+    return f"""
+        WITH {ctes}, docs AS (
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS dtext
+            FROM read_parquet('{_sf001_transcripts_path()}')
+            GROUP BY conv_id
+        ), sents0 AS (
+            SELECT conv_id,
+                   string_split(regexp_replace(dtext, '([.!?;])\\s+', '\\1' || chr(1), 'g'),
+                                chr(1)) AS sl
+            FROM docs
+        ), sents AS (
+            SELECT conv_id, i AS sidx, trim(sl[i]) AS s
+            FROM sents0, unnest(range(1, len(sl) + 1)) AS r(i)
+            WHERE trim(sl[i]) <> ''
+        ), provs AS (
+            SELECT conv_id, provision_seq, lower(trim(num)) AS num_l,
+                   {esc_expr} AS num_esc
+            FROM seqd
+        ), pairs AS (
+            SELECT p.conv_id, p.provision_seq, p.num_esc, se.sidx, se.s
+            FROM provs p JOIN sents se USING (conv_id)
+            WHERE p.num_l <> ''
+              AND regexp_matches(lower(se.s),
+                    '(?:article|artikel|art\\.) ' || p.num_esc || '([^0-9]|$)')
+              AND NOT regexp_matches(se.s, '{neg_pat}')
+        ), interp AS (
+            SELECT conv_id, provision_seq,
+                   substr(min_by(s, sidx), 1, 1000) AS provision_interpretation
+            FROM pairs
+            WHERE length(s) >= 100
+              AND regexp_matches(lower(s), {marker_expr})
+            GROUP BY conv_id, provision_seq
+        ), fact AS (
+            SELECT conv_id, provision_seq,
+                   substr(min_by(s, sidx), 1, 500) AS relevant_factual_context
+            FROM pairs
+            WHERE length(s) >= 50 AND regexp_matches(s, '{fact_pat}')
+            GROUP BY conv_id, provision_seq
+        )
+        SELECT m.conv_id, m.provision_seq,
+               i.provision_interpretation,
+               f.relevant_factual_context
+        FROM seqd m
+        LEFT JOIN interp i ON i.conv_id = m.conv_id AND i.provision_seq = m.provision_seq
+        LEFT JOIN fact f ON f.conv_id = m.conv_id AND f.provision_seq = m.provision_seq
+        ORDER BY m.conv_id, m.provision_seq
+    """
+
+
 def _kg_mentions(sf_dir: str):
     """Exploded provision mentions (assembly + extraction only)."""
     import pyarrow as pa
@@ -1001,6 +1263,8 @@ def oracle_sql() -> dict[str, str]:
         # enums) the Ray extractors apply — every rule is cited next to its
         # Python twin in functions/teachings.py / functions/parties.py, so a
         # drift on either side trips the hash gate.
+        "kg_mentions": _kg_mentions_sql(),
+        "kg_interpretations": _kg_interpretations_sql(),
         "kg_teachings": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, text
