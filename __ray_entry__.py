@@ -1265,6 +1265,40 @@ def oracle_sql() -> dict[str, str]:
         # drift on either side trips the hash gate.
         "kg_mentions": _kg_mentions_sql(),
         "kg_interpretations": _kg_interpretations_sql(),
+        # winnowing fingerprint (functions/text_stats.py:96-102): min FNV-1a64
+        # over 64-byte windows stepped by 16 (whole-text hash when shorter),
+        # masked to int63. Bytes come from hex(encode(text)) pairs; the FNV
+        # fold runs in HUGEINT with an explicit mod-2^64 (xor operands stay
+        # < 2^64 so the 128-bit signed representation is exact).
+        "documents_fingerprints": """
+            WITH b AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ), bytes AS (
+                SELECT doc_id, n,
+                       list_transform(range(1, n + 1),
+                           i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+                                     + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+                                     AS HUGEINT)) AS bl
+                FROM b
+            ), wins AS (
+                SELECT doc_id, n, bl,
+                       CASE WHEN n <= 64 THEN [CAST(1 AS BIGINT)]
+                            ELSE list_transform(range(0, ((n - 64) // 16) + 1),
+                                                k -> k * 16 + 1) END AS starts
+                FROM bytes
+            )
+            SELECT doc_id,
+                   CAST(list_min(list_transform(starts, s ->
+                       CAST(list_reduce(
+                           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                        list_slice(bl, s, least(s + 63, CAST(n AS BIGINT)))),
+                           (h, bb) -> (xor(h, bb) * 1099511628211) % 18446744073709551616
+                       ) AS UHUGEINT))) % 9223372036854775808 AS BIGINT) AS fingerprint
+            FROM wins
+            ORDER BY doc_id
+        """,
         "kg_teachings": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, text
@@ -1488,6 +1522,103 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN (SELECT conv_id, label FROM best WHERE rn = 1) b
                    USING (conv_id)
             ORDER BY conv_id
+        """,
+        # currentInstance block (functions/comprehensive.py): facts = joined
+        # user turns capped 2000; request/argument counts = distinct cue
+        # turns capped 10; court_order = the dispositif sentence sliced
+        # around the LAST outcome-phrase occurrence with the extractor's
+        # exact rfind('\n')/rfind('. ')/find('.') boundary arithmetic.
+        "kg_comprehensive": f"""
+            WITH turns AS (
+                SELECT conv_id, turn_idx, role, text AS content
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), d AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx) AS text
+                FROM turns GROUP BY conv_id
+            ), facts AS (
+                SELECT conv_id,
+                       least(CASE WHEN count(*) FILTER (role = 'user') = 0 THEN 0
+                                  ELSE sum(length(content)) FILTER (role = 'user')
+                                       + count(*) FILTER (role = 'user') - 1 END,
+                             2000)::BIGINT AS facts_len,
+                       least(count(DISTINCT content) FILTER (
+                           regexp_matches(content, '(?i)demande|sollicite|pourvoi|vordering|verzoek|cassatieberoep')
+                       ), 10)::BIGINT AS n_requests,
+                       least(count(DISTINCT content) FILTER (
+                           regexp_matches(content, '(?i)le moyen|het middel|soutient|fait valoir|voert aan|betoogt')
+                       ), 10)::BIGINT AS n_arguments
+                FROM turns GROUP BY conv_id
+            ), ph(phrase, label, prio) AS (
+                VALUES
+                ('casse partiellement', 'CASSATION_PARTIELLE', 1),
+                ('rejette le pourvoi', 'REJET', 2),
+                ('casse l''arrêt', 'CASSATION', 3),
+                ('renvoie la cause', 'RENVOI', 4),
+                ('confirme le jugement', 'CONFIRMATION', 5),
+                ('déclare le moyen non fondé', 'NON_FONDE', 6),
+                ('déclare le moyen fondé', 'FONDE', 7),
+                ('déclare la demande irrecevable', 'IRRECEVABILITE', 8),
+                ('condamne', 'CONDAMNATION', 9),
+                ('verklaart het middel ongegrond', 'ONGEGROND', 10),
+                ('verklaart het middel gegrond', 'GEGROND', 11),
+                ('vernietigt het bestreden arrest', 'VERNIETIGING', 12),
+                ('wijst de vordering af', 'AFWIJZING', 13),
+                ('verwijst de zaak', 'VERWIJZING', 14),
+                ('bevestigt het vonnis', 'BEVESTIGING', 15)
+            ), low AS (
+                SELECT conv_id, text, lower(text) AS lt FROM d
+            ), pos AS (
+                SELECT conv_id, label, prio,
+                       length(lt) - strpos(reverse(lt), reverse(phrase))
+                         - length(phrase) + 2 AS p
+                FROM low CROSS JOIN ph
+                WHERE strpos(lt, phrase) > 0
+            ), ranked AS (
+                SELECT conv_id, label, p,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY p DESC, prio ASC) AS rn
+                FROM pos
+            ), best AS (
+                SELECT conv_id, p, label AS last_label FROM ranked WHERE rn = 1
+            ), co AS (
+                SELECT l.conv_id,
+                       CASE WHEN b.p IS NULL THEN '' ELSE (
+                           WITH one AS (
+                               SELECT substr(l.text, 1, b.p - 1) AS prefix,
+                                      substr(l.text, b.p) AS rest
+                           )
+                           SELECT trim(CASE WHEN strpos(raw, ': ') > 0
+                                                 AND substr(raw, strpos(raw, ': ') + 2) <> ''
+                                            THEN substr(raw, strpos(raw, ': ') + 2)
+                                            ELSE raw END)
+                           FROM (
+                               SELECT CASE WHEN strpos(rest, '.') > 0
+                                           THEN substr(l.text, st, b.p + strpos(rest, '.') - st)
+                                           ELSE substr(l.text, st) END AS raw
+                               FROM (
+                                   SELECT prefix, rest,
+                                          greatest(
+                                              CASE WHEN strpos(prefix, chr(10)) > 0
+                                                   THEN length(prefix) - strpos(reverse(prefix), chr(10)) + 1
+                                                   ELSE 0 END + 1,
+                                              CASE WHEN strpos(prefix, '. ') > 0
+                                                   THEN length(prefix) - strpos(reverse(prefix), reverse('. '))
+                                                   ELSE 0 END + 2
+                                          ) AS st
+                                   FROM one
+                               )
+                           )
+                       ) END AS court_order,
+                       coalesce(b.last_label,
+                                CASE WHEN regexp_matches(l.text, '(?i)\\b(het|wordt|zaak|arrest)\\b')
+                                     THEN 'ANDERE' ELSE 'AUTRE' END) AS outcome
+                FROM low l LEFT JOIN best b USING (conv_id)
+            )
+            SELECT f.conv_id, f.facts_len, f.n_requests, f.n_arguments,
+                   co.court_order, co.outcome
+            FROM facts f JOIN co USING (conv_id)
+            ORDER BY f.conv_id
         """,
         # flagship-assembly oracles: the transcript corpus is the engine's own
         # deterministic synthetic input (BASELINE.json input_hint), not one of
