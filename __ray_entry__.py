@@ -928,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "events_top_users": R.q_events_top_users,
         "events_sessionized": R.q_events_sessionized,
+        "events_interval_join": R.q_events_interval_join,
         "orders_distinct_status": R.q_orders_distinct_status,
         "lineitem_running_qty": R.q_lineitem_shipdate_window,
         # training-data ops with SQL oracles
@@ -1064,6 +1065,18 @@ def oracle_sql() -> dict[str, str]:
         "orders_distinct_status": """
             SELECT o_orderstatus, count(*) AS n FROM orders
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "events_interval_join": """
+            SELECT i.event_id AS purchase_id,
+                   count(*) AS n_events,
+                   round(sum(p.value), 2) AS sum_value
+            FROM events i
+            JOIN events p
+              ON p.user_id = i.user_id
+             AND p.ts >= i.ts
+             AND p.ts < i.ts + INTERVAL 30 MINUTE
+            WHERE i.event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
         """,
         "lineitem_running_qty": """
             SELECT l_orderkey, l_linenumber,

@@ -672,3 +672,71 @@ def q_documents_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = jaccard_similarity_join(docs, threshold=threshold).to_pandas()
     return out.sort_values(["src_id", "dst_id"]).reset_index(drop=True)
+
+
+def q_events_interval_join(sf_dir: str):
+    """Keyed range join: for every purchase, all events of the SAME user in
+    the half-open 30-minute window starting at the purchase — counts + value
+    sums per purchase. DuckDB inequality-join semantics via
+    stages/windows.interval_join (hash cogroup on user_id, vectorized
+    merge+filter per bucket), aggregated combiner-first."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.windows import interval_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _mk_intervals(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        end = pc.add(b["ts"].cast(pa.int64()), 30 * 60 * 1_000_000).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "purchase_id": b["event_id"],
+                "w_start": b["ts"],
+                "w_end": end,
+            }
+        )
+
+    intervals = ev.map_batches(_mk_intervals, batch_format="pyarrow")
+    points = ev.select_columns(["event_id", "ts", "user_id", "value"])
+    pairs = interval_join(
+        points, intervals, on="ts", start="w_start", end="w_end",
+        interval_columns=["purchase_id"], by="user_id",
+    )
+
+    # combiner-first aggregate per purchase (pid cogroup, Arrow C++ agg)
+    num_partitions = 32
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            batch.select(["purchase_id_i", "value"]), "purchase_id_i"
+        ).aggregate([("value", "sum"), ([], "count_all")])
+        names = {"value_sum": "sum_value", "count_all": "n_events", "purchase_id_i": "purchase_id"}
+        out = out.rename_columns([names.get(c, c) for c in out.column_names])
+        pid = pc.cast(
+            pc.bit_wise_and(out["purchase_id"], pa.scalar(num_partitions - 1, pa.int64())),
+            pa.int32(),
+        )
+        return out.append_column("pid", pid)
+
+    def _final(group: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            group.select(["purchase_id", "sum_value", "n_events"]), "purchase_id"
+        ).aggregate([("sum_value", "sum"), ("n_events", "sum")])
+        names = {"sum_value_sum": "sum_value", "n_events_sum": "n_events"}
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    df = (
+        pairs.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pid")
+        .map_groups(_final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = _round_cols(df, {"sum_value": 2})
+    return (
+        df[["purchase_id", "n_events", "sum_value"]]
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )

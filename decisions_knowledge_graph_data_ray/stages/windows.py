@@ -240,3 +240,142 @@ def hopping_window_count(
         return pa.table(cols)
 
     return out.map_batches(_finish, batch_format="pyarrow")
+
+
+_IBUCKET = "__ij_bucket"
+_ISIDE = "__ij_side"
+
+
+def interval_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    on: str,
+    start: str,
+    end: str,
+    interval_columns: list[str],
+    by: str | None = None,
+    suffix: str = "_i",
+    num_buckets: int = 32,
+    bucket_width_us: int | None = None,
+) -> ray.data.Dataset:
+    """Inner range (interval containment) join: every (point, interval) pair
+    with ``interval.start <= point.on < interval.end`` — and an equal ``by``
+    key when given. DuckDB ``JOIN ... ON p.by = i.by AND p.on >= i.start AND
+    p.on < i.end`` semantics; half-open so back-to-back intervals never
+    double-match a boundary point.
+
+    Two partitioning strategies (the operator's scale contract):
+
+    - ``by`` given (keyed range join): hash cogroup on ``by`` — one shuffle,
+      vectorized merge+filter per bucket. Assumption: one key's points and
+      intervals fit a bucket (the same per-key locality contract as
+      ``asof_join``; intervals never cross keys so no replication).
+    - ``by=None`` (pure band join): time-range bucketing — each point goes to
+      bucket ``on // bucket_width_us``; each interval is REPLICATED to every
+      bucket it overlaps, so a pair co-occurs in exactly the point's bucket
+      (no post-join dedup). Assumptions: interval length is bounded (the
+      replication factor is ``len/width + 1``) and ``bucket_width_us`` is
+      chosen so one bucket's point x interval product fits in memory.
+
+    ``interval_columns`` are the interval payload columns to attach, renamed
+    with ``suffix``. Points with no containing interval are dropped (inner).
+    """
+    if by is None and bucket_width_us is None:
+        raise ValueError("keyless interval_join needs bucket_width_us")
+
+    psch = _to_arrow_schema(points.schema())
+    isch = _to_arrow_schema(intervals.schema())
+    ptypes = {f.name: f.type for f in psch}
+    itypes = {f.name: f.type for f in isch}
+    pnames = [f.name for f in psch]
+    ikeep = ([by] if by else []) + [start, end] + [
+        c for c in interval_columns if c not in (by, start, end)
+    ]
+    ipayload = [start + suffix, end + suffix] + [c + suffix for c in interval_columns]
+
+    out_fields = [(n, ptypes[n]) for n in pnames] + [
+        (start + suffix, itypes[start]),
+        (end + suffix, itypes[end]),
+    ] + [(c + suffix, itypes[c]) for c in interval_columns]
+    pack_schema = pa.schema([(_IBUCKET, pa.int32()), (_ISIDE, pa.int8())] + out_fields)
+    out_names = [n for n, _ in out_fields]
+
+    def _us(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _pack_points(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if by is not None:
+            bucket = bucket_ids(batch[by], num_buckets)
+        else:
+            bucket = pa.array((_us(batch[on]) // bucket_width_us).astype(np.int32))
+        cols = {_IBUCKET: bucket, _ISIDE: pa.array(np.zeros(n, dtype=np.int8))}
+        for name in pnames:
+            cols[name] = batch[name]
+        for c, typ in zip(ipayload, [itypes[start], itypes[end]] + [itypes[c] for c in interval_columns]):
+            cols[c] = pa.nulls(n, typ)
+        return pa.table({k: cols[k] for k in pack_schema.names}, schema=pack_schema)
+
+    def _pack_intervals(batch: pa.Table) -> pa.Table:
+        if by is not None:
+            expanded = batch
+            bucket = bucket_ids(batch[by], num_buckets)
+        else:
+            s_us = _us(batch[start])
+            e_us = np.maximum(_us(batch[end]) - 1, s_us)  # half-open end
+            first = s_us // bucket_width_us
+            last = e_us // bucket_width_us
+            reps = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(batch.num_rows), reps)
+            expanded = batch.take(pa.array(idx))
+            # bucket of the k-th replica = first + k
+            offsets = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.array([], dtype=np.int64)
+            bucket = pa.array((np.repeat(first, reps) + offsets).astype(np.int32))
+        n = expanded.num_rows
+        cols = {_IBUCKET: bucket, _ISIDE: pa.array(np.ones(n, dtype=np.int8))}
+        for name in pnames:
+            if by is not None and name == by:
+                cols[name] = expanded[by].cast(ptypes[name])
+            else:
+                cols[name] = pa.nulls(n, ptypes[name])
+        cols[start + suffix] = expanded[start]
+        cols[end + suffix] = expanded[end]
+        for c in interval_columns:
+            cols[c + suffix] = expanded[c]
+        return pa.table({k: cols[k] for k in pack_schema.names}, schema=pack_schema)
+
+    ptag = points.map_batches(_pack_points, batch_format="pyarrow")
+    itag = intervals.select_columns(ikeep).map_batches(_pack_intervals, batch_format="pyarrow")
+
+    def _nullable_dtype(typ: pa.DataType) -> str | None:
+        if pa.types.is_integer(typ):
+            return str(typ).replace("int", "Int").replace("uInt", "UInt")
+        if pa.types.is_boolean(typ):
+            return "boolean"
+        return None
+
+    restore = {n: d for n, t in out_fields if (d := _nullable_dtype(t)) is not None}
+
+    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+        for name, dtype in restore.items():
+            if str(df[name].dtype) != dtype:
+                df[name] = df[name].astype(dtype)
+        return df
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        lmask = group[_ISIDE].to_numpy() == 0
+        pts = group.loc[lmask, pnames]
+        itv = group.loc[~lmask, ([by] if by else []) + ipayload]
+        if not len(pts) or not len(itv):
+            return _restore(pd.DataFrame(columns=out_names))
+        if by is not None:
+            merged = pts.merge(itv, on=by)
+        else:
+            merged = pts.assign(__k=0).merge(itv.assign(__k=0), on="__k").drop(columns="__k")
+        m = merged[
+            (merged[on] >= merged[start + suffix]) & (merged[on] < merged[end + suffix])
+        ]
+        return _restore(m[out_names].reset_index(drop=True))
+
+    return ptag.union(itag).groupby(_IBUCKET).map_groups(_merge, batch_format="pandas")

@@ -228,3 +228,97 @@ class TestExactPairs:
         assert list(map(tuple, got[["src_id", "dst_id", "jaccard"]].to_numpy())) == [
             (float(a), float(b), c) for a, b, c in ref_rows
         ]
+
+
+def test_interval_join_keyed_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import interval_join
+
+    rng = np.random.RandomState(7)
+    n_pts, n_itv = 400, 60
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_pts, dtype=np.int64),
+            "t": rng.randint(0, 1000, n_pts).astype(np.int64),
+            "key": rng.randint(0, 9, n_pts).astype(np.int64),
+            "v": rng.rand(n_pts),
+        }
+    )
+    s = rng.randint(0, 950, n_itv).astype(np.int64)
+    itv = pd.DataFrame(
+        {
+            "iid": np.arange(n_itv, dtype=np.int64),
+            "key": rng.randint(0, 9, n_itv).astype(np.int64),
+            "s": s,
+            "e": s + rng.randint(1, 80, n_itv).astype(np.int64),
+        }
+    )
+    got = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(itv),
+        on="t", start="s", end="e", interval_columns=["iid"], by="key",
+        num_buckets=4,
+    ).to_pandas()
+
+    want = pts.merge(itv, on="key")
+    want = want[(want.t >= want.s) & (want.t < want.e)]
+    want_pairs = set(zip(want.pid, want.iid))
+    got_pairs = set(zip(got.pid, got.iid_i))
+    assert got_pairs == want_pairs
+    assert len(got) == len(want)  # no duplicate pairs
+    # payload columns survive with correct dtypes
+    assert str(got["pid"].dtype).lower().startswith("int")
+    assert str(got["iid_i"].dtype).lower().startswith("int")
+
+
+def test_interval_join_keyless_band_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import interval_join
+
+    rng = np.random.RandomState(11)
+    n_pts, n_itv = 300, 40
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_pts, dtype=np.int64),
+            "t": rng.randint(0, 5000, n_pts).astype(np.int64),
+        }
+    )
+    s = rng.randint(0, 4800, n_itv).astype(np.int64)
+    itv = pd.DataFrame(
+        {
+            "iid": np.arange(n_itv, dtype=np.int64),
+            "s": s,
+            "e": s + rng.randint(1, 400, n_itv).astype(np.int64),
+        }
+    )
+    got = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(itv),
+        on="t", start="s", end="e", interval_columns=["iid"], by=None,
+        bucket_width_us=128,  # interval replication across ~1-4 buckets
+    ).to_pandas()
+
+    want = pts.assign(k=0).merge(itv.assign(k=0), on="k")
+    want = want[(want.t >= want.s) & (want.t < want.e)]
+    assert set(zip(got.pid, got.iid_i)) == set(zip(want.pid, want.iid))
+    assert len(got) == len(want)  # replication never duplicates a pair
+
+
+def test_interval_join_half_open_boundaries(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import interval_join
+
+    pts = pd.DataFrame({"pid": [1, 2, 3], "t": [10, 20, 15], "key": [0, 0, 0]})
+    itv = pd.DataFrame({"iid": [7], "key": [0], "s": [10], "e": [20]})
+    got = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(itv),
+        on="t", start="s", end="e", interval_columns=["iid"], by="key",
+    ).to_pandas()
+    # start inclusive (t=10 in), end exclusive (t=20 out)
+    assert sorted(got.pid.tolist()) == [1, 3]
