@@ -101,6 +101,14 @@ def _kg_documents(sf_dir: str):
     return _docs_for(sf_dir)
 
 
+def _fake_media_parquet() -> str:
+    """Cached parquet path of the 96-row fake media table (shared input of
+    the multimodal_decode query and its oracle)."""
+    from decisions_knowledge_graph_data_ray.stages.multimodal import fake_media_path
+
+    return fake_media_path(n=96)
+
+
 def _mentions_parts() -> dict:
     """Shared SQL pieces of the provision-mention oracle — the DuckDB twin
     of extract_cited_provisions (functions/extract.py:233-301 +
@@ -871,12 +879,14 @@ def _multimodal_pipeline(sf_dir: str):
     rows-only check hashes deterministically)."""
     import pyarrow as pa
 
+    import ray.data as rd
+
     from decisions_knowledge_graph_data_ray.stages.multimodal import (
-        make_fake_media_dataset,
+        fake_media_path,
         multimodal_pipeline,
     )
 
-    res = multimodal_pipeline(make_fake_media_dataset(n=96), fake=True)
+    res = multimodal_pipeline(rd.read_parquet(fake_media_path(n=96)), fake=True)
 
     def _meta(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -900,13 +910,23 @@ def _multimodal_pipeline(sf_dir: str):
 
 
 def _multimodal_decode(sf_dir: str):
+    """Decode/feature-extract over the persisted fake media parquet (shared
+    with the DuckDB oracle). The list<float> feature vector is exploded to
+    f0..f7 columns for the driver's column-wise value compare."""
+    import ray.data as rd
+
     from decisions_knowledge_graph_data_ray.stages.multimodal import (
         decode_media,
-        make_fake_media_dataset,
+        fake_media_path,
     )
 
-    media = make_fake_media_dataset(n=96)
-    return decode_media(media, fake=True).to_pandas().sort_values("media_id").reset_index(drop=True)
+    media = rd.read_parquet(fake_media_path(n=96))
+    df = decode_media(media, fake=True).to_pandas().sort_values("media_id").reset_index(drop=True)
+    # feature floats are byte/255.0 in float32 — recover the exact byte so
+    # the compare is integer-exact instead of float32-vs-float64 fuzzy
+    for k in range(8):
+        df[f"f{k}"] = df["feature"].map(lambda v, k=k: int(round(float(v[k]) * 255.0)))
+    return df.drop(columns=["feature"])
 
 
 # ---------------------------------------------------------------------------
@@ -1536,6 +1556,53 @@ def oracle_sql() -> dict[str, str]:
                    USING (conv_id)
             ORDER BY conv_id
         """,
+        # fake-decode kernel (stages/multimodal.py:_decode_fake): dimensions
+        # + feature bytes from sha256 of the payload's lowercase hex — the
+        # keying exists precisely so this VARCHAR-only-sha256 oracle can
+        # replicate it; input is the persisted fake media parquet
+        "multimodal_decode": f"""
+            WITH m AS (
+                SELECT media_id, media_type,
+                       sha256(lower(hex(payload))) AS d
+                FROM read_parquet('{_fake_media_parquet()}')
+            ), bytes AS (
+                SELECT media_id, media_type,
+                       list_transform(range(1, 11),
+                           i -> 16 * (strpos('0123456789abcdef', substr(d, 2*i-1, 1)) - 1)
+                                + (strpos('0123456789abcdef', substr(d, 2*i, 1)) - 1)) AS b
+                FROM m
+            )
+            SELECT media_id, media_type,
+                   (64 + b[1] % 192)::INTEGER AS width,
+                   (64 + b[2] % 192)::INTEGER AS height,
+                   b[3]::BIGINT AS f0, b[4]::BIGINT AS f1,
+                   b[5]::BIGINT AS f2, b[6]::BIGINT AS f3,
+                   b[7]::BIGINT AS f4, b[8]::BIGINT AS f5,
+                   b[9]::BIGINT AS f6, b[10]::BIGINT AS f7
+            FROM bytes ORDER BY media_id
+        """,
+        # frame-sample fake (stages/multimodal.py:FrameSampleActor): duration
+        # = 1 + byte0(sha256(hex || ':duration')) % 8 seconds, one 256-byte
+        # frame per second starting at t=0
+        "multimodal_pipeline": f"""
+            WITH v AS (
+                SELECT media_id,
+                       sha256(lower(hex(payload)) || ':duration') AS d
+                FROM read_parquet('{_fake_media_parquet()}')
+                WHERE media_type = 'video/mp4'
+            ), n AS (
+                SELECT media_id,
+                       1 + (16 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+                            + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)) % 8 AS n_frames
+                FROM v
+            )
+            SELECT media_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i AS DOUBLE) AS ts_s,
+                   CAST(256 AS BIGINT) AS frame_bytes
+            FROM n, unnest(range(0, n_frames)) AS r(i)
+            ORDER BY media_id, frame_idx
+        """,
         # currentInstance block (functions/comprehensive.py): facts = joined
         # user turns capped 2000; request/argument counts = distinct cue
         # turns capped 10; court_order = the dispositif sentence sliced
@@ -1655,6 +1722,17 @@ def oracle_sql() -> dict[str, str]:
                        '(?i)\\bDeze zaak\\s+(ECLI:[A-Z]{{2}}:[A-Z0-9]+:\\d{{4}}:[A-Z0-9.\\-]+)',
                        1), '') AS self_ecli
             FROM d ORDER BY conv_id
+        """,
+        # A1 run summary: with the deterministic extractor every document of
+        # the synthetic corpus validates, so the summary is exactly (n_docs,
+        # n_docs, 0, 1.0) — a regression anywhere in the assemble → extract →
+        # validate chain (dropped docs, new failure rows) trips this gate
+        "kg_run_summary": f"""
+            SELECT count(DISTINCT conv_id)::BIGINT AS total,
+                   count(DISTINCT conv_id)::BIGINT AS successful,
+                   0::BIGINT AS failed,
+                   1.0 AS success_rate
+            FROM read_parquet('{_sf001_transcripts_path()}')
         """,
         "kg_transcripts_roundtrip": f"""
             SELECT conv_id, turn_idx, role, text

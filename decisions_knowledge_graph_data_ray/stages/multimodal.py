@@ -29,8 +29,7 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def make_fake_media_dataset(n: int = 64, payload_bytes: int = 4096) -> ray.data.Dataset:
-    """Deterministic fake media table (payload = repeated blake2 stream)."""
+def _fake_media_table(n: int = 64, payload_bytes: int = 4096) -> pa.Table:
     rows = []
     for i in range(n):
         seed = hashlib.blake2b(f"media-{i}".encode(), digest_size=32).digest()
@@ -42,7 +41,30 @@ def make_fake_media_dataset(n: int = 64, payload_bytes: int = 4096) -> ray.data.
                 "payload": payload,
             }
         )
-    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def make_fake_media_dataset(n: int = 64, payload_bytes: int = 4096) -> ray.data.Dataset:
+    """Deterministic fake media table (payload = repeated blake2 stream)."""
+    return ray.data.from_arrow(_fake_media_table(n, payload_bytes))
+
+
+def fake_media_path(n: int = 64, payload_bytes: int = 4096) -> str:
+    """Persist (once, cached) the fake media table to parquet and return the
+    path — lets the decode query and its DuckDB oracle read the SAME input
+    (mirrors sources/transcripts.transcripts_path_for_n)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/dkg_media/v1/n_{n}_{payload_bytes}"
+    out_path = os.path.join(out_dir, "media.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out_path + ".tmp"
+        pq.write_table(_fake_media_table(n, payload_bytes), tmp)
+        os.replace(tmp, out_path)
+    return out_path
 
 
 class DecodeImageActor:
@@ -58,7 +80,10 @@ class DecodeImageActor:
         )
 
     def _decode_fake(self, payload: bytes) -> dict:
-        h = hashlib.blake2b(payload, digest_size=16).digest()
+        # keyed on the payload's LOWERCASE HEX string (not raw bytes) so the
+        # DuckDB oracle — whose sha256 is VARCHAR-only — replicates the
+        # kernel bit-for-bit: sha256(lower(hex(payload)))
+        h = hashlib.sha256(payload.hex().encode()).digest()
         width = 64 + h[0] % 192
         height = 64 + h[1] % 192
         feature = [b / 255.0 for b in h[2:10]]
@@ -136,7 +161,9 @@ class FrameSampleActor:
         self._fake = fake
 
     def _duration_fake(self, payload: bytes) -> float:
-        h = hashlib.blake2b(payload, digest_size=4, person=b"duration").digest()
+        # hex-string-keyed like _decode_fake so the DuckDB oracle can
+        # replicate: sha256(lower(hex(payload)) || ':duration')
+        h = hashlib.sha256((payload.hex() + ":duration").encode()).digest()
         return 1.0 + h[0] % 8  # 1..8 seconds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
