@@ -49,10 +49,15 @@ class KGConfig:
     # candidate-pair edge count below which exact union-find runs on the
     # driver (ids only); larger graphs use distributed label propagation
     cc_driver_threshold: int = 2_000_000
-    # True: pin the extraction table so the failures branch shares the pass.
-    # False: stream assemble→extract→link in one pipelined pass (fastest;
-    # reading `failures` then recomputes extract — fine when failures are
-    # only counted, as in bench)
+    # True (default): stage barriers — materialize docs before the extract
+    # pool exists and extractions before the link pool (measured fastest at
+    # 32 CPUs: eagerly-created near-full actor pools otherwise starve the
+    # upstream shuffle/stage to the leftover cores; reading `failures` also
+    # shares the extract pass).
+    # False: stream assemble→extract→link in ONE pipelined plan. Only use
+    # with pools sized to SHARE the cluster (e.g. extract+link ≈ half the
+    # CPUs each, leaving shuffle task slots) — with two near-full pools the
+    # plan crawls (>10x slower at sf0.1, measured round 3).
     materialize_extractions: bool = True
     # repartition assembled docs to this many blocks before the extract pool
     # (None = keep the assembly cogroup's natural block count)
