@@ -949,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": R.q_events_top_users,
         "events_sessionized": R.q_events_sessionized,
         "events_interval_join": R.q_events_interval_join,
+        "events_pivot": R.q_events_pivot,
+        "documents_stratified": R.q_documents_stratified,
         "orders_distinct_status": R.q_orders_distinct_status,
         "lineitem_running_qty": R.q_lineitem_shipdate_window,
         # training-data ops with SQL oracles
@@ -1085,6 +1087,41 @@ def oracle_sql() -> dict[str, str]:
         "orders_distinct_status": """
             SELECT o_orderstatus, count(*) AS n FROM orders
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "documents_stratified": f"""
+            WITH w AS (
+                SELECT doc_id, length(text) AS text_len,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            ), c AS (
+                SELECT doc_id, text_len,
+                       len(list_filter(ws, x -> x IN ({_EN}))) AS en,
+                       len(list_filter(ws, x -> x IN ({_FR}))) AS fr,
+                       len(list_filter(ws, x -> x IN ({_NL}))) AS nl
+                FROM w
+            ), lp AS (
+                SELECT doc_id, text_len,
+                       CASE WHEN en > fr AND en > nl THEN 'en'
+                            WHEN fr > en AND fr > nl THEN 'fr'
+                            WHEN nl > en AND nl > fr THEN 'nl'
+                            ELSE 'und' END AS lang_pred
+                FROM c
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY lang_pred
+                                             ORDER BY doc_id) AS rn
+                FROM lp
+            )
+            SELECT lang_pred, doc_id, text_len FROM r WHERE rn <= 5
+            ORDER BY lang_pred, doc_id
         """,
         "events_interval_join": """
             SELECT i.event_id AS purchase_id,

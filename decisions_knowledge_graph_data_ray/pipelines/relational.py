@@ -740,3 +740,45 @@ def q_events_interval_join(sf_dir: str):
         .sort_values("purchase_id")
         .reset_index(drop=True)
     )
+
+
+def q_events_pivot(sf_dir: str):
+    """Long→wide reshape: per-user event-type count columns over the CLOSED
+    event-type set (stages/reshape.pivot_counts — per-batch (key,cat) count
+    combiner, pid cogroup, static wide schema)."""
+    from ..stages.reshape import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cats = ["click", "error", "purchase", "signup", "view"]
+    df = pivot_counts(ev, "user_id", "event_type", cats).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def q_documents_stratified(sf_dir: str):
+    """Deterministic stratified sample: first 5 doc_ids per PREDICTED
+    LANGUAGE (stages/reshape.stratified_head — per-batch per-stratum top-k
+    combiner; strata = the closed language set of the langid heuristic)."""
+    from ..stages.reshape import stratified_head
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        langs = [T.detect_language(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs, pa.string()),
+                "text_len": pa.array([len(t) for t in batch["text"].to_pylist()], pa.int64()),
+            }
+        )
+
+    cats = docs.map_batches(_cat, batch_format="pyarrow")
+    out = stratified_head(
+        cats, stratum_col="lang_pred", order_col="doc_id", k=5,
+        columns=["lang_pred", "doc_id", "text_len"],
+    ).to_pandas()
+    return (
+        out[["lang_pred", "doc_id", "text_len"]]
+        .sort_values(["lang_pred", "doc_id"])
+        .reset_index(drop=True)
+    )

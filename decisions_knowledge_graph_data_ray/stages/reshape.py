@@ -1,0 +1,109 @@
+"""Reshape operators: pivot (long → wide) and stratified head sampling.
+
+Training-data pipelines constantly reshape long event/label tables into
+wide per-entity features and draw per-stratum samples; Ray Data has no
+native pivot/stratified primitives, so both are built from the engine's
+standard combiner + pid-cogroup pattern:
+
+- ``pivot_counts``: per-key count columns for a CLOSED category set (the
+  closed set keeps the output schema static — a requirement for any wide
+  table at scale; discovering categories dynamically would need an extra
+  pass). Partial (key, cat) counts are aggregated inside each batch, so the
+  shuffle moves at most |keys|x|cats| rows per block, never raw events.
+- ``stratified_head``: the first ``k`` rows per stratum under a total order
+  (deterministic "sample"); a per-batch top-k combiner bounds the shuffle
+  at |strata| x k rows per block — the same partial-top-k discipline as
+  ``brute_force_topk``.
+
+Reference parity: the reference's closest analogue is the per-dimension
+mapping-stats fan-out (src/pipeline/mapping/steps.ts stats accumulators);
+these generalize it to first-class reshape operators with DuckDB-checkable
+semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import bucket_ids
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Wide per-key table: one ``n_<category>`` int64 column per category.
+
+    Rows whose category is outside ``categories`` are ignored (closed-set
+    contract). Keys appear iff they have at least one in-set row.
+    """
+    cats = list(categories)
+    out_cols = [f"n_{c}" for c in cats]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            batch.select([key_col, cat_col]), [key_col, cat_col]
+        ).aggregate([([], "count_all")])
+        remap = {"count_all": "n"}
+        out = out.rename_columns([remap.get(c, c) for c in out.column_names])
+        return out.append_column("pid", bucket_ids(out[key_col], num_partitions))
+
+    def _widen(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group[cat_col].isin(cats)]
+        if not len(g):
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=group[key_col].dtype)}
+                | {c: pd.Series(dtype="int64") for c in out_cols}
+            )
+        wide = (
+            g.pivot_table(index=key_col, columns=cat_col, values="n",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=cats, fill_value=0)
+            .astype("int64")
+        )
+        wide.columns = out_cols
+        return wide.reset_index()
+
+    return (
+        ds.select_columns([key_col, cat_col])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("pid")
+        .map_groups(_widen, batch_format="pandas")
+    )
+
+
+def stratified_head(
+    ds: ray.data.Dataset,
+    stratum_col: str,
+    order_col: str,
+    k: int,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """First ``k`` rows per stratum ordered by ``order_col`` (ascending,
+    deterministic). Combiner-first: each batch keeps at most k rows per
+    stratum before the stratum cogroup, so the shuffle moves |strata| x k
+    rows per block. Partitioning assumption: strata are a small categorical
+    set (languages, quality buckets) — the final cogroup dispatches one
+    Python call per stratum."""
+    keep = columns or list(ds.schema().names)
+    if stratum_col not in keep:
+        keep = [stratum_col] + keep
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([stratum_col, order_col], kind="stable")
+            .groupby(stratum_col, sort=False)
+            .head(k)
+        )
+
+    partial = ds.select_columns(keep).map_batches(
+        lambda df: _topk(df), batch_format="pandas", batch_size=None
+    )
+    return partial.groupby(stratum_col).map_groups(_topk, batch_format="pandas")

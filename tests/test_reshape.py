@@ -1,0 +1,75 @@
+"""Reshape operators (pivot, stratified head) vs pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.stages.reshape import pivot_counts, stratified_head
+
+
+def _events(n=2000, seed=3):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "zz"], n),  # zz = out of set
+            "v": rng.rand(n),
+        }
+    )
+
+
+def test_pivot_counts_matches_bruteforce(ray_session):
+    df = _events()
+    cats = ["a", "b", "c"]
+    got = (
+        pivot_counts(rd.from_pandas(df), "user_id", "event_type", cats)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df[df.event_type.isin(cats)]
+        .pivot_table(index="user_id", columns="event_type", values="v",
+                     aggfunc="count", fill_value=0)
+        .reindex(columns=cats, fill_value=0)
+        .astype("int64")
+        .reset_index()
+        .rename(columns={c: f"n_{c}" for c in cats})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want.columns.name = None
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_pivot_counts_out_of_set_rows_ignored(ray_session):
+    df = pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["zz", "a", "zz"]})
+    got = pivot_counts(rd.from_pandas(df), "user_id", "event_type", ["a", "b"]).to_pandas()
+    # user 2 has only out-of-set rows -> absent; user 1 counted for 'a' only
+    assert got.user_id.tolist() == [1]
+    assert got.n_a.tolist() == [1] and got.n_b.tolist() == [0]
+
+
+def test_stratified_head_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "s": rng.choice(["x", "y", "z"], 500),
+            "oid": rng.permutation(500).astype(np.int64),
+            "payload": rng.rand(500),
+        }
+    )
+    got = (
+        stratified_head(rd.from_pandas(df), stratum_col="s", order_col="oid", k=7)
+        .to_pandas()
+        .sort_values(["s", "oid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["s", "oid"], kind="stable")
+        .groupby("s", sort=True)
+        .head(7)
+        .sort_values(["s", "oid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["s", "oid", "payload"]], want[["s", "oid", "payload"]])
