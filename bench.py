@@ -145,6 +145,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "embeddings_topk": lambda: R.q_embeddings_topk(SF_DIR),
         "events_hopping": lambda: R.q_events_hopping(SF_DIR),
         "events_asof_join": lambda: R.q_events_asof_join(SF_DIR),
+        "events_interval_join": lambda: R.q_events_interval_join(SF_DIR),
+        "events_pivot": lambda: R.q_events_pivot(SF_DIR),
     }
     try:
         from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
