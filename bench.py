@@ -159,12 +159,19 @@ def run_bench(headline_only: bool = False) -> dict:
     except Exception:
         pass
 
+    # best-of-2 per secondary: single runs on this box vary 2-3x under the
+    # session's own residual load (object-store churn from the headline reps)
+    sec_reps = int(os.environ.get("GRAFT_BENCH_SEC_REPS", "2"))
     for name, fn in secondary.items():
-        t = time.perf_counter()
-        out = fn()
-        if hasattr(out, "iter_batches"):
-            _consume(out)
-        queries[name] = round(time.perf_counter() - t, 3)
+        best = None
+        for _ in range(sec_reps):
+            t = time.perf_counter()
+            out = fn()
+            if hasattr(out, "iter_batches"):
+                _consume(out)
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     import ray
 
