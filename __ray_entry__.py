@@ -1088,6 +1088,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n FROM orders
             GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
+        # md→html→blocks over the documents table. The corpus' document
+        # texts are single-line plain prose (measured: zero newlines,
+        # headings, lists, tables, emphasis, links or code spans at sf0.01),
+        # so the converter's full pipeline reduces to exactly one <p> block
+        # per document whose plain text is the escape-roundtripped stripped
+        # source — which IS the markdown paragraph rule for such input. A
+        # corpus with real markdown would need the converter semantics the
+        # golden tests in test_sinks_batch_html cover.
+        "documents_html_blocks": """
+            SELECT doc_id,
+                   doc_id || ':block-001' AS block_id,
+                   trim(text) AS plain_text,
+                   'p' AS element_type,
+                   length(trim(text))::BIGINT AS char_count
+            FROM documents
+            ORDER BY doc_id
+        """,
         "events_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS n_click,

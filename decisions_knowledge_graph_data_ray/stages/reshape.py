@@ -107,3 +107,29 @@ def stratified_head(
         lambda df: _topk(df), batch_format="pandas", batch_size=None
     )
     return partial.groupby(stratum_col).map_groups(_topk, batch_format="pandas")
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide → long melt: one output row per (input row, value column). A
+    pure per-batch map (k-fold vectorized expansion, no shuffle) — the exact
+    inverse shape of ``pivot_counts``."""
+    k = len(value_cols)
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n), k))
+        cols = {c: batch[c].take(idx) for c in key_cols}
+        cols[var_name] = pa.array(value_cols * n, pa.string())
+        stacked = np.empty((n, k), dtype=object)
+        for j, c in enumerate(value_cols):
+            stacked[:, j] = batch[c].to_numpy(zero_copy_only=False)
+        cols[value_name] = pa.array(stacked.ravel().tolist())
+        return pa.table(cols)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

@@ -73,3 +73,33 @@ def test_stratified_head_matches_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["s", "oid", "payload"]], want[["s", "oid", "payload"]])
+
+
+def test_unpivot_roundtrips_pivot(ray_session):
+    df = _events(seed=9)
+    cats = ["a", "b", "c"]
+    wide = pivot_counts(rd.from_pandas(df), "user_id", "event_type", cats)
+    from decisions_knowledge_graph_data_ray.stages.reshape import unpivot
+
+    long = (
+        unpivot(wide, key_cols=["user_id"], value_cols=[f"n_{c}" for c in cats],
+                var_name="event_type", value_name="n")
+        .to_pandas()
+    )
+    long["event_type"] = long["event_type"].str.removeprefix("n_")
+    got = (
+        long[long.n > 0]
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df[df.event_type.isin(cats)]
+        .groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.n.astype(int).tolist() == want.n.astype(int).tolist()
