@@ -27,6 +27,7 @@ Usage::
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from typing import Any, Callable
@@ -34,6 +35,8 @@ from typing import Any, Callable
 import ray
 
 MAX_BACKOFF_SECONDS = 60.0  # reference caps waits at the 60s token window
+POLL_BASE_SECONDS = 0.05  # first in-flight-cap re-poll
+POLL_MAX_SECONDS = 1.0  # cap so a saturated bucket isn't busy-polled
 
 
 class RateLimitError(Exception):
@@ -133,17 +136,31 @@ class RateLimitedClient:
         self._limiter = limiter
         self._max_retries = max_retries
         self._sleep = sleep_fn
-        self._rng = rng or random.Random(0)
+        # None → seeded lazily per process: a pickled copy shipped to every
+        # pool actor must NOT share one fixed seed, or all workers compute
+        # identical jitter and retry in synchronized bursts.
+        self._rng = rng
+
+    def _jitter(self) -> float:
+        if self._rng is None:
+            self._rng = random.Random(os.getpid() ^ int.from_bytes(os.urandom(4), "little"))
+        return self._rng.random()
 
     def _pace(self) -> None:
         if self._limiter is None:
             return
+        poll = POLL_BASE_SECONDS
         while True:
             granted, wait = ray.get(self._limiter.acquire.remote())
-            if wait > 0:
-                self._sleep(wait)
             if granted:
+                if wait > 0:
+                    self._sleep(wait)
                 return
+            # cap refused: back off the re-poll exponentially so a large
+            # actor pool doesn't hammer the single pacing actor when the
+            # system is already saturated.
+            self._sleep(max(wait, poll))
+            poll = min(poll * 2.0, POLL_MAX_SECONDS)
 
     def __call__(self, arg):
         last: BaseException | None = None
@@ -159,7 +176,7 @@ class RateLimitedClient:
                 if ra is not None:
                     wait = ra
                 else:
-                    wait = 2.0 ** (attempt + 1) + self._rng.random() * 2.0
+                    wait = 2.0 ** (attempt + 1) + self._jitter() * 2.0
                 self._sleep(min(wait, MAX_BACKOFF_SECONDS))
             finally:
                 if self._limiter is not None:

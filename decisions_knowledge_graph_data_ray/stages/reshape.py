@@ -48,9 +48,12 @@ def pivot_counts(
     out_cols = [f"n_{c}" for c in cats]
 
     def _partial(batch: pa.Table) -> pa.Table:
-        out = pa.TableGroupBy(
-            batch.select([key_col, cat_col]), [key_col, cat_col]
-        ).aggregate([([], "count_all")])
+        # Filter to the closed set BEFORE the group-count so the shuffle
+        # bound really is |keys|x|cats| per block even when cat_col carries
+        # high-cardinality out-of-set values.
+        batch = batch.select([key_col, cat_col])
+        batch = batch.filter(pa.compute.is_in(batch[cat_col], value_set=pa.array(cats)))
+        out = pa.TableGroupBy(batch, [key_col, cat_col]).aggregate([([], "count_all")])
         remap = {"count_all": "n"}
         out = out.rename_columns([remap.get(c, c) for c in out.column_names])
         return out.append_column("pid", bucket_ids(out[key_col], num_partitions))
@@ -91,10 +94,17 @@ def stratified_head(
     stratum before the stratum cogroup, so the shuffle moves |strata| x k
     rows per block. Partitioning assumption: strata are a small categorical
     set (languages, quality buckets) — the final cogroup dispatches one
-    Python call per stratum."""
+    Python call per stratum.
+
+    ``order_col`` must be a unique total order WITHIN each stratum (e.g. a
+    row id): with ties, the per-block combiner keeps an arbitrary
+    block-dependent subset of the tied rows, so results would vary run to
+    run. Add a tie-break column to ``order_col``'s values if needed.
+    """
     keep = columns or list(ds.schema().names)
-    if stratum_col not in keep:
-        keep = [stratum_col] + keep
+    for required in (order_col, stratum_col):
+        if required not in keep:
+            keep = [required] + keep
 
     def _topk(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -118,18 +128,47 @@ def unpivot(
 ) -> ray.data.Dataset:
     """Wide → long melt: one output row per (input row, value column). A
     pure per-batch map (k-fold vectorized expansion, no shuffle) — the exact
-    inverse shape of ``pivot_counts``."""
+    inverse shape of ``pivot_counts``.
+
+    The value column's type is unified ACROSS ``value_cols`` from the
+    dataset schema up front (Arrow type promotion), so every output block —
+    including zero-row ones — carries the same explicit type instead of a
+    per-batch inferred (possibly null) one.
+    """
     k = len(value_cols)
+    base = ds.schema().base_schema
+    if not isinstance(base, pa.Schema):  # pandas-block input → Arrow types
+        base = pa.Schema.from_pandas(
+            pd.DataFrame({n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)})
+        )
+    in_types = [base.field(c).type for c in value_cols]
+    value_type = in_types[0]
+    for t in in_types[1:]:
+        if not value_type.equals(t):
+            # promote across heterogeneous value columns (int32+int64 →
+            # int64, int+float → float64, etc.)
+            value_type = pa.unify_schemas(
+                [pa.schema([pa.field("v", value_type)]), pa.schema([pa.field("v", t)])],
+                promote_options="permissive",
+            ).field("v").type
+
+    def _cast_col(batch: pa.Table, c: str) -> pa.Array:
+        arr = batch[c].cast(value_type).combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # pyarrow-version-dependent
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], value_type)
+        return arr
 
     def _melt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         idx = pa.array(np.repeat(np.arange(n), k))
         cols = {c: batch[c].take(idx) for c in key_cols}
         cols[var_name] = pa.array(value_cols * n, pa.string())
-        stacked = np.empty((n, k), dtype=object)
-        for j, c in enumerate(value_cols):
-            stacked[:, j] = batch[c].to_numpy(zero_copy_only=False)
-        cols[value_name] = pa.array(stacked.ravel().tolist())
+        # column-major concat of the k casted value arrays, then an
+        # interleave-take back to row-major (row0col0, row0col1, ...).
+        interleave = (np.arange(k)[None, :] * n + np.arange(n)[:, None]).ravel()
+        cols[value_name] = pa.concat_arrays(
+            [_cast_col(batch, c) for c in value_cols]
+        ).take(pa.array(interleave, pa.int64()))
         return pa.table(cols)
 
     return ds.map_batches(_melt, batch_format="pyarrow")

@@ -154,3 +154,77 @@ def test_flaky_client_through_escalation(ray_session):
     assert len(out) == 8
     assert bool(out["valid"].all())
     assert ray.get(bucket.stats.remote())["granted"] >= 16  # ≥2 attempts/doc
+
+
+def test_jitter_rng_not_shared_across_pickled_copies():
+    """Pickled copies shipped to different actors must not share one fixed
+    jitter seed (synchronized retry bursts). The RNG is seeded lazily per
+    process from pid+urandom, so two fresh copies produce different jitter."""
+    import pickle
+
+    base = RateLimitedClient(str)
+    a = pickle.loads(pickle.dumps(base))
+    b = pickle.loads(pickle.dumps(base))
+    # os.urandom in the lazy seed makes collision astronomically unlikely
+    assert a._jitter() != b._jitter()
+    # explicit rng stays deterministic for tests
+    import random
+
+    c = RateLimitedClient(lambda x: x, rng=random.Random(7))
+    d = RateLimitedClient(lambda x: x, rng=random.Random(7))
+    assert c._jitter() == d._jitter()
+
+
+def test_inflight_poll_backs_off():
+    """When the in-flight cap refuses grants, the re-poll interval grows
+    exponentially (capped) instead of hammering the pacing actor at 50ms."""
+    from decisions_knowledge_graph_data_ray.stages.rate_limit import (
+        POLL_BASE_SECONDS,
+        POLL_MAX_SECONDS,
+    )
+
+    class FakeLimiter:
+        """Duck-types the TokenBucket handle: refuses N times, then grants."""
+
+        def __init__(self, refusals):
+            self.left = refusals
+            outer = self
+
+            class _Acquire:
+                def remote(self):
+                    if outer.left > 0:
+                        outer.left -= 1
+                        return _Ref((False, 0.05))
+                    return _Ref((True, 0.0))
+
+            class _Finish:
+                def remote(self):
+                    return _Ref(None)
+
+            self.acquire = _Acquire()
+            self.finish = _Finish()
+
+    def _Ref(value):
+        """Passthrough: ray.get is patched to identity below."""
+        return value
+
+    sleeps = []
+    limiter = FakeLimiter(refusals=8)
+    client = RateLimitedClient(lambda x: x, limiter=limiter, sleep_fn=sleeps.append)
+    # ray.get on a non-ObjectRef raises, so monkeypatch is avoided by using
+    # the real ray.get only with real handles elsewhere; here we call _pace's
+    # logic through the public __call__ path with ray.get patched.
+    import decisions_knowledge_graph_data_ray.stages.rate_limit as rl
+
+    orig_get = rl.ray.get
+    rl.ray.get = lambda v: v
+    try:
+        assert client(41) == 41
+    finally:
+        rl.ray.get = orig_get
+    waits = [s for s in sleeps if s > 0]
+    assert len(waits) == 8
+    assert waits == sorted(waits)  # monotone non-decreasing backoff
+    assert waits[0] == max(0.05, POLL_BASE_SECONDS)
+    assert waits[-1] <= POLL_MAX_SECONDS
+    assert waits[-1] > waits[0]

@@ -103,3 +103,29 @@ def test_unpivot_roundtrips_pivot(ray_session):
     assert got.user_id.tolist() == want.user_id.tolist()
     assert got.event_type.tolist() == want.event_type.tolist()
     assert got.n.astype(int).tolist() == want.n.astype(int).tolist()
+
+
+def test_unpivot_mixed_types_and_empty_blocks(ray_session):
+    """value_cols with heterogeneous dtypes promote to one unified type, and
+    zero-row blocks carry the same explicit schema (no null-typed columns)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.reshape import unpivot
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "a": pa.array([1, 2, 3], pa.int32()),
+            "b": pa.array([0.5, None, 2.5], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)  # forces some empty blocks
+    long = unpivot(ds, key_cols=["id"], value_cols=["a", "b"])
+    schema = long.schema()
+    assert schema.base_schema.field("value").type == pa.float64()
+    out = long.to_pandas().sort_values(["id", "variable"]).reset_index(drop=True)
+    assert out["value"].tolist()[:3] == [1.0, 0.5, 2.0]
+    assert pd.isna(out["value"][3])  # b's null survives promotion
+    assert len(out) == 6
+    # row-major interleave preserved: each id has its a then b value
+    assert out.loc[0, "variable"] == "a" and out.loc[1, "variable"] == "b"
