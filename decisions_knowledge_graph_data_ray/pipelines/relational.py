@@ -218,23 +218,21 @@ def _orders_priority_revenue_join(sf_dir: str, orders_ds: rd.Dataset):
 
 
 def q_top_customers(sf_dir: str):
-    """customer ⋈ orders → top-10 customers by total spend (broadcast join:
-    the customer dimension is ray.put once, looked up per batch)."""
-    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_name"])))
+    """customer ⋈ orders → top-10 customers by total spend.
+
+    Bounded at every cardinality (no dimension broadcast at all): the
+    top-10 is computed FIRST over the per-customer aggregate (partial-top-k
+    combiner, names not needed), then the customer table is streamed once
+    with a 10-key ``is_in`` filter to fetch just the winners' names. The
+    only driver-side state is ≤10×blocks combiner rows and the final ≤10
+    (custkey, name) pairs — replaces the former full (c_custkey→c_name)
+    ``ray.put`` broadcast, which grew linearly with scale."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     totals = (
         orders.groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
     )
-
-    def _attach_name(batch: pa.Table) -> pa.Table:
-        names_map = _broadcast_cache(cust_ref)
-        names = [names_map.get(k) for k in batch["o_custkey"].to_pylist()]
-        return batch.append_column("c_name", pa.array(names, pa.string()))
-
-    named = totals.map_batches(_attach_name, batch_format="pyarrow")
 
     # per-batch partial top-10 (combiner) → driver sorts ≤ 10×blocks rows,
     # never the full per-customer table
@@ -249,10 +247,23 @@ def q_top_customers(sf_dir: str):
             preserve_index=False,
         )
 
-    out = named.map_batches(_partial_top, batch_format="pyarrow").to_pandas()
+    out = totals.map_batches(_partial_top, batch_format="pyarrow").to_pandas()
     out = out.rename(columns={"o_custkey": "c_custkey"})
     out = _round_cols(out, {"total_spent": 2})
     out = out.sort_values(["total_spent", "c_custkey"], ascending=[False, True]).head(10)
+
+    # name lookup for ONLY the winning keys: stream customer once with a
+    # 10-key filter; ≤10 rows ever reach the driver
+    win_keys = pa.array(out["c_custkey"].to_numpy())
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=win_keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = out.merge(names, on="c_custkey", how="left")
     return out[["c_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)
 
 

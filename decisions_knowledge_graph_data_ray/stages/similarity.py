@@ -420,11 +420,19 @@ class _PairScorer:
 _PAIR_CACHE: dict = {}
 
 
+# cosine_pairs_exact refuses (rather than OOMs) above this corpus size: the
+# exact self-join broadcasts one O(N*D) matrix to every worker, so its role
+# is the small-N correctness oracle for embedding_dup_pairs, never the scale
+# path. 2M rows x 128-dim float64 ≈ 2 GiB — the sensible per-worker ceiling.
+EXACT_PAIRS_MAX_ROWS = 2_000_000
+
+
 def cosine_pairs_exact(
     embeddings: ray.data.Dataset,
     threshold: float = 0.9,
     batch_size: int = 4096,
     round_to: int = 6,
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
 ) -> ray.data.Dataset:
     """EXACT cosine-threshold self-join: every (src_id < dst_id) pair with
     round(cosine, round_to) >= threshold.
@@ -433,7 +441,17 @@ def cosine_pairs_exact(
     across blocks; memory is one O(N*D) broadcast matrix per worker — the
     exact baseline, same broadcast pattern as brute_force_topk. Beyond
     broadcast capacity, use ``embedding_dup_pairs`` (LSH-bucketed, no
-    all-pairs scan) — this operator is its recall/correctness oracle."""
+    all-pairs scan) — this operator is its recall/correctness oracle.
+    Corpora above ``max_rows`` are REFUSED with a pointer to the scale path
+    instead of OOMing mid-broadcast."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is the exact small-N oracle (O(N*D) broadcast "
+            f"matrix per worker); corpus has {n:,} rows > max_rows={max_rows:,}. "
+            f"Use embedding_dup_pairs (LSH-bucketed near-dup pairs) for large "
+            f"corpora, or raise max_rows explicitly if the matrix fits."
+        )
     rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
     corpus_ref = ray.put(
         {

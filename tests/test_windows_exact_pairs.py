@@ -322,3 +322,28 @@ def test_interval_join_half_open_boundaries(ray_session):
     ).to_pandas()
     # start inclusive (t=10 in), end exclusive (t=20 out)
     assert sorted(got.pid.tolist()) == [1, 3]
+
+
+def test_cosine_pairs_exact_refuses_above_cap(ray_session):
+    """Above max_rows the exact self-join refuses with a pointer to the LSH
+    scale path instead of broadcasting an O(N*D) matrix and OOMing."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import cosine_pairs_exact
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(rng.normal(size=(50, 8)).tolist()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError, match="embedding_dup_pairs"):
+        cosine_pairs_exact(ds, max_rows=10)
+    # below the cap it still runs
+    out = cosine_pairs_exact(ds, threshold=0.99, max_rows=50).to_pandas()
+    assert (out["src_id"] < out["dst_id"]).all() if len(out) else True
