@@ -4,11 +4,14 @@ Behavioral analogues of the reference's convert-md-to-html job
 (/root/reference/src/utils/markdownToHtml.ts — pandoc subprocess) and block
 transformer (/root/reference/src/utils/htmlTransformer.ts):
 
-- ``markdown_to_html``: pure-Python conversion of the markdown subset the
-  corpus uses (headings, paragraphs, blockquotes, ordered/unordered lists,
-  pipe tables, horizontal rules, links, inline code, bold / italic) —
-  replaces the external pandoc binary (not available here, and a subprocess
-  per document would be the wrong shape for map_batches anyway).
+- ``markdown_to_html``: pure-Python conversion of the pandoc-markdown
+  subset the corpus uses (ATX/setext headings, paragraphs, blockquotes,
+  nested ordered/unordered lists, definition lists, line blocks, pipe
+  tables, fenced code, horizontal rules, inline/reference links, inline
+  code, bold / italic, smart punctuation — pandoc's default-on `smart`
+  extension) — replaces the external pandoc binary (not available here,
+  and a subprocess per document would be the wrong shape for map_batches
+  anyway).
 - ``transform_html_blocks``: select leaf content elements (p, h1-h6,
   blockquote, li, td, th), skip empty, sequence 1..n, stamp
   ``data-id="{doc_id}:block-{seq:03d}"``, emit {block_id, plain_text,
@@ -37,6 +40,24 @@ _SETEXT_H1_RE = re.compile(r"^=+$")
 _SETEXT_H2_RE = re.compile(r"^-+$")
 _FENCE_RE = re.compile(r"^```")
 _TABLE_SEP_RE = re.compile(r"^\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?$")
+_DEF_RE = re.compile(r"^:\s+(.*)$")
+_LINE_BLOCK_RE = re.compile(r"^\|(?:\s(.*))?$")
+
+# smart punctuation (pandoc's `smart` extension, ON in `--from markdown`):
+# a quote OPENS at string start or after whitespace / an opening bracket /
+# a dash; otherwise it closes (apostrophes close by the same rule)
+_OPEN_CTX = r"(?:^|(?<=[\s(\[{–—‘“-]))"
+_DQ_OPEN_RE = re.compile(_OPEN_CTX + '"')
+_SQ_OPEN_RE = re.compile(_OPEN_CTX + "'")
+
+
+def _smart(text: str) -> str:
+    """Straight quotes → curly, ``---``/``--`` → em/en dash, ``...`` → …."""
+    text = text.replace("...", "…")
+    text = text.replace("---", "—").replace("--", "–")
+    text = _DQ_OPEN_RE.sub("“", text).replace('"', "”")
+    text = _SQ_OPEN_RE.sub("‘", text).replace("'", "’")
+    return text
 
 
 def _escape(text: str) -> str:
@@ -47,7 +68,7 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
     text = _escape(text)
     # Extract code-span contents into placeholders first so the other inline
     # substitutions never touch markup inside them (pandoc: `a*b*c` stays
-    # literal), then restore.
+    # literal and its punctuation stays straight), then restore.
     spans: list[str] = []
 
     def _stash(m: re.Match) -> str:
@@ -55,6 +76,8 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
         return f"\x00{len(spans) - 1}\x00"
 
     text = _CODE_RE.sub(_stash, text)
+    # smart punctuation BEFORE links so href attribute quotes stay straight
+    text = _smart(text)
     text = _BOLD_RE.sub(r"<strong>\1</strong>", text)
     text = _ITAL_RE.sub(r"<em>\1</em>", text)
     text = _LINK_RE.sub(r'<a href="\2">\1</a>', text)
@@ -154,11 +177,33 @@ def markdown_to_html(md: str) -> str:
     lists = _ListStack(inline)
     table_rows: list[str] = []
     code_lines: list[str] | None = None  # inside a fence when not None
+    deflist: list[tuple[str, list[str]]] = []  # [(term, [definitions])]
+    line_block: list[str] | None = None
 
     def flush_paragraph():
         if paragraph:
             out.append(f"<p>{inline(' '.join(paragraph))}</p>")
             paragraph.clear()
+
+    def flush_deflist():
+        if deflist:
+            items = "".join(
+                f"<dt>{inline(term)}</dt>"
+                + "".join(f"<dd>{inline(d)}</dd>" for d in defs)
+                for term, defs in deflist
+            )
+            out.append(f"<dl>{items}</dl>")
+            deflist.clear()
+
+    def flush_line_block():
+        nonlocal line_block
+        if line_block is not None:
+            out.append(
+                '<div class="line-block">'
+                + "<br />".join(inline(l) for l in line_block)
+                + "</div>"
+            )
+            line_block = None
 
     def flush_list():
         html = lists.flush()
@@ -201,17 +246,42 @@ def markdown_to_html(md: str) -> str:
             continue
 
         is_table_row = stripped.startswith("|") and stripped.count("|") >= 2
+        lb = None if is_table_row else _LINE_BLOCK_RE.match(stripped)
         if table_rows and not is_table_row:
             flush_table()
+        if line_block is not None and lb is None:
+            flush_line_block()
         m = _HEADING_RE.match(stripped)
         ol = _OL_RE.match(stripped)
         ul = _UL_RE.match(stripped)
+        dd = _DEF_RE.match(stripped)
         indent = len(raw) - len(raw.lstrip(" "))
+        # ordering invariant: an open <dl> always precedes the pending
+        # paragraph (starting a deflist pops/flushes the paragraph), so
+        # every flush site drains the deflist FIRST
         if _FENCE_RE.match(stripped):
+            flush_deflist()
             flush_paragraph()
             flush_list()
             code_lines = []
+        elif lb:
+            flush_deflist()
+            flush_paragraph()
+            flush_list()
+            if line_block is None:
+                line_block = []
+            line_block.append(lb.group(1) or "")
+        elif dd and (paragraph or deflist):
+            # definition line: the term is the pending paragraph line
+            # (pandoc: `Term\n:   definition`); consecutive `: x` lines add
+            # more <dd>s to the same term
+            if paragraph:
+                term = paragraph.pop()
+                flush_paragraph()  # earlier lines were a real paragraph
+                deflist.append((term, []))
+            deflist[-1][1].append(dd.group(1).strip())
         elif is_table_row:
+            flush_deflist()
             flush_paragraph()
             flush_list()
             table_rows.append(stripped)
@@ -222,29 +292,35 @@ def markdown_to_html(md: str) -> str:
             out.append(f"<h2>{inline(' '.join(paragraph))}</h2>")
             paragraph.clear()
         elif m:
+            flush_deflist()
             flush_paragraph()
             flush_list()
             level = len(m.group(1))
             out.append(f"<h{level}>{inline(m.group(2).strip())}</h{level}>")
         elif _HR_RE.match(stripped):
+            flush_deflist()
             flush_paragraph()
             flush_list()
             out.append("<hr />")
         elif stripped.startswith(">"):
+            flush_deflist()
             flush_paragraph()
             flush_list()
             out.append(f"<blockquote><p>{inline(stripped[1:].strip())}</p></blockquote>")
         elif ul:
+            flush_deflist()
             flush_paragraph()
             html = lists.add(indent, "ul", ul.group(1).strip())
             if html:
                 out.append(html)
         elif ol:
+            flush_deflist()
             flush_paragraph()
             html = lists.add(indent, "ol", ol.group(1).strip())
             if html:
                 out.append(html)
         elif stripped == "":
+            flush_deflist()
             flush_paragraph()
             flush_list()
         elif stripped.startswith("<") and not paragraph and not lists:
@@ -256,9 +332,11 @@ def markdown_to_html(md: str) -> str:
             paragraph.append(stripped)
     if code_lines is not None:  # unterminated fence: pandoc closes it at EOF
         out.append(f"<pre><code>{_escape(chr(10).join(code_lines))}</code></pre>")
+    flush_deflist()
     flush_paragraph()
     flush_list()
     flush_table()
+    flush_line_block()
     return "\n".join(out)
 
 

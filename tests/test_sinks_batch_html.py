@@ -257,3 +257,38 @@ def test_markdown_fenced_code_and_html_passthrough():
     # reference-style definitions inside fences are NOT link definitions
     md2 = "```\n[label]: https://example.org\n```\n"
     assert "[label]: https://example.org" in H.markdown_to_html(md2)
+
+
+def test_markdown_definition_lists_line_blocks_smart():
+    """Round-4 M11 widening: definition lists, line blocks, smart
+    punctuation (pandoc `--from markdown` has the smart extension ON —
+    markdownToHtml.ts:55-60)."""
+    # definition list: multiple defs per term, multiple terms, one <dl>
+    html = H.markdown_to_html(
+        "Term A\n:   first def\n:   second def\nTerm B\n:   only def\n\nafter"
+    )
+    assert html.splitlines() == [
+        "<dl><dt>Term A</dt><dd>first def</dd><dd>second def</dd>"
+        "<dt>Term B</dt><dd>only def</dd></dl>",
+        "<p>after</p>",
+    ]
+    # paragraph before the term stays a paragraph, in order
+    assert H.markdown_to_html("intro\nTerm\n:   def").splitlines() == [
+        "<p>intro</p>",
+        "<dl><dt>Term</dt><dd>def</dd></dl>",
+    ]
+    # line block (single leading pipe is NOT a table row)
+    assert (
+        H.markdown_to_html("| line one\n| line two\n\npara").splitlines()[0]
+        == '<div class="line-block">line one<br />line two</div>'
+    )
+    # smart punctuation: quotes, apostrophes, dashes, ellipsis
+    assert H.markdown_to_html('He said "hi" -- it\'s l\'article... done---now') == (
+        "<p>He said “hi” – it’s l’article… done—now</p>"
+    )
+    # code spans keep straight punctuation
+    assert H.markdown_to_html("run `--flag 'x'` now") == (
+        "<p>run <code>--flag 'x'</code> now</p>"
+    )
+    # pipe tables still win over line blocks
+    assert "<table>" in H.markdown_to_html("| a | b |\n|---|---|\n| 1 | 2 |")
