@@ -95,14 +95,23 @@ def run_bench(headline_only: bool = False) -> dict:
     _consume(rd.read_parquet(path).map_batches(_touch, batch_format="pyarrow"))
 
     index_ref = build_index_ref()
-    pool = max(2, NUM_CPUS - 2)
-    config = KGConfig(
-        # fixed near-full pools + stage barriers (2 CPUs reserved for shuffle
-        # tasks and the driver — a pool of exactly cluster size stalls the
-        # executor); measured faster than the fully streamed variant
-        extract_concurrency=(pool, pool),
-        link_concurrency=(pool, pool),
-    )
+    if os.environ.get("GRAFT_BENCH_STREAMED"):
+        # the library's scale default: streamed single-pass plan with
+        # auto-sized (~40% each) fixed pools — what a multi-node deployment
+        # runs; ~10% slower than the barrier plan on this single box
+        config = KGConfig()
+    else:
+        pool = max(2, NUM_CPUS - 2)
+        config = KGConfig(
+            # single-node headline tuning: fixed near-full pools + stage
+            # barriers (2 CPUs reserved for shuffle tasks and the driver — a
+            # pool of exactly cluster size stalls the executor). The barriers
+            # must be explicit: pairing near-full pools with the streamed
+            # default would starve the pipelined plan (>10x, measured r3).
+            extract_concurrency=(pool, pool),
+            link_concurrency=(pool, pool),
+            materialize_extractions=True,
+        )
 
     # best-of-3: single runs on this box vary ±30-70% (noisy-neighbor VM,
     # actor cold-start, page cache); the min is the reproducible
@@ -200,6 +209,10 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_NCONV=str(SCALING_NCONV),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            # scaling is evidenced in the library's SCALE DEFAULT (streamed
+            # single-pass plan, auto-sized pools) — the mode a real cluster
+            # runs — not the single-node barrier tuning
+            GRAFT_BENCH_STREAMED="1",
             # best-of-2 per level (the 4-cpu level is ~6 min/run; the
             # efficiency RATIO is less noise-sensitive than absolute times)
             GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),

@@ -29,15 +29,17 @@ from ..stages.assemble import (
 )
 from ..stages.canonicalize import canonical_triples, connected_components
 from ..stages.extract import extract_documents
-from ..stages.triples import LinkTripleActor, dedup_triples, split_fused
+from ..stages.triples import LinkTripleActor, dedup_triples, fused_failures, split_fused
 
 
 @dataclass
 class KGConfig:
-    # autoscaling (min, max) pools: two fixed-size pools whose combined min
-    # exceeds the cluster CPU count would deadlock the streaming executor
-    extract_concurrency: int | tuple = (1, 8)
-    link_concurrency: int | tuple = (1, 8)
+    # "auto" (default) sizes the pools from the live cluster CPU count at
+    # run time (see _resolve_pools); explicit int/(min,max) tuples override.
+    # Two fixed-size pools whose combined size exceeds the cluster CPU count
+    # would deadlock the streaming executor.
+    extract_concurrency: int | tuple | str = "auto"
+    link_concurrency: int | tuple | str = "auto"
     extract_batch_size: int = 64
     link_batch_size: int = 128
     # "hot_aware" (default): one shuffle for normal conversations, salted
@@ -49,19 +51,53 @@ class KGConfig:
     # candidate-pair edge count below which exact union-find runs on the
     # driver (ids only); larger graphs use distributed label propagation
     cc_driver_threshold: int = 2_000_000
-    # True (default): stage barriers — materialize docs before the extract
-    # pool exists and extractions before the link pool (measured fastest at
-    # 32 CPUs: eagerly-created near-full actor pools otherwise starve the
-    # upstream shuffle/stage to the leftover cores; reading `failures` also
-    # shares the extract pass).
-    # False: stream assemble→extract→link in ONE pipelined plan. Only use
-    # with pools sized to SHARE the cluster (e.g. extract+link ≈ half the
-    # CPUs each, leaving shuffle task slots) — with two near-full pools the
-    # plan crawls (>10x slower at sf0.1, measured round 3).
-    materialize_extractions: bool = True
+    # False (the scale default since round 4): stream assemble→extract→link
+    # in ONE pipelined plan — the whole corpus text crosses the object store
+    # exactly once and is never spilled whole at a barrier, which is the
+    # 100-TB shape. Requires pools sized to SHARE the cluster; "auto" gives
+    # each pool ~40% of the CPUs, leaving shuffle slots (measured at
+    # sf0.1/32: 27.1s vs 24.7s for the barrier plan — within 10%; with two
+    # near-full pools the streamed plan instead crawls >10x, measured r3).
+    # Failures surface from the fused table (table='failures') in the same
+    # pass — no re-execution to read them.
+    # True: stage barriers — materialize docs before the extract pool exists
+    # and extractions before the link pool. Slightly faster single-node
+    # (eagerly-created near-full pools otherwise starve the assembly
+    # shuffle), and what bench.py uses for the headline; at scale the
+    # barrier spills the whole corpus text to the object store.
+    materialize_extractions: bool = False
     # repartition assembled docs to this many blocks before the extract pool
     # (None = keep the assembly cogroup's natural block count)
     fine_blocks: int | None = None
+
+
+def _cluster_cpus() -> int:
+    try:
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — sizing fallback only
+        pass
+    return 8
+
+
+def _resolve_pools(config: "KGConfig") -> tuple:
+    """Resolve "auto" pool sizes from the live cluster.
+
+    Barrier mode: each stage runs alone after its materialize, so an
+    autoscaling (1, cpus-2) pool may grow to near-full without starving
+    anything. Streamed mode: extract and link run CONCURRENTLY with the
+    assembly shuffle, so each pool gets a FIXED ~40% of the CPUs (fixed,
+    not autoscaling: the ramp-up lag starves the pipelined plan — measured
+    38.3s autoscaling vs 27.1s fixed at sf0.1/32)."""
+    cpus = _cluster_cpus()
+    if config.materialize_extractions:
+        auto = (1, max(2, cpus - 2))
+    else:
+        k = max(1, int(cpus * 0.4))
+        auto = (k, k)
+    ex = auto if config.extract_concurrency == "auto" else config.extract_concurrency
+    ln = auto if config.link_concurrency == "auto" else config.link_concurrency
+    return ex, ln
 
 
 def _assembler(config: "KGConfig"):
@@ -99,6 +135,7 @@ def run_kg_pipeline(
     config = config or KGConfig()
     if index_ref is None:
         index_ref = build_index_ref()
+    extract_pool, link_pool = _resolve_pools(config)
 
     assemble = _assembler(config)
     docs = assemble(transcripts)
@@ -121,7 +158,7 @@ def run_kg_pipeline(
 
     extractions = extract_documents(
         docs,
-        concurrency=config.extract_concurrency,
+        concurrency=extract_pool,
         batch_size=config.extract_batch_size,
     )
     if config.materialize_extractions:
@@ -136,7 +173,7 @@ def run_kg_pipeline(
         fn_constructor_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=config.link_batch_size,
-        concurrency=config.link_concurrency,
+        concurrency=link_pool,
     ).materialize()  # small (ids + preds only); upstream streams one pass
 
     triples, links, edges = split_fused(fused)
@@ -149,7 +186,9 @@ def run_kg_pipeline(
     all_triples = triples.union(canonical_triples(labels))
     final_triples = dedup_triples(all_triples)
 
-    failures = extractions.filter(expr="valid == False")
+    # failures come out of the MATERIALIZED fused table: in the streamed
+    # plan, filtering `extractions` would re-run assemble+extract end to end
+    failures = fused_failures(fused)
 
     return {
         "documents": docs,
@@ -194,6 +233,7 @@ def run_kg_pipeline_checkpointed(
     if index_ref is None:
         index_ref = build_index_ref()
     counters = counters if counters is not None else {}
+    extract_pool, link_pool = _resolve_pools(config)
 
     assemble = _assembler(config)
     assemble_cp = StageCheckpoint(run_dir, "assemble", num_partitions)
@@ -208,7 +248,7 @@ def run_kg_pipeline_checkpointed(
     def _extract(ds):
         return extract_documents(
             ds,
-            concurrency=config.extract_concurrency,
+            concurrency=extract_pool,
             batch_size=config.extract_batch_size,
         )
 
@@ -224,7 +264,7 @@ def run_kg_pipeline_checkpointed(
             fn_constructor_kwargs={"index_ref": index_ref},
             batch_format="pyarrow",
             batch_size=config.link_batch_size,
-            concurrency=config.link_concurrency,
+            concurrency=link_pool,
         )
 
     fused = run_stage_checkpointed(
@@ -238,7 +278,7 @@ def run_kg_pipeline_checkpointed(
         driver_threshold=config.cc_driver_threshold,
     )
     final_triples = dedup_triples(triples.union(canonical_triples(labels)))
-    failures = extractions.filter(expr="valid == False")
+    failures = fused_failures(fused)
 
     return {
         "documents": docs,

@@ -31,21 +31,24 @@ EDGES_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
 class LinkTripleActor:
     """Fused link+triple stage: extraction batch → triple rows + link rows.
 
-    Output rows are tagged by ``table`` ∈ {'triples','links','edges'} so one
-    streamed pass produces all three logical tables; callers filter by tag
-    (or use the convenience splitters below).
+    Output rows are tagged by ``table`` ∈ {'triples','links','edges',
+    'failures'} so one streamed pass produces all four logical tables;
+    callers filter by tag (or use the convenience splitters below).
     """
 
     def __init__(self, index_ref):
         self._idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        triples, links, edges = [], [], []
+        triples, links, edges, failures = [], [], [], []
         for rec in batch.to_pylist():
-            # invalid extractions are skipped HERE (not in a separate filter
-            # operator) so this stage's plan is Input→ActorPool only and the
-            # pool can own every cluster CPU without starving filter tasks
+            # invalid extractions are routed HERE into the fused output as
+            # table='failures' rows (not via a separate filter operator), so
+            # this stage's plan is Input→ActorPool only AND the streamed plan
+            # yields the failures table in the SAME single pass — no
+            # re-execution of assemble+extract to read failures
             if rec.get("valid") is False:
+                failures.append(rec)
                 continue
             decision_date = extract_date_from_ecli(rec.get("self_ecli") or "") or None
             doc_links = link_document(rec, self._idx, decision_date)
@@ -53,29 +56,35 @@ class LinkTripleActor:
             triples.extend(emit_triples(rec, doc_links))
             edges.extend((rec["conv_id"], s, d) for s, d in canonical_edges(doc_links))
 
-        # columnar assembly (13 narrow columns; list-of-dicts would cost a
+        # columnar assembly (15 narrow columns; list-of-dicts would cost a
         # python dict per row)
-        nt, nl, ne = len(triples), len(links), len(edges)
-        n = nt + nl + ne
-        none_t, none_l, none_e = [None] * nt, [None] * nl, [None] * ne
+        nt, nl, ne, nf = len(triples), len(links), len(edges), len(failures)
+        n = nt + nl + ne + nf
+        none_t, none_l, none_e, none_f = [None] * nt, [None] * nl, [None] * ne, [None] * nf
         cols = {
             "part_key": [t["conv_id"] for t in triples]
             + [l["conv_id"] for l in links]
-            + [e[0] for e in edges],
-            "table": ["triples"] * nt + ["links"] * nl + ["edges"] * ne,
-            "subj": [t["subj"] for t in triples] + none_l + none_e,
-            "pred": [t["pred"] for t in triples] + none_l + none_e,
-            "obj": [t["obj"] for t in triples] + none_l + none_e,
+            + [e[0] for e in edges]
+            + [f["conv_id"] for f in failures],
+            "table": ["triples"] * nt + ["links"] * nl + ["edges"] * ne + ["failures"] * nf,
+            "subj": [t["subj"] for t in triples] + none_l + none_e + none_f,
+            "pred": [t["pred"] for t in triples] + none_l + none_e + none_f,
+            "obj": [t["obj"] for t in triples] + none_l + none_e + none_f,
             "conv_id": [t["conv_id"] for t in triples]
             + [l["conv_id"] for l in links]
-            + none_e,
-            "score": [t["score"] for t in triples] + [l["score"] for l in links] + none_e,
-            "mention_internal_id": none_t + [l["mention_internal_id"] for l in links] + none_e,
-            "kind": none_t + [l["kind"] for l in links] + none_e,
-            "method": none_t + [l["method"] for l in links] + none_e,
-            "matched_entity": none_t + [l["matched_entity"] for l in links] + none_e,
-            "src": none_t + none_l + [e[1] for e in edges],
-            "dst": none_t + none_l + [e[2] for e in edges],
+            + none_e
+            + [f["conv_id"] for f in failures],
+            "score": [t["score"] for t in triples] + [l["score"] for l in links] + none_e + none_f,
+            "mention_internal_id": none_t + [l["mention_internal_id"] for l in links] + none_e + none_f,
+            "kind": none_t + [l["kind"] for l in links] + none_e + none_f,
+            "method": none_t + [l["method"] for l in links] + none_e + none_f,
+            "matched_entity": none_t + [l["matched_entity"] for l in links] + none_e + none_f,
+            "src": none_t + none_l + [e[1] for e in edges] + none_f,
+            "dst": none_t + none_l + [e[2] for e in edges] + none_f,
+            "failure_reason": none_t + none_l + none_e
+            + [f.get("failure_reason") for f in failures],
+            "failure_error": none_t + none_l + none_e
+            + [f.get("failure_error") for f in failures],
         }
         assert n == len(cols["part_key"])
         return pa.table(
@@ -98,6 +107,8 @@ _FUSED_SCHEMA = pa.schema(
         ("matched_entity", pa.string()),
         ("src", pa.string()),
         ("dst", pa.string()),
+        ("failure_reason", pa.string()),
+        ("failure_error", pa.string()),
     ]
 )
 
@@ -112,6 +123,15 @@ def split_fused(fused: ray.data.Dataset):
     )
     edges = fused.filter(expr="table == 'edges'").select_columns(["src", "dst"])
     return triples, links, edges
+
+
+def fused_failures(fused: ray.data.Dataset) -> ray.data.Dataset:
+    """fused tagged rows → failures view (conv_id, failure_reason,
+    failure_error) — read from the materialized fused table, never by
+    re-running the extraction."""
+    return fused.filter(expr="table == 'failures'").select_columns(
+        ["conv_id", "failure_reason", "failure_error"]
+    )
 
 
 _SEP = "\x01"
