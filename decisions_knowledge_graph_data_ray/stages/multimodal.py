@@ -74,10 +74,27 @@ class DecodeImageActor:
         self._fake = fake
 
     def _decode_real(self, payload: bytes) -> dict:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this environment; "
-            "construct with fake=True for the deterministic stub"
-        )
+        # optional dependency: the real kernel activates when PIL is
+        # installed; the engine's Ray plumbing (schema, batch size, actor
+        # signature) is identical on both paths
+        try:
+            from PIL import Image  # noqa: PLC0415 — import-guarded optional dep
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL — not installed in this environment; "
+                "construct with fake=True for the deterministic stub"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        width, height = img.size
+        # 8-bin grayscale histogram, L1-normalized — a deterministic,
+        # library-stable feature of the same shape the fake path emits
+        hist = img.histogram()  # 256 bins
+        bins = [sum(hist[i * 32:(i + 1) * 32]) for i in range(8)]
+        total = max(1, sum(bins))
+        return {"width": width, "height": height,
+                "feature": [b / total for b in bins]}
 
     def _decode_fake(self, payload: bytes) -> dict:
         # keyed on the payload's LOWERCASE HEX string (not raw bytes) so the
@@ -126,10 +143,19 @@ class ResizeImageActor:
         self._w, self._h, self._fake = target_w, target_h, fake
 
     def _resize_real(self, payload: bytes) -> bytes:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv — not available in this environment; "
-            "construct with fake=True for the deterministic stub"
-        )
+        try:
+            from PIL import Image  # noqa: PLC0415 — import-guarded optional dep
+        except ImportError as e:
+            raise NotImplementedError(
+                "image resize requires PIL — not installed in this environment; "
+                "construct with fake=True for the deterministic stub"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((self._w, self._h)).save(out, format="PNG")
+        return out.getvalue()
 
     def _resize_fake(self, payload: bytes) -> bytes:
         out_len = max(32, self._w * self._h // 16)
@@ -198,23 +224,51 @@ class FrameSampleActor:
 
 class AudioFeatureActor:
     """Audio feature extraction (MFCC-shaped fixed-length vector). Fake
-    derives 13 coefficients from hash windows; real path stubbed."""
+    derives 13 coefficients from hash windows; real path decodes via the
+    optional soundfile dependency (import-guarded)."""
 
     N_COEFF = 13
 
     def __init__(self, fake: bool = False):
         self._fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self._fake:
+    def _mfcc_real(self, payload: bytes) -> list[float]:
+        """Real path (optional dep): decode WAV via soundfile, then a
+        numpy log-spectral 13-vector (mean log-energy of 13 mel-spaced FFT
+        bands — MFCC-shaped without a librosa dependency)."""
+        try:
+            import soundfile as sf  # noqa: PLC0415 — import-guarded optional dep
+        except ImportError as e:
             raise NotImplementedError(
-                "audio decode requires libsndfile/librosa — not available in this "
+                "audio decode requires soundfile — not installed in this "
                 "environment; construct with fake=True for the deterministic stub"
-            )
+            ) from e
+        import io
+
+        import numpy as np
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        spec = np.abs(np.fft.rfft(data)) ** 2
+        edges = np.unique(
+            np.geomspace(1, len(spec), self.N_COEFF + 1).astype(int)
+        )
+        bands = [
+            float(np.log1p(spec[a:b].mean())) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        bands += [0.0] * (self.N_COEFF - len(bands))
+        return bands[: self.N_COEFF]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
-        for payload in batch["payload"].to_pylist():
-            h = hashlib.blake2b(payload, digest_size=self.N_COEFF, person=b"mfcc").digest()
-            feats.append([b / 255.0 - 0.5 for b in h])
+        if not self._fake:
+            feats = [self._mfcc_real(p) for p in batch["payload"].to_pylist()]
+        else:
+            for payload in batch["payload"].to_pylist():
+                h = hashlib.blake2b(payload, digest_size=self.N_COEFF, person=b"mfcc").digest()
+                feats.append([b / 255.0 - 0.5 for b in h])
         return pa.table(
             {
                 "media_id": batch["media_id"],

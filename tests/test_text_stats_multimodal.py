@@ -124,3 +124,61 @@ def test_multimodal_real_paths_stub_clearly(ray_session):
             ResizeImageActor, fn_constructor_kwargs={"fake": False},
             batch_format="pyarrow", concurrency=1,
         ).materialize()
+
+
+def test_real_decode_import_guard(ray_session):
+    """Without the optional libs the real path raises NotImplementedError
+    (helpful message, never a bare ImportError mid-pipeline); with them
+    present it decodes. These run whichever side the environment has."""
+    import pytest
+
+    from decisions_knowledge_graph_data_ray.stages import multimodal as M
+
+    payload = b"\x00" * 64
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    actor = M.DecodeImageActor(fake=False)
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            actor._decode_real(payload)
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            M.ResizeImageActor(fake=False)._resize_real(payload)
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (40, 20), (10, 20, 30)).save(buf, format="PNG")
+        meta = actor._decode_real(buf.getvalue())
+        assert (meta["width"], meta["height"]) == (40, 20)
+        assert len(meta["feature"]) == 8
+        out = M.ResizeImageActor(target_w=8, target_h=8, fake=False)._resize_real(buf.getvalue())
+        assert out[:8] == b"\x89PNG\r\n\x1a\n"
+
+    try:
+        import soundfile  # noqa: F401
+
+        has_sf = True
+    except ImportError:
+        has_sf = False
+
+    audio = M.AudioFeatureActor(fake=False)
+    if not has_sf:
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            audio._mfcc_real(payload)
+    else:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        sf.write(buf, np.sin(np.linspace(0, 440, 8000)), 8000, format="WAV")
+        feats = audio._mfcc_real(buf.getvalue())
+        assert len(feats) == M.AudioFeatureActor.N_COEFF
