@@ -669,6 +669,207 @@ def _kg_teaching_relations_sql() -> str:
     )
 
 
+def _kg_block_citations_sql() -> str:
+    """Block-citation enrichment oracle (functions/block_citations.py —
+    Agents 2D/5B analogue), composed from the three entity oracles:
+
+    - blocks: one per non-empty assembled line, ids contiguous 1..n
+      (turns_to_transformed_html); plain text = trimmed line
+    - provisions (seqd), decisions (cits), teachings (teach): containment
+      rules ported verbatim — provision needle cascade article/artikel/art.
+      + parent-act gate (:80-91), decision ECLI > case > court+date with NO
+      fallthrough past a present ECLI (:94-108), teaching verbatim (:111-116)
+    - related arrays: first-occurrence dedup over (own block asc, other
+      extraction seq asc) = arg-min pair ordering; provisions self-ref FIRST
+    - teachings keep only relationship claims whose target has >=1 block
+      citation in the document (the 5B validation, :205-211)
+    - _snippet (:63-72): whole block when <=240 chars, else a 240-char
+      window centred on the first needle hit (char arithmetic — DuckDB
+      strpos/substr are char-based like Python str)
+    """
+    m = _mentions_parts()
+    c = _citations_parts()
+    # DuckDB inlines CTEs per reference — without MATERIALIZED hints the
+    # 17-pattern trigger scan and the mentions extraction would re-run for
+    # every consumer (measured >10x: the single-scan lesson from
+    # kg_citation_stats round 4)
+    mat = lambda ctes, names: __import__("functools").reduce(
+        lambda s, n: s.replace(n + " AS (", n + " AS MATERIALIZED ("), names, ctes
+    )
+    m_ctes = mat(m["ctes"], ["named", "dedup", "seqd"])
+    c_ctes = mat(c["ctes"], ["trig1", "cits"])
+    norm = lambda col: "lower(regexp_replace(trim(" + col + "), '\\s+', ' ', 'g'))"
+    # _snippet(blk_text, needle) with needle already lowercase-normalized;
+    # Python searches blk.lower() for needle.lower() — blk_norm==lower(blk)
+    # only up to whitespace collapsing, so search lower(blk_text) directly
+    snippet = (
+        "CASE WHEN length(h.blk_text) <= 240 THEN h.blk_text "
+        "WHEN strpos(lower(h.blk_text), h.needle) = 0 THEN substr(h.blk_text, 1, 240) "
+        "ELSE substr(h.blk_text, CAST(greatest(0, strpos(lower(h.blk_text), h.needle) - 1 "
+        "- (240 - length(h.needle)) // 2) + 1 AS BIGINT), 240) END"
+    )
+    return (
+        "WITH " + m_ctes + ", " + c_ctes + """
+        , teach AS MATERIALIZED (
+            SELECT conv_id, turn_idx, text,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS teaching_seq
+            FROM t
+            WHERE regexp_matches(text, '""" + _TEACH_MARKER_PAT.replace("'", "''") + """')
+        ), blocks AS MATERIALIZED (
+            SELECT conv_id, turn_idx,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS bseq,
+                   trim(line) AS blk_text,
+                   """ + norm("line") + """ AS blk_norm
+            FROM ct WHERE trim(line) <> ''
+        ), provs AS MATERIALIZED (
+            SELECT conv_id, provision_seq AS eseq,
+                   'ART-' || conv_id || '-' || printf('%03d', provision_seq) AS eid,
+                   """ + norm("num") + """ AS num_n,
+                   lower(name) AS act_n
+            FROM seqd
+        ), prov_hits AS MATERIALIZED (
+            SELECT p.conv_id, p.eseq, p.eid, b.bseq, b.blk_text,
+                   CASE WHEN contains(b.blk_norm, 'article ' || p.num_n) THEN 'article ' || p.num_n
+                        WHEN contains(b.blk_norm, 'artikel ' || p.num_n) THEN 'artikel ' || p.num_n
+                        WHEN contains(b.blk_norm, 'art. ' || p.num_n) THEN 'art. ' || p.num_n
+                   END AS needle
+            FROM provs p JOIN blocks b USING (conv_id)
+            WHERE p.num_n <> ''
+              AND (p.act_n = '' OR contains(b.blk_norm, p.act_n))
+              AND (contains(b.blk_norm, 'article ' || p.num_n)
+                   OR contains(b.blk_norm, 'artikel ' || p.num_n)
+                   OR contains(b.blk_norm, 'art. ' || p.num_n))
+        ), decs AS MATERIALIZED (
+            SELECT conv_id, decision_seq AS eseq,
+                   'DEC-' || conv_id || '-' || printf('%03d', decision_seq) AS eid,
+                   lower(COALESCE(ecli, '')) AS ecli_n,
+                   """ + norm("COALESCE(case_number, '')") + """ AS case_n,
+                   """ + norm("COALESCE(court_name, '')") + """ AS court_n,
+                   lower(COALESCE(cit_date, '')) AS date_n
+            FROM cits
+        ), dec_hits AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT d.conv_id, d.eseq, d.eid, b.bseq, b.blk_text,
+                       CASE WHEN d.ecli_n <> ''
+                            THEN CASE WHEN contains(b.blk_norm, d.ecli_n) THEN d.ecli_n END
+                            WHEN d.case_n <> '' AND contains(b.blk_norm, d.case_n) THEN d.case_n
+                            WHEN d.court_n <> '' AND d.date_n <> ''
+                                 AND contains(b.blk_norm, d.court_n)
+                                 AND contains(b.blk_norm, d.date_n) THEN d.court_n
+                       END AS needle
+                FROM decs d JOIN blocks b USING (conv_id)
+            ) WHERE needle IS NOT NULL
+        ), teach_hits AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT te.conv_id, te.teaching_seq AS eseq,
+                       'TEACH-' || te.conv_id || '-' || printf('%03d', te.teaching_seq) AS eid,
+                       b.bseq, b.blk_text,
+                       CASE WHEN """ + norm("te.text") + """ <> ''
+                                 AND contains(b.blk_norm, """ + norm("te.text") + """)
+                            THEN substr(""" + norm("te.text") + """, 1, 80) END AS needle
+                FROM teach te JOIN blocks b USING (conv_id)
+            ) WHERE needle IS NOT NULL
+        ), all_hits AS MATERIALIZED (
+            SELECT 'provision' AS kind, * FROM prov_hits
+            UNION ALL SELECT 'decision', * FROM dec_hits
+            UNION ALL SELECT 'teaching', * FROM teach_hits
+        ), agg_hits AS MATERIALIZED (
+            SELECT conv_id, kind, eid,
+                   COUNT(*) AS n_citations,
+                   string_agg(conv_id || ':block-' || printf('%03d', bseq), '|'
+                              ORDER BY bseq) AS block_ids,
+                   arg_min(blk_text, bseq) AS blk_text,
+                   arg_min(needle, bseq) AS needle
+            FROM all_hits GROUP BY 1, 2, 3
+        ), rel_pairs AS (
+            -- entities sharing >=1 block: ordered by (first shared block,
+            -- other's extraction seq) = Python's first-occurrence dedup
+            SELECT a.conv_id, a.kind AS e_kind, a.eid AS e,
+                   b.kind AS o_kind, b.eid AS other, b.eseq AS other_seq,
+                   min(a.bseq) AS first_bi
+            FROM all_hits a
+            JOIN all_hits b ON a.conv_id = b.conv_id AND a.bseq = b.bseq
+                 AND a.eid <> b.eid
+            WHERE a.kind IN ('provision', 'decision')
+              AND b.kind IN ('provision', 'decision')
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ), rel_agg AS (
+            SELECT conv_id, e_kind, e, o_kind,
+                   string_agg(other, '|' ORDER BY first_bi, other_seq) AS rel
+            FROM rel_pairs GROUP BY 1, 2, 3, 4
+        ), line_local AS (
+            -- per-line local provision keys in first-occurrence line order
+            -- (_related_provision_ids re-runs the extractor on the line)
+            SELECT conv_id, turn_idx, numkey, name_l, pos, prio, midx FROM (
+                SELECT conv_id, turn_idx, numkey, lower(name) AS name_l,
+                       pos, prio, midx,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx, numkey, lower(name)
+                           ORDER BY pos, prio, midx) AS lrn
+                FROM dedup)
+            WHERE lrn = 1
+        ), teach_rel_prov AS (
+            SELECT te.conv_id, te.teaching_seq,
+                   string_agg('ART-' || g.conv_id || '-' || printf('%03d', g.provision_seq),
+                              '|' ORDER BY ll.pos, ll.prio, ll.midx) AS rel
+            FROM teach te
+            JOIN line_local ll ON ll.conv_id = te.conv_id AND ll.turn_idx = te.turn_idx
+            JOIN seqd g ON g.conv_id = ll.conv_id AND g.numkey = ll.numkey
+                 AND lower(g.name) = ll.name_l
+            -- 5B validation: target must have >=1 block citation
+            JOIN agg_hits ah ON ah.conv_id = te.conv_id AND ah.kind = 'provision'
+                 AND ah.eid = 'ART-' || g.conv_id || '-' || printf('%03d', g.provision_seq)
+            GROUP BY 1, 2
+        ), teach_rel_dec AS (
+            SELECT te.conv_id, te.teaching_seq,
+                   string_agg(n.eid, '|' ORDER BY n.eseq) AS rel
+            FROM teach te
+            JOIN (SELECT conv_id, decision_seq AS eseq,
+                         'DEC-' || conv_id || '-' || printf('%03d', decision_seq) AS eid,
+                         COALESCE(ecli, case_number) AS needle
+                  FROM cits
+                  WHERE COALESCE(ecli, case_number) IS NOT NULL
+                    AND COALESCE(ecli, case_number) <> '') n
+              ON n.conv_id = te.conv_id AND contains(te.text, n.needle)
+            JOIN agg_hits ah ON ah.conv_id = te.conv_id AND ah.kind = 'decision'
+                 AND ah.eid = n.eid
+            GROUP BY 1, 2
+        ), entities AS (
+            SELECT conv_id, 'provision' AS kind, eid, eseq FROM provs
+            UNION ALL SELECT conv_id, 'decision', eid, eseq FROM decs
+            UNION ALL SELECT conv_id, 'teaching',
+                   'TEACH-' || conv_id || '-' || printf('%03d', teaching_seq),
+                   teaching_seq FROM teach
+        )
+        SELECT e.conv_id, e.kind, e.eid AS entity_id,
+               COALESCE(h.n_citations, 0) AS n_citations,
+               COALESCE(h.block_ids, '') AS block_ids,
+               COALESCE(""" + snippet + """, '') AS first_snippet,
+               CASE e.kind
+                    WHEN 'provision' THEN e.eid ||
+                         COALESCE('|' || rp.rel, '')
+                    WHEN 'decision' THEN COALESCE(rp.rel, '')
+                    ELSE COALESCE(tp.rel, '') END AS related_provision_ids,
+               CASE e.kind
+                    WHEN 'teaching' THEN COALESCE(td.rel, '')
+                    ELSE COALESCE(rd.rel, '') END AS related_decision_ids
+        FROM entities e
+        LEFT JOIN agg_hits h ON h.conv_id = e.conv_id AND h.kind = e.kind
+             AND h.eid = e.eid
+        LEFT JOIN rel_agg rp ON rp.conv_id = e.conv_id AND rp.e = e.eid
+             AND rp.o_kind = 'provision'
+        LEFT JOIN rel_agg rd ON rd.conv_id = e.conv_id AND rd.e = e.eid
+             AND rd.o_kind = 'decision'
+        LEFT JOIN teach_rel_prov tp ON tp.conv_id = e.conv_id
+             AND e.kind = 'teaching' AND tp.teaching_seq = e.eseq
+        LEFT JOIN teach_rel_dec td ON td.conv_id = e.conv_id
+             AND e.kind = 'teaching' AND td.teaching_seq = e.eseq
+        ORDER BY e.conv_id, e.kind, entity_id
+    """
+    )
+
+
 def _kg_interpretations_sql() -> str:
     """DuckDB twin of interpret_provisions (functions/interpret.py): per
     provision the first interpretation-marker sentence (>=100 chars) and the
@@ -726,7 +927,7 @@ def _kg_interpretations_sql() -> str:
             SELECT conv_id, i AS sidx, trim(sl[i]) AS s
             FROM sents0, unnest(range(1, len(sl) + 1)) AS r(i)
             WHERE trim(sl[i]) <> ''
-        ), provs AS (
+        ), provs AS MATERIALIZED (
             SELECT conv_id, provision_seq, lower(trim(num)) AS num_l,
                    {esc_expr} AS num_esc
             FROM seqd
@@ -1796,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_decisions": _kg_decisions_sql(),
         "kg_citation_stats": _kg_citation_stats_sql(),
         "kg_teaching_relations": _kg_teaching_relations_sql(),
+        "kg_block_citations": _kg_block_citations_sql(),
         # winnowing fingerprint (functions/text_stats.py:96-102): min FNV-1a64
         # over 64-byte windows stepped by 16 (whole-text hash when shorter),
         # masked to int63. Bytes come from hex(encode(text)) pairs; the FNV
