@@ -870,6 +870,239 @@ def _kg_block_citations_sql() -> str:
     )
 
 
+def _sketch_parts() -> dict:
+    """Shared SQL pieces of the MinHash/SimHash oracles — DuckDB twins of
+    functions/sketches.py. The shingle hash is md5 low-8-bytes little-endian
+    (chosen in sketches._shingle_hashes precisely so SQL can reproduce it
+    from ``md5(s)`` hex); the 128 affine-permutation constants are spliced
+    as literals from the SAME _A/_B arrays the Ray path uses, so the two
+    sides cannot drift. (a*h+b) mod 2^64 runs in signed HUGEINT via a
+    hi/lo split — every intermediate stays < 2^97.
+
+    Envelope: a document with zero alnum words would carry the all-ones
+    sentinel signature in Python but is absent from the SQL shingle
+    relation; the corpus has no wordless documents.
+    """
+    from decisions_knowledge_graph_data_ray.functions import sketches as S
+
+    m64 = 1 << 64
+    perms_rows = ", ".join(
+        "(" + str(i) + ", " + str(int(a)) + "::HUGEINT, " + str(int(b)) + "::HUGEINT)"
+        for i, (a, b) in enumerate(zip(S._A, S._B))
+    )
+    h64 = " + ".join(
+        "((strpos('0123456789abcdef', substr(hx, " + str(2 * i + 1) + ", 1)) - 1) * 16 "
+        "+ (strpos('0123456789abcdef', substr(hx, " + str(2 * i + 2) + ", 1)) - 1))"
+        "::HUGEINT * " + str(256 ** i) + "::HUGEINT"
+        for i in range(8)
+    )
+    ctes = """swords AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), shing AS MATERIALIZED (
+            -- k=3 word shingles; whole-doc shingle when < 3 words
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                        ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s
+            FROM swords,
+                 unnest(range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 2
+                                      WHEN len(ws) > 0 THEN 1 ELSE 0 END + 1)) AS r(i)
+        ), shashes AS MATERIALIZED (
+            SELECT doc_id, """ + h64 + """ AS h
+            FROM (SELECT doc_id, md5(s) AS hx FROM shing)
+        ), perms(i, a, b) AS (
+            VALUES """ + perms_rows + """
+        ), sig AS MATERIALIZED (
+            SELECT doc_id, p.i AS perm,
+                   min((((p.a * (s.h // 4294967296)) % """ + str(m64) + """) * 4294967296
+                        + p.a * (s.h % 4294967296) + p.b) % """ + str(m64) + """) AS comp
+            FROM shashes s CROSS JOIN perms p
+            GROUP BY 1, 2
+        )"""
+    return {"ctes": ctes}
+
+
+def _minhash_cand_ctes() -> str:
+    """LSH banding (16 bands x 8 rows) + candidate pairs + estimated
+    Jaccard. Equal band-slice VALUES stand in for the Python band hash —
+    equal blake2b band hashes ⟺ equal 8-component slices (collisions
+    aside), so bucket membership is identical."""
+    return """
+        , band_key AS (
+            SELECT doc_id, perm // 8 AS band,
+                   string_agg(comp::VARCHAR, ',' ORDER BY perm) AS bkey
+            FROM sig GROUP BY 1, 2
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+            FROM band_key a JOIN band_key b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ), est AS (
+            SELECT c.src_id, c.dst_id,
+                   avg(CASE WHEN s1.comp = s2.comp THEN 1.0 ELSE 0.0 END) AS est_jaccard
+            FROM cand c
+            JOIN sig s1 ON s1.doc_id = c.src_id
+            JOIN sig s2 ON s2.doc_id = c.dst_id AND s2.perm = s1.perm
+            GROUP BY 1, 2
+        )"""
+
+
+def _minhash_pairs_sql(threshold: float = 0.7) -> str:
+    p = _sketch_parts()
+    return (
+        "WITH " + p["ctes"] + _minhash_cand_ctes() + """
+        SELECT src_id, dst_id, round(est_jaccard, 4) AS est_jaccard
+        FROM est WHERE est_jaccard >= """ + str(threshold) + """
+        ORDER BY src_id, dst_id
+    """
+    )
+
+
+def _near_dup_verified_sql(cand_threshold: float = 0.5, threshold: float = 0.7) -> str:
+    """MinHash-LSH candidates (est >= cand_threshold) verified by EXACT
+    word-3-shingle Jaccard (sketches.ngram_jaccard) >= threshold."""
+    p = _sketch_parts()
+    return (
+        "WITH " + p["ctes"] + _minhash_cand_ctes() + """
+        , kept AS (
+            SELECT src_id, dst_id FROM est WHERE est_jaccard >= """ + str(cand_threshold) + """
+        ), ssize AS (
+            SELECT doc_id, count(*) AS n FROM shing GROUP BY 1
+        ), inter AS (
+            SELECT k.src_id, k.dst_id, count(*) AS i
+            FROM kept k
+            JOIN shing a ON a.doc_id = k.src_id
+            JOIN shing b ON b.doc_id = k.dst_id AND b.s = a.s
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT k.src_id, k.dst_id,
+                   COALESCE(i.i, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard
+            FROM kept k
+            JOIN ssize na ON na.doc_id = k.src_id
+            JOIN ssize nb ON nb.doc_id = k.dst_id
+            LEFT JOIN inter i ON i.src_id = k.src_id AND i.dst_id = k.dst_id
+        )
+        SELECT src_id, dst_id, round(jaccard, 4) AS jaccard
+        FROM jac WHERE jaccard >= """ + str(threshold) + """
+        ORDER BY src_id, dst_id
+    """
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """SimHash oracle: unweighted bit votes over the shingle hashes
+    (sketches.simhash), 4 x 16-bit LSH bands, Hamming over the 63-bit
+    MASKED value (stages/dedup stores simhash & 0x7FF..F as int64, so bit
+    63 never contributes to the distance — ported verbatim)."""
+    p = _sketch_parts()
+    p2_rows = ", ".join("(" + str(i) + ", " + str(1 << i) + "::HUGEINT)" for i in range(64))
+    band_rows = ", ".join(
+        "(" + str(b) + ", " + str(1 << (16 * b)) + "::HUGEINT)" for b in range(4)
+    )
+    return (
+        "WITH " + p["ctes"] + """
+        , p2(bit, w) AS (VALUES """ + p2_rows + """)
+        , simvote AS (
+            SELECT h.doc_id, p.bit,
+                   CASE WHEN 2 * sum((h.h // p.w) % 2) > count(*)
+                        THEN p.w ELSE 0::HUGEINT END AS contrib
+            FROM shashes h CROSS JOIN p2 p
+            GROUP BY h.doc_id, p.bit, p.w
+        ), simh AS MATERIALIZED (
+            SELECT doc_id, sum(contrib) AS v,
+                   (sum(contrib) % 9223372036854775808)::BIGINT AS masked
+            FROM simvote GROUP BY 1
+        ), sbk AS (
+            SELECT doc_id, b.i AS band, (v // b.w) % 65536 AS bkey, masked
+            FROM simh, (VALUES """ + band_rows + """) AS b(i, w)
+        ), scand AS (
+            SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id,
+                   a.masked AS mh_a, b.masked AS mh_b
+            FROM sbk a JOIN sbk b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT src_id, dst_id,
+               bit_count(xor(mh_a, mh_b))::BIGINT AS hamming
+        FROM scand WHERE bit_count(xor(mh_a, mh_b)) <= """ + str(max_hamming) + """
+        ORDER BY src_id, dst_id
+    """
+    )
+
+
+def _lsh_plane_terms(n_planes: int, dim: int = 64) -> str:
+    """Bucket-id expression for the hash-derived LSH hyperplanes
+    (stages/similarity._hyperplanes): the plane constants are spliced as
+    DOUBLE literals (float32 → double is exact), and the bucket bit is the
+    SIGN of the raw dot product — normalization is a positive scale, so the
+    Python path's normalize-then-dot gives the identical sign."""
+    import numpy as np
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        terms.append(
+            "CASE WHEN list_dot_product(embedding, " + lit + ") > 0 THEN "
+            + str(1 << p) + " ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embeddings_norm_cte(n_planes: int) -> str:
+    return """enorm AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, y -> y * y))) AS nrm,
+                   """ + _lsh_plane_terms(n_planes) + """ AS bucket
+            FROM embeddings
+        )"""
+
+
+def _embedding_dup_pairs_sql(threshold: float = 0.3, n_planes: int = 10) -> str:
+    """LSH-bucketed embedding near-dup pairs. Floating-point envelope: the
+    Ray path dots in float32, the oracle in double — values agree to ~1e-5,
+    well inside the round(4) gate on this corpus."""
+    return (
+        "WITH " + _embeddings_norm_cte(n_planes) + """
+        , pairs AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                   list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cosine
+            FROM enorm a JOIN enorm b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT src_id, dst_id, round(cosine, 4) AS cosine
+        FROM pairs WHERE cosine >= """ + str(threshold) + """
+        ORDER BY src_id, dst_id
+    """
+    )
+
+
+def _lsh_topk_sql(k: int = 5, n_planes: int = 8) -> str:
+    """LSH ANN top-k: queries are the vec_id < 3 rows; only vectors sharing
+    the query's bucket are scored; ties break by vec_id ascending (the Ray
+    path's _final sort)."""
+    return (
+        "WITH " + _embeddings_norm_cte(n_planes) + """
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
+            FROM enorm WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qe, e.embedding) / (q.qn * e.nrm) AS cosine
+            FROM q JOIN enorm e ON e.bucket = q.qb
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+        FROM ranked WHERE rank <= """ + str(k) + """
+        ORDER BY query_id, rank
+    """
+    )
+
+
 def _kg_interpretations_sql() -> str:
     """DuckDB twin of interpret_provisions (functions/interpret.py): per
     provision the first interpretation-marker sentence (>=100 chars) and the
@@ -1998,6 +2231,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_stats": _kg_citation_stats_sql(),
         "kg_teaching_relations": _kg_teaching_relations_sql(),
         "kg_block_citations": _kg_block_citations_sql(),
+        # sketch oracles (round 4): md5-keyed shingle hashes make the
+        # MinHash/SimHash math exactly portable to SQL
+        "documents_minhash_pairs": _minhash_pairs_sql(threshold=0.7),
+        "documents_simhash_pairs": _simhash_pairs_sql(max_hamming=3),
+        "documents_near_dup_verified": _near_dup_verified_sql(0.5, 0.7),
+        "embeddings_dup_pairs": _embedding_dup_pairs_sql(threshold=0.3, n_planes=10),
+        "embeddings_lsh_topk": _lsh_topk_sql(k=5, n_planes=8),
         # winnowing fingerprint (functions/text_stats.py:96-102): min FNV-1a64
         # over 64-byte windows stepped by 16 (whole-text hash when shorter),
         # masked to int63. Bytes come from hex(encode(text)) pairs; the FNV

@@ -34,12 +34,16 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
 
 
 def _shingle_hashes(shingles: set[str]) -> np.ndarray:
-    """Stable 64-bit hashes of each shingle (blake2b-8byte)."""
+    """Stable 64-bit hashes of each shingle: md5 low 8 bytes little-endian.
+
+    md5 (not blake2b) so the DuckDB oracle can reproduce the value from
+    `md5(s)` hex — the same reproducibility rule as content_hash. The
+    downstream MinHash/SimHash math is then exactly portable to SQL."""
     if not shingles:
         return np.empty(0, dtype=np.uint64)
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
             for s in shingles
         ),
         dtype=np.uint64,
