@@ -1,0 +1,201 @@
+"""Training-data preparation operators over a documents table.
+
+The operators a large-scale LLM-data pipeline runs between dedup and
+tokenization, each in its scale-safe Ray Data shape and each with an exact
+DuckDB oracle (the hash functions and token definitions are chosen to be
+SQL-reproducible, the same rule as sketches/_shingle_hashes):
+
+- train_val_test_split: deterministic md5-bucket split — a pure per-batch
+  map, no shuffle; the same document lands in the same split on every
+  machine and at every scale.
+- contamination_flags: word-n-gram overlap against a BENCHMARK set
+  (decontamination against eval suites). The benchmark side is small by
+  definition → collected once, broadcast via ray.put, membership-checked
+  per batch. The corpus side streams; no shuffle.
+- vocabulary: corpus-wide token counts + document frequencies with a
+  per-batch combiner (one partial row per distinct token per batch) before
+  the groupby — the shuffle moves |vocab| rows per batch, never raw tokens.
+- redact_numbers: PII-shaped redaction (long digit runs → [NUM]) as a pure
+  vectorized map.
+- chunk_documents: fixed-token-window chunking (flat_map shape: one output
+  row per chunk) — the pre-tokenization packing step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_WS_TOKEN_RE = re.compile(r"\S+")
+_NUM_RE = re.compile(r"\d{4,}")
+
+SPLITS = ("train", "val", "test")
+
+
+def split_of(doc_id, weights: tuple[int, int, int] = (80, 10, 10)) -> str:
+    """Deterministic split: md5 of the id's decimal string, first 8 hex
+    chars mod 100 (md5 so the DuckDB oracle reproduces it)."""
+    bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+    if bucket < weights[0]:
+        return "train"
+    if bucket < weights[0] + weights[1]:
+        return "val"
+    return "test"
+
+
+def train_val_test_split(
+    docs: ray.data.Dataset, id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+) -> ray.data.Dataset:
+    """Add a ``split`` column. Pure map — no shuffle at any scale."""
+
+    def _split(batch: pa.Table) -> pa.Table:
+        splits = [split_of(i, weights) for i in batch[id_col].to_pylist()]
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return docs.map_batches(_split, batch_format="pyarrow")
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def contamination_flags(
+    docs: ray.data.Dataset, benchmark: ray.data.Dataset, n: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document benchmark-overlap counts (decontamination check).
+
+    ``benchmark`` is the SMALL side (an eval suite): its n-gram set is
+    built by streaming its batches once and broadcast via ``ray.put``; each
+    corpus batch then checks membership locally — zero shuffles. Scale
+    envelope: the broadcast is O(|benchmark n-grams|), independent of
+    corpus size.
+    """
+    bench: set[str] = set()
+    for blk in benchmark.select_columns([text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for t in blk[text_col].to_pylist():
+            bench |= _word_ngrams(t, n)
+    bench_ref = ray.put(bench)
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        counts = [len(_word_ngrams(t, n) & b) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_contaminated_ngrams": pa.array(counts, pa.int64()),
+                "contaminated": pa.array([c > 0 for c in counts], pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(_flags, batch_format="pyarrow")
+
+
+def vocabulary(
+    docs: ray.data.Dataset, top_k: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Top-k corpus vocabulary: (token, count, doc_freq), ordered by
+    (count desc, token asc). Combiner-first: each batch emits one partial
+    row per distinct token, so the shuffle is bounded by |vocab| per batch."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        dfs: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            words = _WORD_RE.findall(t.lower())
+            counts.update(words)
+            dfs.update(set(words))
+        toks = list(counts)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "count": pa.array([counts[t] for t in toks], pa.int64()),
+                "doc_freq": pa.array([dfs[t] for t in toks], pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count", alias_name="count"), Sum("doc_freq", alias_name="doc_freq"))
+    )
+
+    # partial-top-k combiner before the driver pick (same discipline as
+    # brute_force_topk): each block keeps its own top-k so the driver sorts
+    # <= k x blocks rows, never the full vocabulary
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["count", "token"], ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import pandas as pd
+
+    out = totals.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["count", "token"], ascending=[False, True]).head(top_k)
+    return ray.data.from_pandas(pd.DataFrame(out.reset_index(drop=True)))
+
+
+def redact_numbers(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Redact long digit runs (>=4) to [NUM]; per-doc redaction counts and
+    redacted length. Pure vectorized map."""
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_red = [len(_NUM_RE.findall(t)) for t in texts]
+        red = [_NUM_RE.sub("[NUM]", t) for t in texts]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_redactions": pa.array(n_red, pa.int64()),
+                "redacted_len": pa.array([len(t) for t in red], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_redact, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs: ray.data.Dataset, chunk_tokens: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Fixed-window chunking: one output row per ``chunk_tokens``-token
+    window (whitespace tokens, chunk text re-joined with single spaces —
+    the whitespace-normalizing convention the SQL oracle shares). The
+    flat_map shape for pre-tokenization packing."""
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids, idxs, ntoks, texts = [], [], [], []
+        for doc_id, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _WS_TOKEN_RE.findall(t)
+            for ci in range(0, max(1, (len(toks) + chunk_tokens - 1) // chunk_tokens)):
+                window = toks[ci * chunk_tokens : (ci + 1) * chunk_tokens]
+                ids.append(doc_id)
+                idxs.append(ci)
+                ntoks.append(len(window))
+                texts.append(" ".join(window))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")

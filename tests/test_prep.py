@@ -1,0 +1,101 @@
+"""Training-data prep operators (stages/prep.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.stages.prep import (
+    chunk_documents,
+    contamination_flags,
+    redact_numbers,
+    split_of,
+    train_val_test_split,
+    vocabulary,
+)
+
+
+def _docs(n=60):
+    rows = []
+    for i in range(n):
+        words = " ".join(f"w{(i * 7 + j) % 23}" for j in range(40))
+        rows.append({"doc_id": i, "text": f"case 12345 of {words} ref 9876543"})
+    return rd.from_items(rows)
+
+
+def test_split_deterministic_and_proportional(ray_session):
+    out = train_val_test_split(_docs(300)).to_pandas()
+    again = train_val_test_split(_docs(300)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # pure function parity
+    assert all(split_of(i) == s for i, s in zip(out["doc_id"], out["split"]))
+
+
+def test_contamination_flags_benchmark_overlap(ray_session):
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b c d e f g h i j"},          # benchmark
+            {"doc_id": 1, "text": "a b c d e f g h x y"},          # shares 1 8-gram
+            {"doc_id": 2, "text": "q r s t u v w z aa bb"},        # clean
+        ]
+    )
+    bench = docs.filter(expr="doc_id < 1")
+    out = (
+        contamination_flags(docs, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "contaminated"])  # benchmark self-matches
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_contaminated_ngrams"] == 1
+    assert not bool(out.loc[2, "contaminated"])
+
+
+def test_vocabulary_matches_pandas_recount(ray_session):
+    docs = _docs(40)
+    out = vocabulary(docs, top_k=10).to_pandas()
+    texts = docs.to_pandas()["text"]
+    tok = re.compile(r"[a-z0-9]+")
+    counts: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    for t in texts:
+        ws = tok.findall(t.lower())
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+        for w in set(ws):
+            dfs[w] = dfs.get(w, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["token"], out["count"])) == want
+    assert all(out.loc[i, "doc_freq"] == dfs[out.loc[i, "token"]] for i in range(len(out)))
+
+
+def test_redact_numbers(ray_session):
+    out = redact_numbers(_docs(5)).to_pandas().sort_values("doc_id")
+    assert (out["n_redactions"] == 2).all()  # 12345 and 9876543
+    src = _docs(5).to_pandas().sort_values("doc_id")
+    want = src["text"].str.replace(r"\d{4,}", "[NUM]", regex=True).str.len()
+    assert out["redacted_len"].tolist() == want.tolist()
+
+
+def test_chunk_documents_roundtrip(ray_session):
+    docs = _docs(8)
+    chunks = (
+        chunk_documents(docs, chunk_tokens=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    src = docs.to_pandas().set_index("doc_id")["text"]
+    for doc_id, g in chunks.groupby("doc_id"):
+        toks = [t for c in g["chunk_text"] for t in c.split(" ") if t]
+        assert toks == src[doc_id].split()
+        assert (g["n_tokens"].iloc[:-1] == 16).all()  # full windows except last
+        assert g["chunk_idx"].tolist() == list(range(len(g)))
