@@ -50,6 +50,10 @@ def main():
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    # spill OUTSIDE the repo: duckdb's default temp dir is cwd-relative
+    # .tmp/, which pollutes the working tree (and once leaked multi-GB
+    # block files into a commit)
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
