@@ -76,11 +76,23 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
         return f"\x00{len(spans) - 1}\x00"
 
     text = _CODE_RE.sub(_stash, text)
-    # smart punctuation BEFORE links so href attribute quotes stay straight
+    # stash inline-link URLS before smart punctuation: pandoc smartens link
+    # TEXT but never the target (-- / ... / ' inside a URL must survive)
+    urls: list[str] = []
+
+    def _stash_url(m: re.Match) -> str:
+        urls.append(m.group(2))
+        return f"[{m.group(1)}](\x02{len(urls) - 1}\x02)"
+
+    text = _LINK_RE.sub(_stash_url, text)
+    # smart punctuation BEFORE link substitution so href attribute quotes
+    # stay straight
     text = _smart(text)
     text = _BOLD_RE.sub(r"<strong>\1</strong>", text)
     text = _ITAL_RE.sub(r"<em>\1</em>", text)
     text = _LINK_RE.sub(r'<a href="\2">\1</a>', text)
+    for i, url in enumerate(urls):
+        text = text.replace(f"\x02{i}\x02", url)
     if refs:
         def _ref(m: re.Match) -> str:
             label = (m.group(2) or m.group(1)).lower()  # [t][] collapses to t
@@ -277,7 +289,12 @@ def markdown_to_html(md: str) -> str:
             # more <dd>s to the same term
             if paragraph:
                 term = paragraph.pop()
-                flush_paragraph()  # earlier lines were a real paragraph
+                if paragraph:
+                    # REAL intervening text between two term groups: close
+                    # the open <dl> BEFORE the paragraph so blocks stay in
+                    # source order (adjacent term groups share one <dl>)
+                    flush_deflist()
+                    flush_paragraph()
                 deflist.append((term, []))
             deflist[-1][1].append(dd.group(1).strip())
         elif is_table_row:

@@ -80,7 +80,15 @@ def _cluster_cpus() -> int:
     return 8
 
 
-def _resolve_pools(config: "KGConfig") -> tuple:
+def _effective_materialize(config: "KGConfig") -> bool:
+    """Streamed mode needs >= 4 CPUs: its plan holds TWO live actor pools
+    (>= 1 actor each) plus shuffle/driver tasks concurrently; below that the
+    streaming executor deadlocks on the combined-pool invariant. Barrier
+    mode runs one pool at a time, so tiny clusters fall back to it."""
+    return config.materialize_extractions or _cluster_cpus() < 4
+
+
+def _resolve_pools(config: "KGConfig", materialize: bool) -> tuple:
     """Resolve "auto" pool sizes from the live cluster.
 
     Barrier mode: each stage runs alone after its materialize, so an
@@ -90,7 +98,7 @@ def _resolve_pools(config: "KGConfig") -> tuple:
     not autoscaling: the ramp-up lag starves the pipelined plan — measured
     38.3s autoscaling vs 27.1s fixed at sf0.1/32)."""
     cpus = _cluster_cpus()
-    if config.materialize_extractions:
+    if materialize:
         auto = (1, max(2, cpus - 2))
     else:
         k = max(1, int(cpus * 0.4))
@@ -135,11 +143,12 @@ def run_kg_pipeline(
     config = config or KGConfig()
     if index_ref is None:
         index_ref = build_index_ref()
-    extract_pool, link_pool = _resolve_pools(config)
+    materialize = _effective_materialize(config)
+    extract_pool, link_pool = _resolve_pools(config, materialize)
 
     assemble = _assembler(config)
     docs = assemble(transcripts)
-    if config.materialize_extractions:
+    if materialize:
         # barrier BEFORE the extract pool exists: Ray Data creates actor-pool
         # actors eagerly at min size, and a near-full pool reserves its CPUs
         # while the assembly shuffle is still running — measured at sf0.1 the
@@ -161,7 +170,7 @@ def run_kg_pipeline(
         concurrency=extract_pool,
         batch_size=config.extract_batch_size,
     )
-    if config.materialize_extractions:
+    if materialize:
         # nested mention records, no document text — small; lets the
         # valid/failures branches and the link stage share one extract pass
         extractions = extractions.materialize()
@@ -233,7 +242,9 @@ def run_kg_pipeline_checkpointed(
     if index_ref is None:
         index_ref = build_index_ref()
     counters = counters if counters is not None else {}
-    extract_pool, link_pool = _resolve_pools(config)
+    # checkpointed stages run one at a time (each persists before the next
+    # starts), so barrier-style autoscaling pools are always safe here
+    extract_pool, link_pool = _resolve_pools(config, materialize=True)
 
     assemble = _assembler(config)
     assemble_cp = StageCheckpoint(run_dir, "assemble", num_partitions)

@@ -28,16 +28,13 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-_BCAST_CACHE: dict = {}
-
-
 def _broadcast_cache(ref):
     """Per-worker-process cache for ray.put broadcast objects used from
-    TASK-based map_batches (actors cache in __init__; tasks cache here)."""
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE[key] = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-    return _BCAST_CACHE[key]
+    TASK-based map_batches (actors cache in __init__; tasks cache here).
+    Shared implementation: stages/broadcast.broadcast_cache."""
+    from ..stages.broadcast import broadcast_cache
+
+    return broadcast_cache(ref)
 
 
 def _partitioned_groupby(ds: rd.Dataset, key: str, per_group_fn, out_columns: list[str],

@@ -208,11 +208,17 @@ class OpenAICompatibleClient:
         body = self.build_request_body(messages, response_format)
         resp = _post_json(f"{self.base_url}/responses", body, self._headers(), self.timeout_s)
         usage = resp.get("usage") or {}
+        # the Responses API signals truncation via status='incomplete'
+        # (+ incomplete_details.reason='max_output_tokens'); surface it as
+        # finish_reason='length' so llm_extract_fn's truncation gate (and
+        # parse_batch_responses' M16 filter) actually fires — a truncated
+        # JSON prefix can salvage-parse into a silently partial record
+        finish = "length" if resp.get("status") == "incomplete" else "stop"
         return {
             "choices": [
                 {
                     "message": {"content": self.extract_content(resp)},
-                    "finish_reason": "stop",
+                    "finish_reason": finish,
                 }
             ],
             "usage": {
@@ -410,7 +416,7 @@ class HTTPBatchProvider:
             content = (choice.get("message") or {}).get("content", "")
             finish = choice.get("finish_reason", "stop")
         else:
-            finish = "stop"
+            finish = "length" if body.get("status") == "incomplete" else "stop"
         return {
             "custom_id": line.get("custom_id", ""),
             "content": content,

@@ -91,7 +91,9 @@ def contamination_flags(
     bench_ref = ray.put(bench)
 
     def _flags(batch: pa.Table) -> pa.Table:
-        b = ray.get(bench_ref)
+        from .broadcast import broadcast_cache
+
+        b = broadcast_cache(bench_ref)  # one ray.get per worker, not per batch
         counts = [len(_word_ngrams(t, n) & b) for t in batch[text_col].to_pylist()]
         return pa.table(
             {

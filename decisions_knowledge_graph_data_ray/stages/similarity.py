@@ -443,20 +443,27 @@ def cosine_pairs_exact(
     broadcast capacity, use ``embedding_dup_pairs`` (LSH-bucketed, no
     all-pairs scan) — this operator is its recall/correctness oracle.
     Corpora above ``max_rows`` are REFUSED with a pointer to the scale path
-    instead of OOMing mid-broadcast."""
-    n = embeddings.count()
-    if n > max_rows:
-        raise ValueError(
-            f"cosine_pairs_exact is the exact small-N oracle (O(N*D) broadcast "
-            f"matrix per worker); corpus has {n:,} rows > max_rows={max_rows:,}. "
-            f"Use embedding_dup_pairs (LSH-bucketed near-dup pairs) for large "
-            f"corpora, or raise max_rows explicitly if the matrix fits."
-        )
-    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
+    instead of OOMing mid-broadcast. The cap is enforced WHILE streaming the
+    corpus in (one pass — a separate count() would re-execute any derived
+    upstream pipeline), so the driver never holds more than max_rows rows."""
+    ids: list = []
+    vecs: list = []
+    for blk in embeddings.select_columns(["vec_id", "embedding"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if len(ids) + blk.num_rows > max_rows:
+            raise ValueError(
+                f"cosine_pairs_exact is the exact small-N oracle (O(N*D) broadcast "
+                f"matrix per worker); corpus exceeds max_rows={max_rows:,}. "
+                f"Use embedding_dup_pairs (LSH-bucketed near-dup pairs) for large "
+                f"corpora, or raise max_rows explicitly if the matrix fits."
+            )
+        ids.extend(blk["vec_id"].to_pylist())
+        vecs.extend(blk["embedding"].to_pylist())
     corpus_ref = ray.put(
         {
-            "vec_id": [r["vec_id"] for r in rows],
-            "matrix": np.asarray([r["embedding"] for r in rows], dtype=np.float64),
+            "vec_id": ids,
+            "matrix": np.asarray(vecs, dtype=np.float64),
         }
     )
 

@@ -302,3 +302,14 @@ def test_upload_size_refusal(tmp_path):
     )
     with pytest.raises(ValueError, match="100 MB|provider limit"):
         provider.submit(str(reqs))
+
+
+def test_incomplete_status_maps_to_finish_reason_length():
+    """Responses API signals truncation via status='incomplete'; the client
+    must surface finish_reason='length' so llm_extract_fn raises instead of
+    salvage-parsing a truncated-JSON prefix into a silently partial record."""
+    body = {"status": "incomplete", "output_text": '{"keywords": ["a"'}
+    # unit-level: translate a batch output line
+    line = {"custom_id": "c1", "response": {"status_code": 200, "body": body}}
+    out = HTTPBatchProvider._translate_line(line)
+    assert out["finish_reason"] == "length"

@@ -126,8 +126,11 @@ def test_batch_request_response_roundtrip(ray_session, tmp_path):
         ]
     )
     parsed = B.parse_batch_responses(responses).to_pandas()
-    assert parsed["ok"].tolist() == [True, False, False]
-    assert parsed["error"].tolist()[2] == "finish_reason=length"
+    # key by custom_id: block order is not guaranteed under load
+    got = {r.custom_id: (r.ok, r.error) for r in parsed.itertuples()}
+    assert got[B.custom_id_for("job1", "C1")] == (True, "")
+    assert got[B.custom_id_for("job1", "C2")][0] is not True
+    assert got["x"] == (False, "finish_reason=length")
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +295,20 @@ def test_markdown_definition_lists_line_blocks_smart():
     )
     # pipe tables still win over line blocks
     assert "<table>" in H.markdown_to_html("| a | b |\n|---|---|\n| 1 | 2 |")
+
+
+def test_smart_punctuation_never_touches_urls():
+    """Pandoc smartens link TEXT but never the target: URLs containing
+    --, ..., or apostrophes must survive verbatim."""
+    html = H.markdown_to_html("see [it's \"docs\"](https://ex.com/a--b/c...d/it's)")
+    assert 'href="https://ex.com/a--b/c...d/it\'s"' in html
+    assert "it’s “docs”" in html  # link text IS smartened
+
+
+def test_definition_list_interrupted_by_paragraph_keeps_source_order():
+    html = H.markdown_to_html("T1\n:   d1\nintro text\nT2\n:   d2")
+    assert html.splitlines() == [
+        "<dl><dt>T1</dt><dd>d1</dd></dl>",
+        "<p>intro text</p>",
+        "<dl><dt>T2</dt><dd>d2</dd></dl>",
+    ]
