@@ -167,6 +167,23 @@ def run_bench(headline_only: bool = False) -> dict:
         secondary["documents_minhash_pairs"] = _minhash
     except Exception:
         pass
+    try:
+        from decisions_knowledge_graph_data_ray.stages.prep import (
+            chunk_documents,
+            train_val_test_split,
+            vocabulary,
+        )
+
+        def _docs_prep():
+            return rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+        secondary["documents_vocab"] = lambda: vocabulary(_docs_prep(), top_k=50).to_pandas()
+        secondary["documents_chunks"] = lambda: chunk_documents(_docs_prep()).count()
+        secondary["documents_split"] = lambda: train_val_test_split(
+            _docs_prep().select_columns(["doc_id"])
+        ).count()
+    except Exception:
+        pass
 
     # best-of-2 per secondary: single runs on this box vary 2-3x under the
     # session's own residual load (object-store churn from the headline reps)
