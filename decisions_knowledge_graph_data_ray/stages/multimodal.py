@@ -121,7 +121,7 @@ class DecodeImageActor:
 
 
 def decode_media(
-    media: ray.data.Dataset, fake: bool = False, concurrency: int | tuple = 2,
+    media: ray.data.Dataset, fake: bool = False, concurrency: int | tuple = (1, 2),
     batch_size: int = 16,
 ) -> ray.data.Dataset:
     """Decode/feature-extract stage: actor pool, small batches (binary rows)."""
@@ -287,14 +287,14 @@ def multimodal_pipeline(media: ray.data.Dataset, fake: bool = True) -> dict:
     decoded = decode_media(images, fake=fake)
     resized = images.map_batches(
         ResizeImageActor, fn_constructor_kwargs={"fake": fake},
-        batch_format="pyarrow", batch_size=16, concurrency=2,
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     )
     frames = video.map_batches(
         FrameSampleActor, fn_constructor_kwargs={"fake": fake},
-        batch_format="pyarrow", batch_size=8, concurrency=2,
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
     )
     mfcc = audio.map_batches(
         AudioFeatureActor, fn_constructor_kwargs={"fake": fake},
-        batch_format="pyarrow", batch_size=32, concurrency=2,
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
     )
     return {"decoded": decoded, "resized": resized, "frames": frames, "mfcc": mfcc}

@@ -154,7 +154,10 @@ def lsh_bucketed_topk(
     queries_ref,
     k: int = 10,
     n_planes: int = 8,
-    concurrency: int | tuple = 4,
+    # autoscaling pool: a FIXED pool would eagerly reserve its CPUs and
+    # starve upstream task operators (repartition/read) on small clusters —
+    # measured deadlock at 4 CPUs
+    concurrency: int | tuple = (1, 4),
 ) -> ray.data.Dataset:
     """ANN top-k: score only vectors sharing the query's LSH bucket.
 
@@ -247,7 +250,10 @@ def ivf_topk(
     nlist: int = 32,
     nprobe: int = 4,
     train_sample: int = 10_000,
-    concurrency: int | tuple = 4,
+    # autoscaling pool: a FIXED pool would eagerly reserve its CPUs and
+    # starve upstream task operators (repartition/read) on small clusters —
+    # measured deadlock at 4 CPUs
+    concurrency: int | tuple = (1, 4),
 ) -> ray.data.Dataset:
     """IVF ANN top-k: coarse k-means quantizer; a corpus vector is scored
     against a query only when its cell is among the query's ``nprobe``
@@ -260,14 +266,32 @@ def ivf_topk(
     so the shuffle moves at most k rows per (batch, query)."""
     q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
     qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
-    # seeded random sample for the trainer — first-N is biased when the
-    # corpus is ordered (e.g. by source shard); the seed keeps the quantizer
-    # deterministic run-to-run
+    # deterministic HASH-based trainer sample (blake2b of vec_id mod m):
+    # unlike random_sample(seed=...) — whose draw depends on the block
+    # LAYOUT, so the quantizer (and thus every IVF result) would change
+    # with cluster size / partitioning — the same rows are selected on any
+    # topology, and first-N bias is still avoided on ordered corpora
     n_total = embeddings.count()
     if n_total > train_sample:
-        sampled = embeddings.random_sample(train_sample / n_total, seed=2654435761)
-        sample = sampled.select_columns(["embedding"]).to_pandas()["embedding"]
-        if len(sample) < max(nlist, 2):  # fraction undershoot on tiny corpora
+        m = max(1, n_total // train_sample)
+
+        def _hash_sample(batch: pa.Table) -> pa.Table:
+            import hashlib as _hl
+
+            keep = [
+                int.from_bytes(
+                    _hl.blake2b(str(v).encode(), digest_size=8).digest(), "little"
+                ) % m == 0
+                for v in batch["vec_id"].to_pylist()
+            ]
+            return batch.filter(pa.array(keep))
+
+        sample = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(_hash_sample, batch_format="pyarrow")
+            .to_pandas()["embedding"]
+        )
+        if len(sample) < max(nlist, 2):  # undershoot on tiny corpora
             sample = embeddings.limit(train_sample).to_pandas()["embedding"]
     else:
         sample = embeddings.select_columns(["embedding"]).to_pandas()["embedding"]
@@ -341,7 +365,10 @@ def ivf_topk(
 
 def embedding_dup_pairs(
     embeddings: ray.data.Dataset, threshold: float = 0.95, n_planes: int = 10,
-    concurrency: int | tuple = 4,
+    # autoscaling pool: a FIXED pool would eagerly reserve its CPUs and
+    # starve upstream task operators (repartition/read) on small clusters —
+    # measured deadlock at 4 CPUs
+    concurrency: int | tuple = (1, 4),
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket matmul."""
     planes_ref = ray.put(_hyperplanes(_infer_dim(embeddings), n_planes))

@@ -205,3 +205,30 @@ def test_kmeans_centroids_deterministic():
     np.testing.assert_array_equal(c1, c2)
     assert c1.shape == (8, 16)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_topk_layout_independent(ray_session):
+    """The IVF quantizer's trainer sample is hash-keyed on vec_id, so the
+    SAME results come out at any block layout / cluster shape — the
+    round-4 fix for random_sample(seed=...), whose draw depends on block
+    boundaries."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    n = 400
+    emb = [{"vec_id": i, "embedding": rng.normal(size=12).tolist()} for i in range(n)]
+    q = {"query_id": [0, 1], "matrix": np.asarray([emb[0]["embedding"], emb[1]["embedding"]], dtype=np.float32)}
+    ref = ray.put(q)
+
+    def run(blocks):
+        ds = rd.from_items(emb).repartition(blocks)
+        df = ivf_topk(ds, ref, k=5, nlist=8, nprobe=2, train_sample=100).to_pandas()
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    a, b = run(2), run(17)
+    assert a[["query_id", "vec_id", "rank"]].values.tolist() == b[["query_id", "vec_id", "rank"]].values.tolist()
