@@ -159,3 +159,49 @@ def test_hot_aware_assembly_equals_salted(ray_session, tiny_transcripts):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_streamed_pipeline_surfaces_failures_from_fused_pass(ray_session, tiny_transcripts):
+    """In the streamed default plan, invalid extractions ride the fused
+    output as table='failures' rows — the failures view must be readable
+    WITHOUT re-running assemble+extract, and must carry the reason taxonomy.
+    Forced here by monkeypatching the extractor to fail for one conv_id."""
+    import ray.data as rd2
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import KGConfig, run_kg_pipeline
+    from decisions_knowledge_graph_data_ray.stages import extract as X
+
+    orig = X.extract_document
+
+    def flaky(doc):
+        if doc["conv_id"].endswith("0"):
+            raise RuntimeError("synthetic failure")
+        return orig(doc)
+
+    # inject via the ExtractorActor's default path by passing extract_fn
+    # through a config-free pipeline run is not exposed; run the stage pair
+    # directly instead: extraction with the flaky fn, then the fused stage
+    from decisions_knowledge_graph_data_ray.pipelines.kg import build_index_ref
+    from decisions_knowledge_graph_data_ray.stages.assemble import assemble_documents_hot_aware
+    from decisions_knowledge_graph_data_ray.stages.extract import extract_documents
+    from decisions_knowledge_graph_data_ray.stages.triples import (
+        LinkTripleActor,
+        fused_failures,
+    )
+
+    docs = assemble_documents_hot_aware(rd2.from_arrow(tiny_transcripts))
+    extractions = extract_documents(docs, extract_fn=flaky, concurrency=1)
+    fused = extractions.map_batches(
+        LinkTripleActor,
+        fn_constructor_kwargs={"index_ref": build_index_ref()},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).materialize()
+    failures = fused_failures(fused).to_pandas()
+    assert len(failures) >= 1
+    assert all(c.endswith("0") for c in failures["conv_id"])
+    assert (failures["failure_reason"] == "Request Error").all()
+    assert failures["failure_error"].str.contains("synthetic failure").all()
+    # triples still produced for the healthy documents
+    n_triples = fused.filter(expr="table == 'triples'").count()
+    assert n_triples > 0
