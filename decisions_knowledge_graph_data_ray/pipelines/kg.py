@@ -94,17 +94,22 @@ def _resolve_pools(config: "KGConfig", materialize: bool) -> tuple:
     Barrier mode: each stage runs alone after its materialize, so an
     autoscaling (1, cpus-2) pool may grow to near-full without starving
     anything. Streamed mode: extract and link run CONCURRENTLY with the
-    assembly shuffle, so each pool gets a FIXED ~40% of the CPUs (fixed,
-    not autoscaling: the ramp-up lag starves the pipelined plan — measured
-    38.3s autoscaling vs 27.1s fixed at sf0.1/32)."""
+    assembly shuffle, so the pools get FIXED asymmetric shares — extract
+    ~50%, link ~25%, leaving ~25% for shuffle/driver tasks. Fixed, not
+    autoscaling (the ramp-up lag starves the pipelined plan: 38.3s vs
+    27.1s measured at sf0.1/32); asymmetric because extraction is the
+    heavier stage (A/B at sf0.1/32 across three idle windows: 50/25 read
+    22.3-24.7s while symmetric 40/40 spread 23.2-43.0s — same best, far
+    tighter tail)."""
     cpus = _cluster_cpus()
     if materialize:
-        auto = (1, max(2, cpus - 2))
+        ex_auto = ln_auto = (1, max(2, cpus - 2))
     else:
-        k = max(1, int(cpus * 0.4))
-        auto = (k, k)
-    ex = auto if config.extract_concurrency == "auto" else config.extract_concurrency
-    ln = auto if config.link_concurrency == "auto" else config.link_concurrency
+        ke = max(1, cpus // 2)
+        kl = max(1, cpus // 4)
+        ex_auto, ln_auto = (ke, ke), (kl, kl)
+    ex = ex_auto if config.extract_concurrency == "auto" else config.extract_concurrency
+    ln = ln_auto if config.link_concurrency == "auto" else config.link_concurrency
     return ex, ln
 
 
