@@ -212,28 +212,39 @@ def lsh_bucketed_topk(
     return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
 
 
-def kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int, iters: int = 10, ids=None, dtype=np.float32
+) -> np.ndarray:
     """Deterministic Lloyd's k-means over a (normalized) sample: seed-stable
     farthest-point-style init (first centroid = lowest-hash row, then
     greedily farthest), fixed iteration count, no RNG state. Runs on the
-    driver over a bounded sample — the IVF coarse quantizer's train step."""
-    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    driver over a bounded sample — the IVF coarse quantizer's train step.
+
+    Every data-dependent pick is keyed on ``ids`` (row ids; positional index
+    when absent), never on row ORDER: the init row minimizes the md5 hex of
+    ``str(id)`` (md5, not blake2b, so the DuckDB oracle can reproduce it —
+    the same reproducibility rule as sketches._shingle_hashes) and
+    farthest-point / tie situations break by (d2 desc, id asc). The trained
+    quantizer is therefore identical under any block layout or row order.
+    SIGNATURE-VERSION NOTE: round 5 changed the init hash (blake2b-of-bytes →
+    md5-of-id) — centroids differ from rounds 1-4; persisted IVF
+    assignments from earlier rounds are not comparable.
+    """
+    sample = _normalize(np.asarray(sample, dtype=dtype))
     n = len(sample)
     nlist = min(nlist, n)
-    # deterministic init: start from the row whose bytes hash lowest, then
-    # farthest-point traversal (k-means++ without randomness)
-    h0 = min(
-        range(n),
-        key=lambda i: hashlib.blake2b(sample[i].tobytes(), digest_size=8).digest(),
-    )
+    ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids, dtype=np.int64)
+    h0 = min(range(n), key=lambda i: hashlib.md5(str(int(ids[i])).encode()).hexdigest())
     centroids = [sample[h0]]
     d2 = 1.0 - sample @ centroids[0]
     for _ in range(1, nlist):
-        nxt = int(np.argmax(d2))
+        nxt = int(np.lexsort((ids, -d2))[0])  # d2 desc, id asc
         centroids.append(sample[nxt])
         d2 = np.minimum(d2, 1.0 - sample @ centroids[-1])
     C = np.stack(centroids)
     for _ in range(iters):
+        # ties → lowest cluster index (np.argmax picks the first maximum,
+        # matching the oracle's ORDER BY dot DESC, cluster ASC)
         assign = np.argmax(sample @ C.T, axis=1)
         for j in range(nlist):
             members = sample[assign == j]
@@ -254,6 +265,7 @@ def ivf_topk(
     # starve upstream task operators (repartition/read) on small clusters —
     # measured deadlock at 4 CPUs
     concurrency: int | tuple = (1, 4),
+    dtype=np.float32,
 ) -> ray.data.Dataset:
     """IVF ANN top-k: coarse k-means quantizer; a corpus vector is scored
     against a query only when its cell is among the query's ``nprobe``
@@ -263,14 +275,18 @@ def ivf_topk(
     Scale path: train on a bounded sample (driver), broadcast centroids
     once; assignment + scoring are one streaming map_batches pass with a
     per-batch partial top-k — same combiner discipline as brute_force_topk,
-    so the shuffle moves at most k rows per (batch, query)."""
+    so the shuffle moves at most k rows per (batch, query).
+
+    ``dtype=np.float64`` selects oracle precision (the DuckDB twin computes
+    in DOUBLE); the engine default stays float32."""
     q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-    qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
-    # deterministic HASH-based trainer sample (blake2b of vec_id mod m):
-    # unlike random_sample(seed=...) — whose draw depends on the block
-    # LAYOUT, so the quantizer (and thus every IVF result) would change
-    # with cluster size / partitioning — the same rows are selected on any
-    # topology, and first-N bias is still avoided on ordered corpora
+    qm = _normalize(np.asarray(q["matrix"], dtype=dtype))
+    # deterministic HASH-based trainer sample (md5-low-64 of str(vec_id)
+    # mod m): unlike random_sample(seed=...) — whose draw depends on the
+    # block LAYOUT, so the quantizer (and thus every IVF result) would
+    # change with cluster size / partitioning — the same rows are selected
+    # on any topology, and first-N bias is still avoided on ordered
+    # corpora. md5 (not blake2b) so the DuckDB oracle reproduces the draw.
     n_total = embeddings.count()
     if n_total > train_sample:
         m = max(1, n_total // train_sample)
@@ -279,32 +295,37 @@ def ivf_topk(
             import hashlib as _hl
 
             keep = [
-                int.from_bytes(
-                    _hl.blake2b(str(v).encode(), digest_size=8).digest(), "little"
-                ) % m == 0
+                int.from_bytes(_hl.md5(str(v).encode()).digest()[:8], "little") % m == 0
                 for v in batch["vec_id"].to_pylist()
             ]
             return batch.filter(pa.array(keep))
 
-        sample = (
+        sdf = (
             embeddings.select_columns(["vec_id", "embedding"])
             .map_batches(_hash_sample, batch_format="pyarrow")
-            .to_pandas()["embedding"]
+            .to_pandas()
         )
-        if len(sample) < max(nlist, 2):  # undershoot on tiny corpora
-            sample = embeddings.limit(train_sample).to_pandas()["embedding"]
+        if len(sdf) < max(nlist, 2):  # undershoot on tiny corpora
+            sdf = embeddings.limit(train_sample).to_pandas()
     else:
-        sample = embeddings.select_columns(["embedding"]).to_pandas()["embedding"]
-    C = kmeans_centroids(np.asarray(sample.tolist(), dtype=np.float32), nlist)
+        sdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    C = kmeans_centroids(
+        np.asarray(sdf["embedding"].tolist(), dtype=dtype),
+        nlist,
+        ids=sdf["vec_id"].to_numpy(),
+        dtype=dtype,
+    )
     nprobe = min(nprobe, len(C))
-    # per query: the nprobe nearest cells
-    probes = np.argsort(-(qm @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    # per query: the nprobe nearest cells (stable sort: ties keep the lower
+    # cluster index, matching the oracle's ORDER BY dot DESC, cluster ASC)
+    probes = np.argsort(-(qm @ C.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     cell_to_queries: dict[int, list[int]] = {}
     for qi, cells in enumerate(probes):
         for c in cells:
             cell_to_queries.setdefault(int(c), []).append(qi)
     ctx_ref = ray.put(
-        {"C": C, "cell_to_queries": cell_to_queries, "qm": qm, "qids": list(q["query_id"]), "k": k}
+        {"C": C, "cell_to_queries": cell_to_queries, "qm": qm, "qids": list(q["query_id"]), "k": k,
+         "dtype": np.dtype(dtype).str}
     )
 
     class CellScorer:
@@ -315,9 +336,10 @@ def ivf_topk(
             self._qm = ctx["qm"]
             self._qids = np.asarray(ctx["qids"], dtype=np.int64)
             self._k = ctx["k"]
+            self._dtype = np.dtype(ctx["dtype"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_as_matrix(batch["embedding"]))
+            vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=self._dtype))
             ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
             cells = np.argmax(vecs @ self._C.T, axis=1)
             out_q, out_v, out_s = [], [], []
