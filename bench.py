@@ -58,6 +58,22 @@ def _consume(ds) -> int:
     return n
 
 
+def _calibrate() -> float:
+    """Fixed single-core probe (~0.5-1s on an idle core). This box has
+    hypervisor-level co-tenancy invisible to the guest load average (the
+    same headline binary measured 21.5s-171s across one day in round 4);
+    the probe's wall-time exposes how much CPU the guest is actually
+    getting during THIS session, so a slow bench draw is diagnosable from
+    the recorded JSON instead of guessed at."""
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(60):
+        (np.sqrt(a) * 1.0001).sum()
+    return time.perf_counter() - t0
+
+
 def run_bench(headline_only: bool = False) -> dict:
     import pyarrow.parquet as pq
 
@@ -97,8 +113,8 @@ def run_bench(headline_only: bool = False) -> dict:
     index_ref = build_index_ref()
     if os.environ.get("GRAFT_BENCH_STREAMED"):
         # the library's scale default: streamed single-pass plan with
-        # auto-sized (~40% each) fixed pools — what a multi-node deployment
-        # runs; ~10% slower than the barrier plan on this single box
+        # bounded-band autoscaling pools (extract 25-50%, link 12.5-25%) —
+        # what a multi-node deployment runs
         config = KGConfig()
     else:
         pool = max(2, NUM_CPUS - 2)
@@ -113,18 +129,29 @@ def run_bench(headline_only: bool = False) -> dict:
             materialize_extractions=True,
         )
 
-    # best-of-3: single runs on this box vary ±30-70% (noisy-neighbor VM,
+    # best-of-N: single runs on this box vary ±30-70% (noisy-neighbor VM,
     # actor cold-start, page cache); the min is the reproducible
     # compute+shuffle cost. Measured same-code spread at sf0.1: 28-49s.
+    # A calibration probe runs before each rep; when the probes disagree by
+    # >1.5x the session landed in a co-tenancy squall, so up to 2 extra
+    # reps run to give the min a chance at a calm window. ALL raw reps and
+    # probes ship in the JSON so a slow draw is diagnosable after the fact.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
-    headline_runs = []
-    for _ in range(reps):
+    max_extra = int(os.environ.get("GRAFT_BENCH_MAX_EXTRA_REPS", "2"))
+    headline_runs: list[float] = []
+    calib_runs: list[float] = []
+    while len(headline_runs) < reps:
+        calib_runs.append(round(_calibrate(), 3))
         t0 = time.perf_counter()
         res = run_kg_pipeline(rd.read_parquet(path), index_ref=index_ref, config=config)
         # count() forces full execution but leaves blocks in the object store —
         # the production sink is a distributed write_parquet, not a driver pull
         n_triples = res["triples"].count()
-        headline_runs.append(time.perf_counter() - t0)
+        headline_runs.append(round(time.perf_counter() - t0, 3))
+        noisy = max(calib_runs) / min(calib_runs) > 1.5
+        if noisy and max_extra > 0 and len(headline_runs) >= reps:
+            reps += 1
+            max_extra -= 1
     headline = min(headline_runs)
 
     queries: dict[str, float] = {"kg_pipeline": round(headline, 3)}
@@ -143,6 +170,8 @@ def run_bench(headline_only: bool = False) -> dict:
             "turns": total_turns,
             "turns_per_sec": round(total_turns / headline, 1),
             "n_triples": n_triples,
+            "headline_reps_sec": headline_runs,
+            "calibration_probe_sec": calib_runs,
         }
 
     secondary = {
@@ -213,6 +242,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "turns": total_turns,
         "turns_per_sec": round(total_turns / headline, 1),
         "n_triples": n_triples,
+        "headline_reps_sec": headline_runs,
+        "calibration_probe_sec": calib_runs,
     }
 
 

@@ -55,9 +55,9 @@ class KGConfig:
     # in ONE pipelined plan — the whole corpus text crosses the object store
     # exactly once and is never spilled whole at a barrier, which is the
     # 100-TB shape. Requires pools sized to SHARE the cluster; "auto" gives
-    # each pool ~40% of the CPUs, leaving shuffle slots (measured at
-    # sf0.1/32: 27.1s vs 24.7s for the barrier plan — within 10%; with two
-    # near-full pools the streamed plan instead crawls >10x, measured r3).
+    # bounded autoscaling bands (extract 25-50%, link 12.5-25% of CPUs) so
+    # the assembly shuffle keeps slots while pools ramp (with two near-full
+    # pools the streamed plan instead crawls >10x, measured r3).
     # Failures surface from the fused table (table='failures') in the same
     # pass — no re-execution to read them.
     # True: stage barriers — materialize docs before the extract pool exists
@@ -94,20 +94,27 @@ def _resolve_pools(config: "KGConfig", materialize: bool) -> tuple:
     Barrier mode: each stage runs alone after its materialize, so an
     autoscaling (1, cpus-2) pool may grow to near-full without starving
     anything. Streamed mode: extract and link run CONCURRENTLY with the
-    assembly shuffle, so the pools get FIXED asymmetric shares — extract
-    ~50%, link ~25%, leaving ~25% for shuffle/driver tasks. Fixed, not
-    autoscaling (the ramp-up lag starves the pipelined plan: 38.3s vs
-    27.1s measured at sf0.1/32); asymmetric because extraction is the
-    heavier stage (A/B at sf0.1/32 across three idle windows: 50/25 read
-    22.3-24.7s while symmetric 40/40 spread 23.2-43.0s — same best, far
-    tighter tail)."""
+    assembly shuffle, so the pools get BOUNDED AUTOSCALING BANDS with
+    asymmetric shares — extract (25%..50%), link (12.5%..25%), leaving
+    >= 25% for shuffle/driver tasks even at full pool growth. The band
+    replaces round 4's fixed 50/25 pools, which reserved 75% of the
+    cluster before the assembly shuffle had produced a single block and
+    cost 31% throughput at 16 CPUs (140.0s vs 97.2s barrier on the 4x
+    corpus) and floored to 1 actor each at 4 CPUs. min = share/2 (not 1):
+    a (1, max) band's ramp-up lag starved the pipelined plan in the r4
+    measurement (38.3s vs 27.1s at sf0.1/32); pre-creating half the pool
+    keeps the extract stage fed from the first assembled block while the
+    shuffle still owns most of the cluster. Asymmetric because extraction
+    is the heavier stage (A/B at sf0.1/32: extract-heavy splits read the
+    same best wall with a far tighter tail than symmetric ones)."""
     cpus = _cluster_cpus()
     if materialize:
         ex_auto = ln_auto = (1, max(2, cpus - 2))
     else:
         ke = max(1, cpus // 2)
         kl = max(1, cpus // 4)
-        ex_auto, ln_auto = (ke, ke), (kl, kl)
+        ex_auto = (max(1, ke // 2), ke)
+        ln_auto = (max(1, kl // 2), kl)
     ex = ex_auto if config.extract_concurrency == "auto" else config.extract_concurrency
     ln = ln_auto if config.link_concurrency == "auto" else config.link_concurrency
     return ex, ln

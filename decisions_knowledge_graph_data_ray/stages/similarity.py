@@ -416,20 +416,25 @@ def embedding_dup_pairs(
         import pandas as pd
 
         g = group.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].tolist()
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
         m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float32))
         sims = m @ m.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    out.append({"src_id": ids[i], "dst_id": ids[j], "cosine": float(sims[i, j])})
-        return pd.DataFrame(out, columns=["src_id", "dst_id", "cosine"])
+        # vectorized i<j emission (np.nonzero on the strict upper triangle):
+        # a degenerate hot bucket stays O(n^2) in C, not in Python bytecode
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "src_id": ids[iu],
+                "dst_id": ids[ju],
+                "cosine": sims[iu, ju].astype(np.float64),
+            }
+        )
 
-    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["src_id", "dst_id"]).aggregate(Max("cosine", alias_name="cosine"))
+    # no post-dedup needed: each vector hashes to exactly ONE bucket (single
+    # LSH signature, no multi-probe/banding here), so the per-bucket groups
+    # partition the corpus and a pair can be emitted at most once — the old
+    # groupby(src,dst).Max was a wasted all-to-all over every emitted pair
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
 
 
 def _infer_dim(embeddings: ray.data.Dataset) -> int:

@@ -140,6 +140,33 @@ def test_embedding_dup_pairs(ray_session):
     assert (0, 1) in got
 
 
+def test_embedding_dup_pairs_degenerate_bucket(ray_session):
+    """A hot bucket (every vector a near-duplicate of one base vector) must
+    emit all O(n^2) pairs correctly — and via the vectorized np.nonzero
+    path, not a Python double loop (500 rows → 124,750 pairs in well under
+    the old per-pair-loop time)."""
+    import time as _time
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import embedding_dup_pairs
+
+    n, d = 500, 16
+    base = [float((j * 7) % 13 - 6) for j in range(d)]
+    rows = [
+        {"vec_id": i, "embedding": [x * (1.0 + 1e-6 * i) for x in base]}
+        for i in range(n)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    t0 = _time.perf_counter()
+    out = embedding_dup_pairs(ds, threshold=0.999).to_pandas()
+    dt = _time.perf_counter() - t0
+    assert len(out) == n * (n - 1) // 2
+    assert (out["src_id"] < out["dst_id"]).all()
+    assert (out["cosine"] > 0.999).all()
+    # generous bound: the vectorized path takes <1s of compute; the old
+    # Python double loop took tens of seconds at this size
+    assert dt < 30
+
+
 def test_lsh_bucketed_topk_contains_exact_match(ray_session):
     import ray
 
