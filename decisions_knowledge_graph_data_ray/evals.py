@@ -224,6 +224,172 @@ def evaluate_extractor(
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-judge variant (evals/scorers/gpt5-judge-scorer.ts,
+# claude-judge-scorer.ts + evals/utils/prompt-loader.ts): an injectable
+# text-completion client scores each (document, extraction) pair and returns
+# the reference's EvaluationResult protocol. Compose the client with
+# stages.rate_limit.RateLimitedClient for the 429/backoff envelope and
+# stages.http_provider.OpenAICompatibleClient for a real HTTP judge.
+# ---------------------------------------------------------------------------
+
+JUDGE_REQUIRED_FIELDS = (
+    "verdict", "score", "criticalIssues", "majorIssues", "minorIssues",
+    "recommendation", "confidence", "summary",
+)  # gpt5-judge-scorer.ts validateEvaluationResult:186-204
+
+
+def format_judge_prompt(template: str, decision_id: str, document: str, extracted: dict) -> str:
+    """prompt-loader.ts formatJudgePrompt common replacements (:217-238):
+    single-occurrence replace of {original_document}, {extracted_output}
+    (pretty JSON), {ecli}, {proceduralLanguage}."""
+    import json as _json
+
+    language = extracted.get("language") or extracted.get("language_metadata") or "FR"
+    return (
+        template.replace("{original_document}", document, 1)
+        .replace("{extracted_output}", _json.dumps(extracted, indent=2, default=str), 1)
+        .replace("{ecli}", decision_id, 1)
+        .replace("{proceduralLanguage}", str(language), 1)
+    )
+
+
+def parse_judge_response(response_text: str) -> dict:
+    """gpt5-judge-scorer.ts parseJudgeResponse (:96-180): JSON from a
+    ```json code block, else the outermost {...} span, else raise; then the
+    required-field + verdict-enum validation (validateEvaluationResult)."""
+    import json as _json
+    import re as _re
+
+    text = response_text.strip()
+    m = _re.search(r"```(?:json)?\s*(\{[\s\S]*?\})\s*```", text)
+    if m:
+        text = m.group(1)
+    else:
+        m = _re.search(r"\{[\s\S]*\}", text)
+        if m:
+            text = m.group(0)
+    try:
+        parsed = _json.loads(text)
+    except _json.JSONDecodeError as e:
+        raise ValueError(
+            f"Failed to parse judge response as JSON: {e}\n"
+            f"Response preview: {response_text[:500]}..."
+        ) from e
+    evaluation = {
+        "verdict": parsed.get("verdict"),
+        "score": float(parsed["score"]) if "score" in parsed else None,
+        "criticalIssues": parsed.get("criticalIssues") if isinstance(parsed.get("criticalIssues"), list) else [],
+        "majorIssues": parsed.get("majorIssues") if isinstance(parsed.get("majorIssues"), list) else [],
+        "minorIssues": parsed.get("minorIssues") if isinstance(parsed.get("minorIssues"), list) else [],
+        "recommendation": parsed.get("recommendation"),
+        "confidence": parsed.get("confidence"),
+        "summary": parsed.get("summary") or "",
+    }
+    for field in JUDGE_REQUIRED_FIELDS:
+        if evaluation.get(field) is None:
+            raise ValueError(f"Missing required field in evaluation: {field}")
+    if evaluation["verdict"] not in VERDICTS:
+        raise ValueError(
+            f"Invalid verdict: {evaluation['verdict']}. Must be one of: {', '.join(VERDICTS)}"
+        )
+    return evaluation
+
+
+_LLM_JUDGE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("verdict", pa.string()),
+        ("score", pa.float64()),
+        ("recommendation", pa.string()),
+        ("confidence", pa.string()),
+        ("n_critical", pa.int64()),
+        ("n_major", pa.int64()),
+        ("n_minor", pa.int64()),
+        ("summary", pa.string()),
+        ("judge_error", pa.string()),
+    ]
+)
+
+
+class LLMJudgeActor:
+    """Candidate extractor + LLM judge, co-resident per batch: the judge
+    pass shuffles only verdict rows (same distributed shape as JudgeActor).
+
+    ``judge_fn``: ``prompt str → response text str`` — any injectable
+    client (e.g. ``RateLimitedClient(llm_text_fn(OpenAICompatibleClient(
+    ...)), limiter=bucket)``). A judge call that raises after its retry
+    envelope yields a FAIL row with the error recorded — one bad document
+    never kills the eval pass."""
+
+    def __init__(self, judge_fn, prompt_template: str, candidate_fn=None):
+        self._judge = judge_fn
+        self._template = prompt_template
+        self._candidate = candidate_fn or extract_document
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            doc = {"conv_id": rec["conv_id"], "text": rec["text"],
+                   "self_ecli": rec.get("self_ecli", "")}
+            extracted = self._candidate(doc)
+            prompt = format_judge_prompt(
+                self._template, doc["conv_id"], doc["text"], extracted
+            )
+            try:
+                evaluation = parse_judge_response(self._judge(prompt))
+                rows.append(
+                    {
+                        "conv_id": doc["conv_id"],
+                        "verdict": evaluation["verdict"],
+                        "score": evaluation["score"],
+                        "recommendation": evaluation["recommendation"],
+                        "confidence": evaluation["confidence"],
+                        "n_critical": len(evaluation["criticalIssues"]),
+                        "n_major": len(evaluation["majorIssues"]),
+                        "n_minor": len(evaluation["minorIssues"]),
+                        "summary": evaluation["summary"],
+                        "judge_error": None,
+                    }
+                )
+            except Exception as e:  # noqa: BLE001 — judged-row error routing
+                rows.append(
+                    {
+                        "conv_id": doc["conv_id"], "verdict": "FAIL",
+                        "score": 0.0, "recommendation": "REJECT",
+                        "confidence": None, "n_critical": 0, "n_major": 0,
+                        "n_minor": 0, "summary": "",
+                        "judge_error": str(e)[:500],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=_LLM_JUDGE_SCHEMA)
+
+
+def evaluate_extractor_llm(
+    docs: ray.data.Dataset,
+    judge_fn,
+    prompt_template: str,
+    candidate_fn=None,
+    sample_size: int | None = EVAL_SAMPLE_SIZE,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """Per-document LLM-judge verdict rows over the fixed eval corpus —
+    the reference's scoreExtraction loop as one actor-pool pass."""
+    if sample_size:
+        docs = docs.sort("conv_id").limit(sample_size)
+    return docs.map_batches(
+        LLMJudgeActor,
+        fn_constructor_kwargs={
+            "judge_fn": judge_fn,
+            "prompt_template": prompt_template,
+            "candidate_fn": candidate_fn,
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
 def summarize_evaluation(verdict_rows: ray.data.Dataset) -> dict:
     """Aggregate report: per-dimension micro P/R/F1 + verdict histogram
     (the reference's experiment summary, evaluation-runner.ts tail)."""

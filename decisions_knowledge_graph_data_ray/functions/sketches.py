@@ -38,7 +38,13 @@ def _shingle_hashes(shingles: set[str]) -> np.ndarray:
 
     md5 (not blake2b) so the DuckDB oracle can reproduce the value from
     `md5(s)` hex — the same reproducibility rule as content_hash. The
-    downstream MinHash/SimHash math is then exactly portable to SQL."""
+    downstream MinHash/SimHash math is then exactly portable to SQL.
+
+    SIGNATURE VERSION "md5/v2" (since round 4; r1-r3 used blake2b —
+    "blake2b/v1"). This is a BREAKING sketch-format change: signatures,
+    near-dup pair sets and dedup keep-decisions computed before the switch
+    are incompatible with newer ones; never compare or union persisted
+    sketch tables across the version boundary (MIGRATION.md §10)."""
     if not shingles:
         return np.empty(0, dtype=np.uint64)
     return np.fromiter(

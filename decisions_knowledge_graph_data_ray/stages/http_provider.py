@@ -275,6 +275,33 @@ def llm_extract_fn(
     return _fn
 
 
+def llm_text_fn(
+    client: OpenAICompatibleClient,
+    system_prompt: str | None = None,
+) -> Callable[[str], str]:
+    """Adapt the HTTP client into a plain ``prompt str → response text``
+    callable — the judge-client contract of evals.LLMJudgeActor (the
+    reference's callAzureJudge, evals/config/openai.ts). Truncated output
+    raises (finish_reason='length' would silently cut the judge's JSON).
+    Compose with RateLimitedClient for the 429/backoff envelope::
+
+        judge = RateLimitedClient(llm_text_fn(client), limiter=bucket)
+        evaluate_extractor_llm(docs, judge, template)
+    """
+
+    def _fn(prompt: str) -> str:
+        messages = []
+        if system_prompt:
+            messages.append({"role": "system", "content": system_prompt})
+        messages.append({"role": "user", "content": prompt})
+        out = client.complete(messages, None)
+        if out["choices"][0].get("finish_reason") == "length":
+            raise ValueError("finish_reason=length (truncated judge output)")
+        return out["choices"][0]["message"]["content"]
+
+    return _fn
+
+
 class HTTPBatchProvider:
     """OpenAI Batch API lifecycle over HTTP, pluggable into BatchJobRunner.
 

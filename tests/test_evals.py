@@ -90,3 +90,88 @@ def test_csv_testset_roundtrip(ray_session, tmp_path):
     )
     assert report["n_documents"] == 10
     assert report["pass_rate"] == 1.0
+
+
+def test_parse_judge_response_cascade():
+    """gpt5-judge-scorer.ts parsing: code block → brace boundary → error;
+    required-field and verdict-enum validation."""
+    import json
+
+    import pytest
+
+    from decisions_knowledge_graph_data_ray.evals import parse_judge_response
+
+    full = {
+        "verdict": "REVIEW_REQUIRED", "score": 82.5,
+        "criticalIssues": [], "majorIssues": ["m1"], "minorIssues": [],
+        "recommendation": "REVIEW_MANUALLY", "confidence": "MEDIUM",
+        "summary": "mixed",
+    }
+    # markdown code block
+    out = parse_judge_response("preamble\n```json\n" + json.dumps(full) + "\n```")
+    assert out["verdict"] == "REVIEW_REQUIRED" and out["score"] == 82.5
+    # bare JSON with surrounding prose (brace-boundary path)
+    out = parse_judge_response("verdict below\n" + json.dumps(full) + "\nthanks")
+    assert out["majorIssues"] == ["m1"]
+    # non-list issue fields coerce to [] (parseJudgeResponse behavior)
+    loose = dict(full, criticalIssues="not-a-list")
+    out = parse_judge_response(json.dumps(loose))
+    assert out["criticalIssues"] == []
+    # invalid verdict
+    with pytest.raises(ValueError, match="Invalid verdict"):
+        parse_judge_response(json.dumps(dict(full, verdict="MAYBE")))
+    # missing required field (summary alone defaults to '' like the
+    # reference's `parsed.summary || ''` — confidence does not)
+    bad = {k: v for k, v in full.items() if k != "confidence"}
+    with pytest.raises(ValueError, match="Missing required field"):
+        parse_judge_response(json.dumps(bad))
+    # unparseable
+    with pytest.raises(ValueError, match="Failed to parse"):
+        parse_judge_response("no json here")
+
+
+def test_format_judge_prompt_placeholders():
+    from decisions_knowledge_graph_data_ray.evals import format_judge_prompt
+
+    tmpl = "id={ecli} lang={proceduralLanguage}\ndoc:{original_document}\nout:{extracted_output}"
+    got = format_judge_prompt(tmpl, "conv:1", "the doc", {"keywords": ["k"], "language": "NL"})
+    assert "id=conv:1" in got and "lang=NL" in got
+    assert "doc:the doc" in got and '"keywords"' in got
+
+
+def test_llm_judge_actor_rows_and_error_routing(ray_session):
+    """A canned judge_fn yields parsed verdict rows; a raising judge yields
+    a FAIL row with the error recorded — the pass never dies."""
+    import json
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.evals import evaluate_extractor_llm
+
+    docs = rd.from_items(
+        [{"conv_id": f"conv:{i}", "text": f"user: hi {i}", "self_ecli": ""} for i in range(3)]
+    )
+
+    def judge_fn(prompt):
+        if "conv:2" in prompt:
+            raise RuntimeError("judge outage")
+        return json.dumps(
+            {
+                "verdict": "PASS", "score": 91, "criticalIssues": [],
+                "majorIssues": [], "minorIssues": [], "recommendation": "ACCEPT",
+                "confidence": "HIGH", "summary": "ok",
+            }
+        )
+
+    rows = (
+        evaluate_extractor_llm(
+            docs, judge_fn, "{ecli}: {original_document} -> {extracted_output}",
+            sample_size=None, concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(rows["verdict"]) == ["PASS", "PASS", "FAIL"]
+    assert rows.loc[2, "judge_error"] and "judge outage" in rows.loc[2, "judge_error"]
+    assert rows.loc[0, "score"] == 91.0

@@ -38,6 +38,7 @@ class _State:
     def __init__(self):
         self.lock = threading.Lock()
         self.flaky_calls = 0
+        self.judge_calls = 0
         self.batch_polls = 0
         self.uploaded_lines: list[dict] = []
         self.last_request_body: dict | None = None
@@ -94,6 +95,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"output_text": "{}"})
         elif self.path == "/boom/v1/responses":
             self._json(500, {"error": "internal"})
+        elif self.path == "/judge/v1/responses":
+            # LLM judge: one 429 then a markdown-code-block verdict, repeating
+            with st.lock:
+                st.judge_calls += 1
+                n = st.judge_calls
+            if n % 2 == 1:
+                self._json(429, {"error": "rate_limit_exceeded"}, {"Retry-After": "0.01"})
+            else:
+                verdict = {
+                    "verdict": "PASS", "score": 97,
+                    "criticalIssues": [], "majorIssues": [],
+                    "minorIssues": ["tone"], "recommendation": "ACCEPT",
+                    "confidence": "HIGH", "summary": "looks right",
+                }
+                self._json(
+                    200,
+                    {"output_text": "Here is my evaluation:\n```json\n"
+                     + json.dumps(verdict) + "\n```\n"},
+                )
         elif self.path == "/v1/files":
             # crude multipart parse: JSONL lines live between the file-part
             # header blank line and the closing boundary
@@ -313,3 +333,25 @@ def test_incomplete_status_maps_to_finish_reason_length():
     line = {"custom_id": "c1", "response": {"status_code": 200, "body": body}}
     out = HTTPBatchProvider._translate_line(line)
     assert out["finish_reason"] == "length"
+
+
+def test_llm_judge_over_http_with_rate_limits(fake_server, ray_session):
+    """The full offline LLM-judge path (gpt5-judge-scorer.ts protocol):
+    assembled docs → candidate extraction → judge prompt → HTTP client
+    (429 then code-block verdict, through RateLimitedClient) → parsed
+    verdict rows. No network; every judge call pays one 429 retry."""
+    from decisions_knowledge_graph_data_ray.evals import evaluate_extractor_llm
+    from decisions_knowledge_graph_data_ray.stages.http_provider import llm_text_fn
+
+    base, state = fake_server
+    client = OpenAICompatibleClient(f"{base}/judge/v1", model="judge-model", api_key="k", timeout_s=5)
+    judge = RateLimitedClient(llm_text_fn(client), max_retries=3)
+    rows = evaluate_extractor_llm(
+        _docs(4), judge, "Judge {ecli}:\n{original_document}\n{extracted_output}",
+        sample_size=None, concurrency=1,
+    ).to_pandas()
+    assert len(rows) == 4
+    assert (rows["verdict"] == "PASS").all()
+    assert (rows["score"] == 97.0).all()
+    assert (rows["n_minor"] == 1).all()
+    assert rows["judge_error"].isna().all()

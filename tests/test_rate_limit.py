@@ -101,6 +101,12 @@ def test_token_bucket_paces_globally(ray_session):
     stats = ray.get(bucket.stats.remote())
     assert stats["granted"] == 20
     assert stats["inflight"] == 0
+    # telemetry: pacing forced real cumulative waiting, visible as a
+    # number. The counter records the RETURNED waits — net of the RPC
+    # round-trip time that burns part of each 1/rps interval naturally —
+    # so it is positive but smaller than the 0.38s schedule length.
+    assert stats["paced_wait_seconds"] > 0.03
+    assert stats["refused"] == 0
 
 
 def test_inflight_cap_blocks_until_finish(ray_session):
@@ -112,6 +118,30 @@ def test_inflight_cap_blocks_until_finish(ray_session):
     ray.get(bucket.finish.remote())
     granted2, _ = ray.get(bucket.acquire.remote())
     assert granted2
+    # the refused grant is counted
+    assert ray.get(bucket.stats.remote())["refused"] == 1
+
+
+def test_rate_limited_hits_reported_to_bucket(ray_session):
+    """Each provider 429 a client retries is recorded on the shared bucket
+    with its backoff, so saturation shows up in stats(), not as silence."""
+    bucket = TokenBucket.remote(rps=1000)
+    attempts = {"n": 0}
+
+    def flaky(doc):
+        attempts["n"] += 1
+        if attempts["n"] <= 3:
+            raise RateLimitError(retry_after=0.01)
+        return doc
+
+    c = RateLimitedClient(flaky, limiter=bucket)
+    assert c("doc") == "doc"
+    # telemetry RPCs are fire-and-forget; stats() through the same actor
+    # serializes behind them
+    stats = ray.get(bucket.stats.remote())
+    assert stats["rate_limited_hits"] == 3
+    assert 0.02 <= stats["backoff_seconds"] <= 1.0
+    assert stats["granted"] == 4  # 1 success + 3 retried attempts
 
 
 def test_flaky_client_through_escalation(ray_session):
