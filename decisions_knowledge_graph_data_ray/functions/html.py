@@ -7,11 +7,14 @@ transformer (/root/reference/src/utils/htmlTransformer.ts):
 - ``markdown_to_html``: pure-Python conversion of the pandoc-markdown
   subset the corpus uses (ATX/setext headings, paragraphs, blockquotes,
   nested ordered/unordered lists, definition lists, line blocks, pipe
-  tables, fenced code, horizontal rules, inline/reference links, inline
-  code, bold / italic, smart punctuation — pandoc's default-on `smart`
-  extension) — replaces the external pandoc binary (not available here,
-  and a subprocess per document would be the wrong shape for map_batches
-  anyway).
+  tables with column alignment, grid tables, footnotes (reference-style,
+  pandoc's HTML5 endnotes section), fenced code, horizontal rules,
+  inline/reference links, inline code, bold / italic, smart punctuation —
+  pandoc's default-on `smart` extension) — replaces the external pandoc
+  binary (not available here, and a subprocess per document would be the
+  wrong shape for map_batches anyway). Still not full pandoc: no
+  attribute blocks, no inline (^[...]) notes, no multi-block footnote
+  bodies, single-paragraph grid-table cells.
 - ``transform_html_blocks``: select leaf content elements (p, h1-h6,
   blockquote, li, td, th), skip empty, sequence 1..n, stamp
   ``data-id="{doc_id}:block-{seq:03d}"``, emit {block_id, plain_text,
@@ -35,11 +38,16 @@ _REF_LINK_RE = re.compile(r"\[([^\]]+)\]\[([^\]]*)\]")
 _REF_DEF_RE = re.compile(r'^\s*\[([^\]]+)\]:\s*(\S+)(?:\s+"[^"]*")?\s*$')
 _OL_RE = re.compile(r"^\d+[.)]\s+(.*)$")
 _UL_RE = re.compile(r"^[-*]\s+(.*)$")
+_FN_DEF_RE = re.compile(r"^\[\^([^\]\s]+)\]:\s*(.*)$")
+_FN_REF_RE = re.compile(r"\[\^([^\]\s]+)\]")
+_GRID_BORDER_RE = re.compile(r"^\+(-+\+)+$")
+_GRID_HSEP_RE = re.compile(r"^\+([:=]=*:?\+)+$")
+_GRID_LINE_RE = re.compile(r"^[+|].*[+|]$")
 _HR_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})$")
 _SETEXT_H1_RE = re.compile(r"^=+$")
 _SETEXT_H2_RE = re.compile(r"^-+$")
 _FENCE_RE = re.compile(r"^```")
-_TABLE_SEP_RE = re.compile(r"^\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?$")
+_TABLE_SEP_RE = re.compile(r"^\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?$")
 _DEF_RE = re.compile(r"^:\s+(.*)$")
 _LINE_BLOCK_RE = re.compile(r"^\|(?:\s(.*))?$")
 
@@ -64,7 +72,7 @@ def _escape(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def _inline(text: str, refs: dict[str, str] | None = None) -> str:
+def _inline(text: str, refs: dict[str, str] | None = None, fn_sub=None) -> str:
     text = _escape(text)
     # Extract code-span contents into placeholders first so the other inline
     # substitutions never touch markup inside them (pandoc: `a*b*c` stays
@@ -76,6 +84,18 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
         return f"\x00{len(spans) - 1}\x00"
 
     text = _CODE_RE.sub(_stash, text)
+    # footnote references ([^label] → numbered sup anchors) stash before
+    # smart punctuation so the anchor's attribute quotes stay straight
+    fn_spans: list[str] = []
+    if fn_sub is not None:
+        def _stash_fn(m: re.Match) -> str:
+            html = fn_sub(m.group(1))
+            if html is None:  # undefined label: pandoc leaves it literal
+                return m.group(0)
+            fn_spans.append(html)
+            return f"\x03{len(fn_spans) - 1}\x03"
+
+        text = _FN_REF_RE.sub(_stash_fn, text)
     # stash inline-link URLS before smart punctuation: pandoc smartens link
     # TEXT but never the target (-- / ... / ' inside a URL must survive)
     urls: list[str] = []
@@ -100,6 +120,8 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
             return f'<a href="{url}">{m.group(1)}</a>' if url else m.group(0)
 
         text = _REF_LINK_RE.sub(_ref, text)
+    for i, html in enumerate(fn_spans):
+        text = text.replace(f"\x03{i}\x03", html)
     for i, body in enumerate(spans):
         text = text.replace(f"\x00{i}\x00", f"<code>{body}</code>")
     return text
@@ -108,6 +130,84 @@ def _inline(text: str, refs: dict[str, str] | None = None) -> str:
 def _split_table_row(line: str) -> list[str]:
     cells = line.strip().strip("|").split("|")
     return [c.strip() for c in cells]
+
+
+def _parse_aligns(sep_cells: list[str]) -> list[str | None]:
+    """Column alignment from a separator row's colon placement
+    (pandoc: `:---` left, `---:` right, `:--:` center, `---` default)."""
+    aligns: list[str | None] = []
+    for c in sep_cells:
+        c = c.strip()
+        left, right = c.startswith(":"), c.endswith(":")
+        aligns.append(
+            "center" if left and right else "right" if right else "left" if left else None
+        )
+    return aligns
+
+
+def _cell(tag: str, body: str, align: str | None) -> str:
+    style = f' style="text-align: {align};"' if align else ""
+    return f"<{tag}{style}>{body}</{tag}>"
+
+
+def _render_grid_table(lines: list[str], inline) -> str:
+    """Grid table (pandoc `grid_tables`): column cuts from the first border
+    line's '+' positions; a `+===+` line separates header rows from body
+    rows and carries optional alignment colons; multiple `|` lines between
+    two border lines are ONE row with multi-line cells (joined by a single
+    space — the subset's single-paragraph-cell shape)."""
+    cuts = [i for i, ch in enumerate(lines[0]) if ch == "+"]
+    ncols = len(cuts) - 1
+
+    def cells_of(line: str) -> list[str]:
+        padded = line.ljust(cuts[-1] + 1)
+        return [padded[cuts[k] + 1 : cuts[k + 1]].strip() for k in range(ncols)]
+
+    hsep_idx = next((i for i, l in enumerate(lines) if _GRID_HSEP_RE.match(l)), None)
+    aligns: list[str | None] = [None] * ncols
+    if hsep_idx is not None:
+        aligns = _parse_aligns(cells_of(lines[hsep_idx]))
+        # pad the parse: the '=' runs include the colon chars themselves
+        aligns = (aligns + [None] * ncols)[:ncols]
+
+    header_groups: list[list[str]] = []
+    body_groups: list[list[str]] = []
+    current: list[str] = []
+    seen_hsep = hsep_idx is None  # headerless → everything is body
+    for i, l in enumerate(lines):
+        if _GRID_BORDER_RE.match(l) or (hsep_idx is not None and i == hsep_idx):
+            if current:
+                (body_groups if seen_hsep else header_groups).append(current)
+                current = []
+            if hsep_idx is not None and i == hsep_idx:
+                seen_hsep = True
+        else:
+            current.append(l)
+    if current:
+        body_groups.append(current)
+
+    def row_cells(group: list[str]) -> list[str]:
+        per_line = [cells_of(l) for l in group]
+        return [
+            " ".join(filter(None, (pl[k] for pl in per_line))).strip()
+            for k in range(ncols)
+        ]
+
+    parts = ["<table>"]
+    for g in header_groups:
+        parts.append(
+            "<tr>" + "".join(
+                _cell("th", inline(c), a) for c, a in zip(row_cells(g), aligns)
+            ) + "</tr>"
+        )
+    for g in body_groups:
+        parts.append(
+            "<tr>" + "".join(
+                _cell("td", inline(c), a) for c, a in zip(row_cells(g), aligns)
+            ) + "</tr>"
+        )
+    parts.append("</table>")
+    return "".join(parts)
 
 
 class _ListStack:
@@ -166,8 +266,9 @@ def markdown_to_html(md: str) -> str:
     /root/reference/src/utils/markdownToHtml.ts:53-98 the corpus uses)."""
     lines = md.split("\n")
 
-    # pre-pass: collect reference-link definitions and drop their lines
+    # pre-pass: collect reference-link + footnote definitions, drop their lines
     refs: dict[str, str] = {}
+    fn_defs: dict[str, str] = {}
     body_lines: list[str] = []
     in_fence = False
     for raw in lines:
@@ -176,13 +277,30 @@ def markdown_to_html(md: str) -> str:
             body_lines.append(raw)
             continue
         d = None if in_fence else _REF_DEF_RE.match(raw)
-        if d:
+        f = None if in_fence else _FN_DEF_RE.match(raw.strip())
+        if f:
+            fn_defs.setdefault(f.group(1), f.group(2).strip())  # first def wins
+        elif d:
             refs[d.group(1).lower()] = _escape(d.group(2))
         else:
             body_lines.append(raw)
 
+    # footnote numbering follows first-REFERENCE order (pandoc renumbers)
+    fn_order: list[str] = []
+
+    def fn_sub(label: str) -> str | None:
+        if label not in fn_defs:
+            return None
+        if label not in fn_order:
+            fn_order.append(label)
+        n = fn_order.index(label) + 1
+        return (
+            f'<a href="#fn{n}" class="footnote-ref" id="fnref{n}" '
+            f'role="doc-noteref"><sup>{n}</sup></a>'
+        )
+
     def inline(text: str) -> str:
-        return _inline(text, refs)
+        return _inline(text, refs, fn_sub)
 
     out: list[str] = []
     paragraph: list[str] = []
@@ -191,6 +309,7 @@ def markdown_to_html(md: str) -> str:
     code_lines: list[str] | None = None  # inside a fence when not None
     deflist: list[tuple[str, list[str]]] = []  # [(term, [definitions])]
     line_block: list[str] | None = None
+    grid_rows: list[str] | None = None  # inside a grid table when not None
 
     def flush_paragraph():
         if paragraph:
@@ -228,22 +347,33 @@ def markdown_to_html(md: str) -> str:
         rows = list(table_rows)
         table_rows.clear()
         # pipe table: row 2 is the header separator; without one, every row
-        # is a body row (pandoc's headerless table)
+        # is a body row (pandoc's headerless table). Colons in the separator
+        # carry column alignment (`:--` left, `--:` right, `:-:` center) →
+        # style="text-align: ..." on th/td, pandoc's HTML5 shape.
         header: list[str] | None = None
+        aligns: list[str | None] = []
         if len(rows) >= 2 and _TABLE_SEP_RE.match(rows[1]):
             header = _split_table_row(rows[0])
+            aligns = _parse_aligns(_split_table_row(rows[1]))
             rows = rows[2:]
+
+        def _aligned(cells: list[str], tag: str) -> str:
+            padded = aligns + [None] * (len(cells) - len(aligns))
+            return "".join(_cell(tag, inline(c), a) for c, a in zip(cells, padded))
+
         parts = ["<table>"]
         if header is not None:
-            parts.append(
-                "<tr>" + "".join(f"<th>{inline(c)}</th>" for c in header) + "</tr>"
-            )
+            parts.append("<tr>" + _aligned(header, "th") + "</tr>")
         for r in rows:
-            parts.append(
-                "<tr>" + "".join(f"<td>{inline(c)}</td>" for c in _split_table_row(r)) + "</tr>"
-            )
+            parts.append("<tr>" + _aligned(_split_table_row(r), "td") + "</tr>")
         parts.append("</table>")
         out.append("".join(parts))
+
+    def flush_grid():
+        nonlocal grid_rows
+        if grid_rows is not None:
+            out.append(_render_grid_table(grid_rows, inline))
+            grid_rows = None
 
     for raw in body_lines:
         line = raw.rstrip()
@@ -255,6 +385,18 @@ def markdown_to_html(md: str) -> str:
                 code_lines = None
             else:
                 code_lines.append(line)
+            continue
+
+        if grid_rows is not None:  # inside a grid table
+            if _GRID_LINE_RE.match(stripped):
+                grid_rows.append(stripped)
+                continue
+            flush_grid()  # table ended; fall through to process this line
+        elif _GRID_BORDER_RE.match(stripped):
+            flush_deflist()
+            flush_paragraph()
+            flush_list()
+            grid_rows = [stripped]
             continue
 
         is_table_row = stripped.startswith("|") and stripped.count("|") >= 2
@@ -354,6 +496,20 @@ def markdown_to_html(md: str) -> str:
     flush_list()
     flush_table()
     flush_line_block()
+    flush_grid()
+    if fn_order:
+        # pandoc's HTML5 endnotes section: <section class="footnotes"> with
+        # an <ol> of notes, each closing with a backref anchor
+        items = "".join(
+            f'<li id="fn{i + 1}"><p>{inline(fn_defs[lab])}'
+            f'<a href="#fnref{i + 1}" class="footnote-back" '
+            f'role="doc-backref">↩︎</a></p></li>'
+            for i, lab in enumerate(fn_order)
+        )
+        out.append(
+            '<section class="footnotes footnotes-end-of-document" '
+            f'role="doc-endnotes"><hr /><ol>{items}</ol></section>'
+        )
     return "\n".join(out)
 
 

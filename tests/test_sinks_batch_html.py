@@ -312,3 +312,90 @@ def test_definition_list_interrupted_by_paragraph_keeps_source_order():
         "<p>intro text</p>",
         "<dl><dt>T2</dt><dd>d2</dd></dl>",
     ]
+
+
+def test_markdown_footnotes_golden():
+    """Footnotes (markdownToHtml.ts runs full pandoc; this is the HTML5
+    endnotes shape): numbered by first reference, sup anchors, backrefs."""
+    md = (
+        "Een eerste zin.[^noot] En nog een verwijzing[^b].\n"
+        "\n"
+        "Tweede alinea verwijst opnieuw.[^noot]\n"
+        "\n"
+        "[^b]: Tweede noot met **nadruk**.\n"
+        "[^noot]: Eerste noot.\n"
+    )
+    html = H.markdown_to_html(md)
+    # numbering follows first-REFERENCE order: noot=1, b=2
+    assert (
+        '<a href="#fn1" class="footnote-ref" id="fnref1" role="doc-noteref">'
+        "<sup>1</sup></a>" in html
+    )
+    assert "<sup>2</sup></a>." in html
+    # the repeated reference reuses number 1
+    assert html.count('href="#fn1"') == 2
+    sec = html.split("<section", 1)[1]
+    assert '<li id="fn1"><p>Eerste noot.' in sec
+    assert "<strong>nadruk</strong>" in sec
+    assert '<a href="#fnref1" class="footnote-back" role="doc-backref">↩︎</a>' in sec
+    # undefined labels stay literal
+    assert "[^missing]" in H.markdown_to_html("tekst[^missing] zonder definitie")
+
+
+def test_markdown_pipe_table_alignment_golden():
+    md = "| L | R | C | D |\n|:---|---:|:--:|---|\n| a | b | c | d |\n"
+    html = H.markdown_to_html(md)
+    assert '<th style="text-align: left;">L</th>' in html
+    assert '<th style="text-align: right;">R</th>' in html
+    assert '<th style="text-align: center;">C</th>' in html
+    assert "<th>D</th>" in html  # default alignment carries no style
+    assert '<td style="text-align: left;">a</td>' in html
+    assert "<td>d</td>" in html
+
+
+def test_markdown_grid_table_golden():
+    md = (
+        "+---------------+----------+\n"
+        "| Vrucht        | Prijs    |\n"
+        "+:==============+=========:+\n"
+        "| Banaan        | $1.34    |\n"
+        "+---------------+----------+\n"
+        "| lange cel     | $2.10    |\n"
+        "| over twee     |          |\n"
+        "+---------------+----------+\n"
+        "\n"
+        "Naloopalinea.\n"
+    )
+    html = H.markdown_to_html(md)
+    assert '<th style="text-align: left;">Vrucht</th>' in html
+    assert '<th style="text-align: right;">Prijs</th>' in html
+    assert '<td style="text-align: left;">Banaan</td>' in html
+    # multi-line cell joins with a single space
+    assert "lange cel over twee" in html
+    assert "<p>Naloopalinea.</p>" in html
+
+
+def test_markdown_grid_table_headerless():
+    md = (
+        "+------+------+\n"
+        "| a    | b    |\n"
+        "+------+------+\n"
+        "| c    | d    |\n"
+        "+------+------+\n"
+    )
+    html = H.markdown_to_html(md)
+    assert "<th" not in html
+    assert "<td>a</td>" in html and "<td>d</td>" in html
+
+
+def test_footnote_and_table_blocks_flow_through_transformer():
+    """The block transformer sees footnote <li>s and aligned <td>s as leaf
+    blocks like any other (M12 shape holds for the new constructs)."""
+    md = (
+        "Intro.[^1]\n\n| X |\n|---:|\n| y |\n\n[^1]: De noot.\n"
+    )
+    res = H.transform_html_blocks("D", H.markdown_to_html(md))
+    kinds = [b["element_type"] for b in res["blocks"]]
+    texts = [b["plain_text"] for b in res["blocks"]]
+    assert "th" in kinds and "td" in kinds and "li" in kinds
+    assert any("De noot." in t for t in texts)
