@@ -109,7 +109,7 @@ def _fake_media_parquet() -> str:
     return fake_media_path(n=96)
 
 
-def _mentions_parts() -> dict:
+def _mentions_parts(path: str | None = None) -> dict:
     """Shared SQL pieces of the provision-mention oracle — the DuckDB twin
     of extract_cited_provisions (functions/extract.py:233-301 +
     snippet_extractor.py:17-43 patterns). The regexes are copied
@@ -169,9 +169,10 @@ def _mentions_parts() -> dict:
     def sq(p: str) -> str:
         return p.replace("'", "''")
 
+    path = path or _sf001_transcripts_path()
     ctes = f"""t AS (
             SELECT conv_id, turn_idx, text
-            FROM read_parquet('{_sf001_transcripts_path()}')
+            FROM read_parquet('{path}')
         ), raw AS (
             -- one row per (pattern, match); prio = the extractor's stable
             -- tie order article(1) < treaty(2) < EU(3)
@@ -230,6 +231,35 @@ def _mentions_parts() -> dict:
     return {"ctes": ctes, "month_case": month_case, "date_pat": sq(date_pat), "sq": sq}
 
 
+def _act_type_sql(col: str) -> str:
+    """_ACT_TYPE_MAP in order (extract.py:189-201) as a CASE over ``col``."""
+    return f"""CASE WHEN regexp_matches({col}, '(?i)^loi\\b') THEN 'LOI'
+                    WHEN regexp_matches({col}, '(?i)^wet\\b') THEN 'WET'
+                    WHEN regexp_matches({col}, '(?i)^grondwet') THEN 'GRONDWET'
+                    WHEN regexp_matches({col}, '(?i)^constitution') THEN 'CONSTITUTION'
+                    WHEN regexp_matches({col}, '(?i)^(k\\.?b\\.?|koninklijk\\s+besluit)') THEN 'KONINKLIJK_BESLUIT'
+                    WHEN regexp_matches({col}, '(?i)^(a\\.?r\\.?|arr[êe]t[ée]?)$') THEN 'ARRETE_ROYAL'
+                    WHEN regexp_matches({col}, '(?i)^(code|c\\.)') THEN 'CODE'
+                    WHEN regexp_matches({col}, '(?i)^(b\\.w\\.|sw\\.|w\\.?\\s*sv\\.|ger\\.?\\s*w\\.|gw\\.|venw\\.|wib|btw-wetboek)') THEN 'CODE'
+                    WHEN regexp_matches({col}, '(?i)^(verordening|r[eè]glement|regulation)') THEN 'EU_REGULATION'
+                    WHEN regexp_matches({col}, '(?i)^(richtlijn|directive)') THEN 'EU_DIRECTIVE'
+                    WHEN regexp_matches({col}, '(?i)^(cedh|evrm|tfue|tfeu|tue|vweu)') THEN 'TREATY'
+                    ELSE 'OTHER' END"""
+
+
+def _act_date_sql(col: str, date_sq: str, month_case: str) -> str:
+    """parse of the in-name act date (extract.py _extract_act_date twin)."""
+    return f"""CASE WHEN regexp_extract({col}, '{date_sq}', 2) <> ''
+                         AND (CASE lower(regexp_extract({col}, '{date_sq}', 2))
+                              {month_case} ELSE NULL END) IS NOT NULL
+                    THEN printf('%04d-%02d-%02d',
+                                CAST(regexp_extract({col}, '{date_sq}', 3) AS INTEGER),
+                                CASE lower(regexp_extract({col}, '{date_sq}', 2))
+                                {month_case} ELSE NULL END,
+                                CAST(regexp_extract({col}, '{date_sq}', 1) AS INTEGER))
+                    ELSE NULL END"""
+
+
 def _kg_mentions_sql() -> str:
     p = _mentions_parts()
     ctes, month_case = p["ctes"], p["month_case"]
@@ -249,28 +279,8 @@ def _kg_mentions_sql() -> str:
                s.num AS provision_number,
                s.numkey AS provision_number_key,
                s.name AS parent_act_name,
-               -- _ACT_TYPE_MAP in order (extract.py:189-201)
-               CASE WHEN regexp_matches(s.name, '(?i)^loi\\b') THEN 'LOI'
-                    WHEN regexp_matches(s.name, '(?i)^wet\\b') THEN 'WET'
-                    WHEN regexp_matches(s.name, '(?i)^grondwet') THEN 'GRONDWET'
-                    WHEN regexp_matches(s.name, '(?i)^constitution') THEN 'CONSTITUTION'
-                    WHEN regexp_matches(s.name, '(?i)^(k\\.?b\\.?|koninklijk\\s+besluit)') THEN 'KONINKLIJK_BESLUIT'
-                    WHEN regexp_matches(s.name, '(?i)^(a\\.?r\\.?|arr[êe]t[ée]?)$') THEN 'ARRETE_ROYAL'
-                    WHEN regexp_matches(s.name, '(?i)^(code|c\\.)') THEN 'CODE'
-                    WHEN regexp_matches(s.name, '(?i)^(b\\.w\\.|sw\\.|w\\.?\\s*sv\\.|ger\\.?\\s*w\\.|gw\\.|venw\\.|wib|btw-wetboek)') THEN 'CODE'
-                    WHEN regexp_matches(s.name, '(?i)^(verordening|r[eè]glement|regulation)') THEN 'EU_REGULATION'
-                    WHEN regexp_matches(s.name, '(?i)^(richtlijn|directive)') THEN 'EU_DIRECTIVE'
-                    WHEN regexp_matches(s.name, '(?i)^(cedh|evrm|tfue|tfeu|tue|vweu)') THEN 'TREATY'
-                    ELSE 'OTHER' END AS parent_act_type,
-               CASE WHEN regexp_extract(s.name, '{date_sq}', 2) <> ''
-                         AND (CASE lower(regexp_extract(s.name, '{date_sq}', 2))
-                              {month_case} ELSE NULL END) IS NOT NULL
-                    THEN printf('%04d-%02d-%02d',
-                                CAST(regexp_extract(s.name, '{date_sq}', 3) AS INTEGER),
-                                CASE lower(regexp_extract(s.name, '{date_sq}', 2))
-                                {month_case} ELSE NULL END,
-                                CAST(regexp_extract(s.name, '{date_sq}', 1) AS INTEGER))
-                    ELSE NULL END AS parent_act_date,
+               {_act_type_sql('s.name')} AS parent_act_type,
+               {_act_date_sql('s.name', date_sq, month_case)} AS parent_act_date,
                'ART-' || s.conv_id || '-' || printf('%03d', s.provision_seq) AS internal_provision_id,
                'ACT-' || s.conv_id || '-' || printf('%03d', a.act_seq) AS internal_parent_act_id
         FROM seqd s
@@ -515,6 +525,10 @@ def _citations_parts(path: str | None = None) -> dict:
                         ELSE 'LOW' END AS confidence,
                    COALESCE(je.j, jc.j, 'UNKNOWN') AS jurisdiction,
                    court_name, date_text, case_number,
+                   -- region.position (region_detector.py:272-279) — the
+                   -- links oracle anchors snippet windows at rpos + the
+                   -- in-region match offset
+                   CAST(greatest(0, (minp + maxp) // 2 - 600) AS BIGINT) AS rpos,
                    substr(d.dtext,
                           CAST(greatest(0, (minp + maxp) // 2 - 600) + 1 AS BIGINT),
                           CAST(least(length(d.dtext), (minp + maxp) // 2 + 600)
@@ -529,7 +543,7 @@ def _citations_parts(path: str | None = None) -> dict:
             -- HIGH region: one citation per ECLI trigger, in cluster order
             SELECT c.conv_id, c.cl, c.tord AS cord, c.ttext AS ecli,
                    r.court_name, r.case_number, r.treatment, r.jurisdiction,
-                   r.confidence,
+                   r.confidence, r.rpos, r.rtext,
                    COALESCE(""" + ecli_date("c.ttext") + """,
                             """ + parse_date("r.date_text") + """) AS cit_date
             FROM clus c JOIN rmeta2 r USING (conv_id, cl)
@@ -538,7 +552,7 @@ def _citations_parts(path: str | None = None) -> dict:
             -- MEDIUM region: one court+date citation
             SELECT r.conv_id, r.cl, 0 AS cord, NULL AS ecli,
                    r.court_name, r.case_number, r.treatment, r.jurisdiction,
-                   r.confidence,
+                   r.confidence, r.rpos, r.rtext,
                    """ + parse_date("r.date_text") + """ AS cit_date
             FROM rmeta2 r WHERE r.confidence = 'MEDIUM'
         ), cit1 AS (
@@ -596,6 +610,558 @@ def _kg_citation_stats_sql() -> str:
         ORDER BY dimension, value
     """
     )
+
+
+def _links_parts(path: str | None = None) -> dict:
+    """Shared SQL pieces of the entity-linking oracle — the DuckDB twin of
+    link_document (functions/document.py:98-138) over the full linking
+    module (functions/linking.py): per-mention routing
+    standard/code/no_date/decision, alias fast paths, trigram-similarity
+    disambiguation with banker's-rounded 0..100 scores, top-3 +
+    winner-by-(score, id-desc) + the >=80 keep gate, and the
+    citation-snippet machinery (functions/citation_finder.py) needed by the
+    SNIPPET_ECLI fast path and snippet case evidence.
+
+    Entity side inputs come from sources/entities.world_parquet_dir() — the
+    SAME tables LinkerIndex.build broadcasts. Determinism notes:
+
+    - trigram_set/trigram_similarity (normalize.py:206-222): pg_trgm-style
+      single-space padding; Jaccard on distinct char 3-grams. ``int(round(
+      sim * K))`` is Python ties-to-even on an IEEE double — replicated with
+      an explicit half-case (DuckDB round() is half-away-from-zero).
+    - the dynamic citation-finder regexes (ECLI / case-number / court /
+      date pattern builders, citation_finder.py:39-106) are constructed
+      per-row as SQL strings and evaluated with RE2's non-constant-pattern
+      support; match POSITIONS use the split-parts length-sum trick from
+      the region-detector oracle.
+    - sentence alignment (extract_snippet, citation_finder.py:156-196)
+      relies on this corpus containing no '\\n\\n' and no tab/CR (template
+      texts are single-line; turns join with a single newline), so the
+      2-char boundary pattern '\\.[ \\n]' can never self-overlap and the
+      backward scan's last-hit equals the last non-overlapping regex match.
+    """
+    import functools
+
+    from decisions_knowledge_graph_data_ray.functions.citation_finder import MONTH_PATTERNS
+    from decisions_knowledge_graph_data_ray.functions.linking import (
+        _MONTHS_TO_FR,
+        _TRANSLATION_PHRASES,
+    )
+    from decisions_knowledge_graph_data_ray.sources.entities import world_parquet_dir
+
+    m = _mentions_parts(path)
+    c = _citations_parts(path)
+    wd = world_parquet_dir()
+    sq = m["sq"]
+
+    mat = lambda ctes, names: functools.reduce(  # noqa: E731
+        lambda s, n: s.replace(n + " AS (", n + " AS MATERIALIZED ("), names, ctes
+    )
+    m_ctes = mat(m["ctes"], ["named", "dedup", "seqd"])
+    c_ctes = mat(c["ctes"], ["cdocs", "selfd", "trig1", "cits"])
+
+    def TG(x: str) -> str:
+        """trigram_set(x) as a sorted-irrelevant VARCHAR[] (padded, distinct)."""
+        pad = "(' ' || lower(trim(" + x + ")) || ' ')"
+        return (
+            "CASE WHEN trim(COALESCE(" + x + ", '')) = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_distinct(list_transform(generate_series(1, length(" + pad + ") - 2), "
+            "i -> substr(" + pad + ", i, 3))) END"
+        )
+
+    def SIM(a: str, b: str) -> str:
+        inter = "len(list_intersect(" + a + ", " + b + "))"
+        return (
+            "CASE WHEN len(" + a + ") = 0 OR len(" + b + ") = 0 THEN 0.0 "
+            "ELSE CAST(" + inter + " AS DOUBLE) / (len(" + a + ") + len(" + b + ") - " + inter + ") END"
+        )
+
+    def BANKER(x: str) -> str:
+        """int(round(x)) with Python's ties-to-even on the exact-half case."""
+        f = "floor(" + x + ")"
+        return (
+            "CASE WHEN (" + x + ") - " + f + " = 0.5 "
+            "THEN CAST(" + f + " AS INTEGER) + CAST(" + f + " AS INTEGER) % 2 "
+            "ELSE CAST(round(" + x + ") AS INTEGER) END"
+        )
+
+    # js_escape_regex (normalize.py:167-172)
+    def ESC(x: str) -> str:
+        return "regexp_replace(" + x + r", '([.*+?^${}()|\[\]\\])', '\\\0', 'g')"
+
+    def translate(col: str) -> str:
+        """translate_act_name_to_french(col) — sequential phrase replaces in
+        _TRANSLATION_PHRASES order, then the date connective (the Python
+        lookahead is rewritten to consume-and-reemit '\\s+\\d'), then month
+        tokens longest-first. ``col`` must already be normalize_string-ed."""
+        e = col
+        for src, fr in _TRANSLATION_PHRASES:
+            e = "replace(" + e + ", '" + sq(src) + "', '" + sq(fr) + "')"
+        e = "regexp_replace(" + e + r", '\b(van|vom)(\s+\d)', 'du\2', 'g')"
+        for tok in sorted(_MONTHS_TO_FR, key=len, reverse=True):
+            e = "regexp_replace(" + e + r", '\b" + tok + r"\b', '" + _MONTHS_TO_FR[tok] + "', 'g')"
+        return e
+
+    # map_to_document_type (normalize.py:72-89) — every branch is a
+    # single-element list, so the filter is scalar equality
+    ttarget_case = """CASE ptype
+               WHEN 'LOI' THEN 'LOI' WHEN 'WET' THEN 'LOI'
+               WHEN 'DECRET' THEN 'DECRET' WHEN 'DECREET' THEN 'DECRET'
+               WHEN 'ORDONNANCE' THEN 'ORDONNANCE' WHEN 'ORDONNANTIE' THEN 'ORDONNANCE'
+               WHEN 'ARRETE_ROYAL' THEN 'ARRETE' WHEN 'KONINKLIJK_BESLUIT' THEN 'ARRETE'
+               WHEN 'BESLUIT_VAN_DE_REGERING' THEN 'ARRETE' WHEN 'ARRETE_GOUVERNEMENT' THEN 'ARRETE'
+               WHEN 'GRONDWET' THEN 'CONSTITUTION' WHEN 'CONSTITUTION' THEN 'CONSTITUTION'
+               ELSE 'unknown' END"""
+
+    # looks_dutch OR looks_german (linking.py:400-412); 'wet' subsumes
+    # wetboek/grondwet, 'gesetz' subsumes gesetzbuch
+    looks_nl_de = (
+        "regexp_matches(name_norm, "
+        "'(wet|besluit|artikel|decreet|ordonnantie|gesetz|erlass|verfassung)')"
+    )
+
+    # _case_norm (linking.py:240-241)
+    def CASEN(x: str) -> str:
+        return (
+            "lower(replace(replace(replace(COALESCE(" + x + ", ''), ' ', ''), '.', ''), '-', ''))"
+        )
+
+    # normalize_court_name (normalize.py:39-45)
+    def COURTN(x: str) -> str:
+        return (
+            "replace(replace(regexp_replace(lower(trim(" + x + ")), '\\s+', ' ', 'g'), "
+            "'‘', ''''), '’', '''')"
+        )
+
+    month_name_case = "CASE mm " + " ".join(
+        "WHEN " + str(k) + " THEN '" + sq(v) + "'" for k, v in MONTH_PATTERNS.items()
+    ) + " END"
+
+    # MONTH_PATTERNS day/month tokens (citation_finder.py:72-96)
+    day_pat = "CASE WHEN dd < 10 THEN '0?' || CAST(dd AS VARCHAR) ELSE CAST(dd AS VARCHAR) END"
+    mon_num_pat = "CASE WHEN mm < 10 THEN '0?' || CAST(mm AS VARCHAR) ELSE CAST(mm AS VARCHAR) END"
+
+    cass_pat = r"(?i)^([A-Za-z])\.?(\d{2,4})\.?(\d{1,5})\.?([A-Za-z])$"
+
+    # first-match 0-based char position of dynamic pattern p in s
+    def FPOS(s: str, p: str) -> str:
+        return "length(regexp_split_to_array(" + s + ", " + p + ")[1])"
+
+    # date expressions shared by the provision-mention attributes
+    act_type = _act_type_sql("s.name")
+    act_date = _act_date_sql("s.name", m["date_pat"], m["month_case"])
+
+    ctes = (
+        "WITH " + m_ctes + ", " + c_ctes + """
+        , acts AS MATERIALIZED (
+            SELECT document_number, title, document_type,
+                   substr(dossier_number, 1, 10) AS act_date,
+                   """ + TG("title") + """ AS ttg
+            FROM read_parquet('""" + wd + """/acts.parquet')
+        ), arts AS MATERIALIZED (
+            SELECT DISTINCT document_number, article_number
+            FROM read_parquet('""" + wd + """/articles.parquet')
+        ), aliasp AS (
+            SELECT alias, document_number FROM read_parquet('""" + wd + """/alias_popular.parquet')
+        ), famt AS (
+            SELECT family, document_number FROM read_parquet('""" + wd + """/code_families.parquet')
+        ), decs AS MATERIALIZED (
+            SELECT decision_id, decision_date, dec_idx,
+                   """ + TG("court_name") + """ AS ctg,
+                   """ + CASEN("case_number") + """ AS cand_case_n
+            FROM read_parquet('""" + wd + """/decisions.parquet')
+        ), missingc AS (
+            SELECT court FROM read_parquet('""" + wd + """/missing_courts.parquet')
+        ), pm AS MATERIALIZED (
+            -- one row per provision mention with the exact link_document
+            -- inputs (mention_internal_id = the ACT id, document.py:107-115)
+            SELECT s.conv_id, s.provision_seq,
+                   'ACT-' || s.conv_id || '-' || printf('%03d', a.act_seq) AS mid,
+                   s.name, s.num, s.numkey,
+                   """ + act_type + """ AS ptype,
+                   """ + act_date + """ AS pdate
+            FROM seqd s
+            JOIN (SELECT conv_id, norm_name,
+                         row_number() OVER (PARTITION BY conv_id ORDER BY fs) AS act_seq
+                  FROM (SELECT conv_id, lower(name) AS norm_name,
+                               min(provision_seq) AS fs
+                        FROM seqd GROUP BY 1, 2)) a
+              ON a.conv_id = s.conv_id AND a.norm_name = lower(s.name)
+        ), pm2 AS MATERIALIZED (
+            SELECT pm.*,
+                   lower(trim(pm.name)) AS name_norm,
+                   """ + TG("pm.name") + """ AS qtg,
+                   CASE WHEN pm.ptype = 'CODE' THEN 'code'
+                        WHEN pm.pdate IS NOT NULL THEN 'standard'
+                        ELSE 'no_date' END AS bucket,
+                   CASE WHEN pm.numkey IS NOT NULL AND pm.numkey <> '' THEN pm.numkey
+                        WHEN pm.num IS NOT NULL AND pm.num <> '' THEN pm.num
+                        ELSE '' END AS artkey,
+                   (SELECT """ + ttarget_case.replace("ptype", "pm.ptype") + """) AS ttarget,
+                   al.document_number AS fast_doc,
+                   sd.self_date
+            FROM pm
+            LEFT JOIN aliasp al ON al.alias = lower(trim(pm.name))
+            JOIN selfd sd USING (conv_id)
+        ), std_cand AS (
+            -- link_provision_standard (linking.py:143-166): date+type keyed
+            SELECT m2.conv_id, m2.provision_seq, a.document_number,
+                   """ + SIM("m2.qtg", "a.ttg") + """ AS sim
+            FROM pm2 m2 JOIN acts a
+              ON a.act_date = m2.pdate AND a.document_type = m2.ttarget
+            WHERE m2.bucket = 'standard' AND m2.fast_doc IS NULL
+        ), std_scored AS (
+            SELECT *, """ + BANKER("sim * 100") + """ AS score,
+                   row_number() OVER (PARTITION BY conv_id, provision_seq
+                                      ORDER BY sim DESC, document_number) AS crn
+            FROM std_cand
+        ), std_top AS (
+            -- MAX_CANDIDATES=200 pre-cut by raw sim, then top-3 by score
+            SELECT *, row_number() OVER (PARTITION BY conv_id, provision_seq
+                                         ORDER BY score DESC, document_number) AS rn
+            FROM std_scored WHERE crn <= 200
+        ), std_win AS (
+            -- top_match (linking.py:307-315): max by (score, id) over top-3
+            SELECT conv_id, provision_seq, document_number, score,
+                   row_number() OVER (PARTITION BY conv_id, provision_seq
+                                      ORDER BY score DESC, document_number DESC) AS wrn
+            FROM std_top WHERE rn <= 3
+        ), std_links AS (
+            SELECT m2.conv_id, m2.mid AS mention_internal_id,
+                   'provision_standard' AS kind,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN 'FAST_PATH'
+                        WHEN w.document_number IS NULL THEN 'NO_MATCH'
+                        ELSE 'DISAMBIGUATED' END AS method,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN m2.fast_doc
+                        WHEN w.score >= 80 THEN w.document_number END AS matched_entity,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN 100
+                        WHEN w.score >= 80 THEN w.score END AS score
+            FROM pm2 m2
+            LEFT JOIN (SELECT * FROM std_win WHERE wrn = 1) w
+              USING (conv_id, provision_seq)
+            WHERE m2.bucket = 'standard'
+        ), code_fam AS (
+            -- identify_code_families (linking.py:129-140): containment
+            -- either way or trigram sim >= 0.3
+            SELECT m2.conv_id, m2.provision_seq, f.family
+            FROM (SELECT * FROM pm2 WHERE bucket = 'code') m2
+            CROSS JOIN (SELECT DISTINCT family FROM famt) f
+            WHERE contains(m2.name_norm, lower(trim(f.family)))
+               OR contains(lower(trim(f.family)), m2.name_norm)
+               OR """ + SIM(TG("f.family"), "m2.qtg") + """ >= 0.3
+        ), code_cand AS (
+            -- link_provision_code (linking.py:168-203): family docs,
+            -- as-of cutoff, article-existence bonus
+            SELECT m2.conv_id, m2.provision_seq, a.document_number,
+                   """ + SIM("m2.qtg", "a.ttg") + """ AS sim,
+                   EXISTS (SELECT 1 FROM arts ar
+                           WHERE ar.document_number = a.document_number
+                             AND ar.article_number = m2.artkey) AS has_art
+            FROM (SELECT DISTINCT cf.conv_id, cf.provision_seq, ft.document_number
+                  FROM code_fam cf JOIN famt ft USING (family)) cd
+            JOIN pm2 m2 USING (conv_id, provision_seq)
+            JOIN acts a USING (document_number)
+            WHERE m2.self_date IS NULL OR a.act_date = ''
+               OR a.act_date < m2.self_date
+        ), code_scored AS (
+            SELECT *, """ + BANKER("sim * 60") + """
+                      + CASE WHEN has_art THEN 40 ELSE 0 END AS score
+            FROM code_cand
+        ), code_top AS (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, provision_seq
+                                         ORDER BY score DESC, document_number) AS rn
+            FROM code_scored
+        ), code_win AS (
+            SELECT conv_id, provision_seq, document_number, score,
+                   row_number() OVER (PARTITION BY conv_id, provision_seq
+                                      ORDER BY score DESC, document_number DESC) AS wrn
+            FROM code_top WHERE rn <= 3
+        ), code_links AS (
+            SELECT m2.conv_id, m2.mid AS mention_internal_id,
+                   'provision_code' AS kind,
+                   CASE WHEN w.document_number IS NULL THEN 'NO_MATCH'
+                        ELSE 'DISAMBIGUATED' END AS method,
+                   CASE WHEN w.score >= 80 THEN w.document_number END AS matched_entity,
+                   CASE WHEN w.score >= 80 THEN w.score END AS score
+            FROM pm2 m2
+            LEFT JOIN (SELECT * FROM code_win WHERE wrn = 1) w
+              USING (conv_id, provision_seq)
+            WHERE m2.bucket = 'code'
+        ), nd_m AS MATERIALIZED (
+            -- link_provision_no_date (linking.py:206-237) query side: M14
+            -- NL/DE name translation before similarity
+            SELECT *, """ + TG(
+                "CASE WHEN " + looks_nl_de + " THEN " + translate("name_norm") + " ELSE name_norm END"
+            ) + """ AS stg
+            FROM pm2 WHERE bucket = 'no_date'
+        ), nd_cand AS (
+            SELECT m2.conv_id, m2.provision_seq, a.document_number,
+                   """ + SIM("m2.stg", "a.ttg") + """ AS sim
+            FROM nd_m m2
+            JOIN arts ar ON ar.article_number = m2.artkey
+            JOIN acts a ON a.document_number = ar.document_number
+            WHERE m2.fast_doc IS NULL AND m2.artkey <> ''
+              AND (m2.self_date IS NULL OR a.act_date = ''
+                   OR a.act_date < m2.self_date)
+              AND (m2.ttarget = 'unknown' OR a.document_type = m2.ttarget)
+              AND """ + SIM("m2.stg", "a.ttg") + """ >= 0.15
+        ), nd_scored AS (
+            SELECT *, """ + BANKER("sim * 100") + """ AS score FROM nd_cand
+        ), nd_top AS (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, provision_seq
+                                         ORDER BY score DESC, document_number) AS rn
+            FROM nd_scored
+        ), nd_win AS (
+            SELECT conv_id, provision_seq, document_number, score,
+                   row_number() OVER (PARTITION BY conv_id, provision_seq
+                                      ORDER BY score DESC, document_number DESC) AS wrn
+            FROM nd_top WHERE rn <= 3
+        ), nd_links AS (
+            SELECT m2.conv_id, m2.mid AS mention_internal_id,
+                   'provision_no_date' AS kind,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN 'FAST_PATH'
+                        WHEN m2.artkey = '' THEN 'NO_MATCH'
+                        ELSE 'DISAMBIGUATED' END AS method,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN m2.fast_doc
+                        WHEN w.score >= 80 THEN w.document_number END AS matched_entity,
+                   CASE WHEN m2.fast_doc IS NOT NULL THEN 100
+                        WHEN w.score >= 80 THEN w.score END AS score
+            FROM nd_m m2
+            LEFT JOIN (SELECT * FROM nd_win WHERE wrn = 1) w
+              USING (conv_id, provision_seq)
+        ), citx AS MATERIALIZED (
+            SELECT conv_id, decision_seq,
+                   'DEC-' || conv_id || '-' || printf('%03d', decision_seq) AS mid,
+                   ecli, court_name, cit_date, case_number, rpos, rtext
+            FROM cits
+        ), cpat AS (
+            -- the dynamic citation-finder pattern builders
+            -- (citation_finder.py:39-106), one SQL string per row
+            SELECT *,
+                CASE WHEN ecli IS NOT NULL AND len(string_split(ecli, ':')) >= 5
+                     THEN '(?i)' || array_to_string(list_transform(
+                              string_split(ecli, ':'), x -> """ + ESC("x") + r"""), '\s*:\s*')
+                END AS ecli_pat,
+                CASE WHEN case_number IS NOT NULL AND case_number <> ''
+                     THEN '(?i)' || """ + ESC("case_number") + r""" END AS cpat1,
+                CASE WHEN case_number IS NOT NULL AND case_number <> ''
+                     THEN array_to_string(list_transform(list_filter(
+                              regexp_split_to_array(case_number, '[\s.\-/]+'),
+                              x -> x <> ''), x -> """ + ESC("x") + r"""), '[\s.\-\/]*')
+                END AS cflex_raw,
+                CASE WHEN court_name IS NOT NULL AND court_name <> ''
+                     THEN '(?i)' || replace(regexp_replace(replace(
+                              """ + ESC("court_name") + r""",
+                              '\s\+', '\s+'), '\s+', '\\s+', 'g'), '\.', '\.?')
+                END AS court_pat,
+                CAST(substr(cit_date, 9, 2) AS INTEGER) AS dd,
+                CAST(substr(cit_date, 6, 2) AS INTEGER) AS mm,
+                substr(cit_date, 1, 4) AS yy
+            FROM citx
+        ), cpat2 AS (
+            SELECT *,
+                CASE WHEN cflex_raw IS NOT NULL
+                          AND cflex_raw <> """ + ESC("case_number") + r"""
+                     THEN '(?i)' || cflex_raw END AS cpatf,
+                CASE WHEN case_number IS NOT NULL
+                          AND regexp_matches(case_number, '""" + sq(cass_pat) + r"""')
+                     THEN '(?i)'
+                          || regexp_extract(case_number, '""" + sq(cass_pat) + r"""', 1)
+                          || '[\s.\-]*'
+                          || regexp_extract(case_number, '""" + sq(cass_pat) + r"""', 2)
+                          || '[\s.\-]*0*'
+                          || regexp_extract(case_number, '""" + sq(cass_pat) + r"""', 3)
+                          || '[\s.\-]*'
+                          || regexp_extract(case_number, '""" + sq(cass_pat) + r"""', 4)
+                END AS cpatc,
+                CASE WHEN cit_date IS NOT NULL THEN
+                    '(?i)' || """ + day_pat + r""" || '(?:er|ère)?\s+'
+                           || """ + month_name_case + r""" || '\s+' || yy
+                END AS dp1,
+                CASE WHEN cit_date IS NOT NULL THEN
+                    '(?i)' || """ + day_pat + r""" || '\s*[\/\-\.]\s*'
+                           || """ + mon_num_pat + r""" || '\s*[\/\-\.]\s*' || yy
+                END AS dp2,
+                CASE WHEN cit_date IS NOT NULL THEN
+                    '(?i)' || """ + day_pat + r""" || '\s*[\/\-\.]\s*'
+                           || """ + mon_num_pat + r""" || '\s*[\/\-\.]\s*'
+                           || substr(yy, 3, 2) || '\b'
+                END AS dp3
+            FROM cpat
+        ), cm AS MATERIALIZED (
+            -- find_citation_position priority ECLI > CASE_NUMBER (exact >
+            -- flex > cassation-core) over the REGION text
+            SELECT *,
+                CASE WHEN ecli_pat IS NOT NULL AND regexp_matches(rtext, ecli_pat)
+                     THEN """ + FPOS("rtext", "ecli_pat") + """ END AS p_ecli,
+                CASE WHEN cpat1 IS NOT NULL AND regexp_matches(rtext, cpat1)
+                     THEN """ + FPOS("rtext", "cpat1") + """
+                     WHEN cpatf IS NOT NULL AND regexp_matches(rtext, cpatf)
+                     THEN """ + FPOS("rtext", "cpatf") + """
+                     WHEN cpatc IS NOT NULL AND regexp_matches(rtext, cpatc)
+                     THEN """ + FPOS("rtext", "cpatc") + """ END AS p_case
+            FROM cpat2
+        ), courts_enum AS (
+            -- court_pat finditer with char positions (split-sum trick)
+            SELECT conv_id, decision_seq, rtext, cit_date, dp1, dp2, dp3,
+                   COALESCE(list_sum(list_transform(array_slice(
+                       regexp_split_to_array(rtext, court_pat), 1, i),
+                       x -> length(x))), 0)
+                   + COALESCE(list_sum(list_transform(array_slice(
+                       regexp_extract_all(rtext, court_pat), 1, i - 1),
+                       x -> length(x))), 0) AS cmpos,
+                   length(regexp_extract_all(rtext, court_pat)[i]) AS cmlen
+            FROM cm, unnest(range(1, len(regexp_extract_all(rtext, court_pat)) + 1)) AS r(i)
+            WHERE p_ecli IS NULL AND p_case IS NULL AND court_pat IS NOT NULL
+        ), court_date_hit AS (
+            -- COURT_DATE: first court hit with a date pattern in the
+            -- [-100, +200] window (citation_finder.py:135-144)
+            SELECT conv_id, decision_seq, min(cmpos) AS p_cd
+            FROM (SELECT *,
+                         substr(rtext,
+                                CAST(greatest(0, cmpos - 100) + 1 AS BIGINT),
+                                CAST(least(length(rtext), cmpos + cmlen + 200)
+                                     - greatest(0, cmpos - 100) AS BIGINT)) AS w
+                  FROM courts_enum)
+            WHERE cit_date IS NOT NULL
+              AND (regexp_matches(w, dp1) OR regexp_matches(w, dp2)
+                   OR regexp_matches(w, dp3))
+            GROUP BY 1, 2
+        ), court_only AS (
+            SELECT conv_id, decision_seq, min(cmpos) AS p_co
+            FROM courts_enum GROUP BY 1, 2
+        ), snipw AS (
+            SELECT cm.conv_id, cm.decision_seq,
+                   CAST(cm.rpos + COALESCE(cm.p_ecli, cm.p_case, cd.p_cd, co.p_co)
+                        AS BIGINT) AS gp,
+                   d.dtext, length(d.dtext) AS L
+            FROM cm
+            LEFT JOIN court_date_hit cd USING (conv_id, decision_seq)
+            LEFT JOIN court_only co USING (conv_id, decision_seq)
+            JOIN cdocs d USING (conv_id)
+            WHERE COALESCE(cm.p_ecli, cm.p_case, cd.p_cd, co.p_co) IS NOT NULL
+        ), snipb AS (
+            -- extract_snippet window bounds + the two scan anchors
+            SELECT *, greatest(0, gp - 300) AS st0, least(L, gp + 300) AS en0,
+                   least(greatest(0, gp - 300) + 50, L) AS p1,
+                   least(L, gp + 300) - 50 AS p2
+            FROM snipw
+        ), snipc AS (
+            SELECT *, greatest(0, p1 - 300) AS lo,
+                   substr(dtext, CAST(greatest(0, p1 - 300) + 1 AS BIGINT),
+                          CAST(p1 - greatest(0, p1 - 300) + 1 AS BIGINT)) AS ws,
+                   substr(dtext, CAST(p2 + 1 AS BIGINT), 301)
+                   || CASE WHEN p2 + 301 > L THEN chr(10) ELSE '' END AS we
+            FROM snipb
+        ), snipe AS (
+            -- _find_sentence_start: LAST dot-then-space/newline hit in the
+            -- backward window; _find_sentence_end: FIRST hit forward
+            -- (sentinel newline = the at-end dot case)
+            SELECT *,
+                CASE WHEN regexp_matches(ws, '\.[ \\n]')
+                     THEN lo + (length(ws)
+                          - length(regexp_split_to_array(ws, '\.[ \\n]')[-1])
+                          - length(regexp_extract_all(ws, '\.[ \\n]')[-1])) + 2
+                     ELSE lo END AS ss,
+                CASE WHEN regexp_matches(we, '\.[ \\n]')
+                     THEN p2 + length(regexp_split_to_array(we, '\.[ \\n]')[1]) + 1
+                     ELSE least(L, p2 + 300) END AS se
+            FROM snipc
+        ), snipg AS (
+            SELECT conv_id, decision_seq,
+                   CASE WHEN st > 0 THEN '...' ELSE '' END
+                   || trim(substr(dtext, CAST(st + 1 AS BIGINT),
+                                  CAST(greatest(0, en - st) AS BIGINT)),
+                           ' ' || chr(10) || chr(9) || chr(13))
+                   || CASE WHEN en < L THEN '...' ELSE '' END AS snippet
+            FROM (SELECT *,
+                         CASE WHEN ss > st0 - 100 THEN ss ELSE st0 END AS st,
+                         CASE WHEN se < en0 + 100 THEN se ELSE en0 END AS en
+                  FROM snipe)
+        ), dec_base AS MATERIALIZED (
+            -- link_cited_decision inputs (linking.py:244-305)
+            SELECT cx.conv_id, cx.decision_seq, cx.mid, cx.ecli, cx.court_name,
+                   cx.cit_date, cx.case_number,
+                   COALESCE(sg.snippet, '') AS snippet,
+                   lower(COALESCE(sg.snippet, '')) AS snip_low,
+                   """ + CASEN("sg.snippet") + """ AS snip_case,
+                   """ + CASEN("cx.case_number") + """ AS case_n,
+                   """ + TG("cx.court_name") + """ AS courttg,
+                   (cx.court_name IS NOT NULL AND cx.court_name <> ''
+                    AND EXISTS (SELECT 1 FROM missingc mi
+                                WHERE mi.court = """ + COURTN("cx.court_name") + """)) AS is_missing
+            FROM citx cx LEFT JOIN snipg sg USING (conv_id, decision_seq)
+        ), dec_cand AS (
+            SELECT b.conv_id, b.decision_seq, d.decision_id, d.dec_idx,
+                   """ + SIM("b.courttg", "d.ctg") + """ AS sim,
+                   ((b.case_n <> '' AND b.case_n = d.cand_case_n)
+                    OR (d.cand_case_n <> '' AND b.snip_case <> ''
+                        AND contains(b.snip_case, d.cand_case_n))) AS case_hit,
+                   (b.ecli IS NOT NULL
+                    AND lower(d.decision_id) = lower(b.ecli)) AS is_exact,
+                   (b.ecli IS NULL AND b.snip_low <> ''
+                    AND contains(b.snip_low, lower(d.decision_id))) AS is_snip
+            FROM dec_base b JOIN decs d ON d.decision_date = b.cit_date
+            WHERE NOT b.is_missing
+        ), dec_exact AS (
+            SELECT conv_id, decision_seq, arg_min(decision_id, dec_idx) AS doc
+            FROM dec_cand WHERE is_exact GROUP BY 1, 2
+        ), dec_snipecli AS (
+            SELECT conv_id, decision_seq, arg_min(decision_id, dec_idx) AS doc
+            FROM dec_cand WHERE is_snip GROUP BY 1, 2
+        ), dec_scored AS (
+            SELECT *, """ + BANKER("sim * 60") + """
+                      + CASE WHEN case_hit THEN 40 ELSE 0 END AS score
+            FROM dec_cand
+        ), dec_top AS (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, decision_seq
+                                         ORDER BY score DESC, decision_id) AS rn
+            FROM dec_scored
+        ), dec_win AS (
+            SELECT conv_id, decision_seq, decision_id, score,
+                   row_number() OVER (PARTITION BY conv_id, decision_seq
+                                      ORDER BY score DESC, decision_id DESC) AS wrn
+            FROM dec_top WHERE rn <= 3
+        ), dec_links AS (
+            SELECT b.conv_id, b.mid AS mention_internal_id, 'decision' AS kind,
+                   CASE WHEN b.is_missing THEN 'NO_MATCH'
+                        WHEN b.cit_date IS NULL THEN 'NO_MATCH'
+                        WHEN e.doc IS NOT NULL THEN 'EXACT_ECLI'
+                        WHEN sn.doc IS NOT NULL THEN 'SNIPPET_ECLI'
+                        WHEN w.decision_id IS NULL THEN 'NO_MATCH'
+                        ELSE 'DISAMBIGUATED' END AS method,
+                   CASE WHEN b.is_missing OR b.cit_date IS NULL THEN NULL
+                        WHEN e.doc IS NOT NULL THEN e.doc
+                        WHEN sn.doc IS NOT NULL THEN sn.doc
+                        WHEN w.score >= 80 THEN w.decision_id END AS matched_entity,
+                   CASE WHEN b.is_missing OR b.cit_date IS NULL THEN NULL
+                        WHEN e.doc IS NOT NULL THEN 100
+                        WHEN sn.doc IS NOT NULL THEN 100
+                        WHEN w.score >= 80 THEN w.score END AS score
+            FROM dec_base b
+            LEFT JOIN dec_exact e USING (conv_id, decision_seq)
+            LEFT JOIN dec_snipecli sn USING (conv_id, decision_seq)
+            LEFT JOIN (SELECT * FROM dec_win WHERE wrn = 1) w
+              USING (conv_id, decision_seq)
+        ), links AS (
+            SELECT conv_id, mention_internal_id, kind, method,
+                   matched_entity, CAST(score AS INTEGER) AS score
+            FROM (SELECT * FROM std_links
+                  UNION ALL SELECT * FROM code_links
+                  UNION ALL SELECT * FROM nd_links
+                  UNION ALL SELECT * FROM dec_links)
+        )"""
+    )
+    return {"ctes": ctes, "sq": sq}
+
+
+def _kg_links_sql(path: str | None = None) -> str:
+    p = _links_parts(path)
+    return p["ctes"] + """
+        SELECT conv_id, mention_internal_id, kind, method, matched_entity, score
+        FROM links
+        ORDER BY conv_id, mention_internal_id, kind
+    """
 
 
 # the teaching-marker alternation (clarity IS NOT NULL in the kg_teachings
@@ -2432,6 +2998,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_stats": _kg_citation_stats_sql(),
         "kg_teaching_relations": _kg_teaching_relations_sql(),
         "kg_block_citations": _kg_block_citations_sql(),
+        # entity-linking oracle (round 5): the full linking module in SQL —
+        # routing, alias fast paths, trigram disambiguation with banker's
+        # rounding, citation-snippet evidence (_links_parts cites each rule
+        # next to its functions/linking.py twin). kg_links_sharded is
+        # row-identical to kg_links by contract (test_sharded_link), so the
+        # two share one oracle.
+        "kg_links": _kg_links_sql(),
+        "kg_links_sharded": _kg_links_sql(),
         # sketch oracles (round 4): md5-keyed shingle hashes make the
         # MinHash/SimHash math exactly portable to SQL
         "documents_minhash_pairs": _minhash_pairs_sql(threshold=0.7),

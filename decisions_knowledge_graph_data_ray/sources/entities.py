@@ -176,3 +176,67 @@ def make_entity_world(n_acts: int = 400, n_decisions: int = 600) -> dict:
         "decisions": decisions,
         "missing_courts": list(MISSING_COURTS),
     }
+
+
+def world_parquet_dir() -> str:
+    """Write (once, cached) the entity world as parquet files so the DuckDB
+    oracle can read the SAME linking side inputs the Ray pipeline broadcasts
+    (the oracle twin of build_index_ref's LinkerIndex — see pipelines/kg.py).
+
+    Files: acts / articles / decisions / alias_popular (alias already
+    normalize_string-ed, as LinkerIndex.build stores it) / code_families
+    (one row per (family, doc_pos, document_number) so SQL can replicate the
+    family→docs expansion order) / missing_courts (normalize_court_name-ed,
+    as the index stores it). Atomic publish like transcripts_path_for_n.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.normalize import normalize_court_name, normalize_string
+
+    out_dir = "/tmp/dkg_world/v2"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    w = make_entity_world()
+
+    def write(name: str, rows: list[dict], schema: pa.Schema) -> None:
+        tmp = os.path.join(out_dir, name + ".tmp")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, os.path.join(out_dir, name + ".parquet"))
+
+    s = pa.string()
+    write("acts", w["acts"], pa.schema(
+        [("document_number", s), ("title", s), ("document_type", s), ("dossier_number", s)]
+    ))
+    write("articles", w["articles"], pa.schema(
+        [("document_number", s), ("article_number", s)]
+    ))
+    # dec_idx = generation order = decisions_by_date insertion order: the
+    # linker's first-candidate semantics (EXACT/SNIPPET ECLI return the first
+    # hit in list order) need it as an explicit sort key in SQL
+    write("decisions", [
+        {**d, "dec_idx": i} for i, d in enumerate(w["decisions"])
+    ], pa.schema(
+        [("decision_id", s), ("court_code", s), ("court_name", s),
+         ("decision_date", s), ("case_number", s), ("dec_idx", pa.int32())]
+    ))
+    write("alias_popular", [
+        {"alias": normalize_string(k), "document_number": v}
+        for k, v in w["alias_popular"].items()
+    ], pa.schema([("alias", s), ("document_number", s)]))
+    write("code_families", [
+        {"family": fam, "doc_pos": i, "document_number": d}
+        for fam, docs in w["code_families"].items()
+        for i, d in enumerate(docs)
+    ], pa.schema([("family", s), ("doc_pos", pa.int32()), ("document_number", s)]))
+    write("missing_courts", [
+        {"court": normalize_court_name(c)} for c in w["missing_courts"]
+    ], pa.schema([("court", s)]))
+    with open(done + ".tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + ".tmp", done)
+    return out_dir
