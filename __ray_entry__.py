@@ -5,8 +5,11 @@
 ``queries()``  — one entry per implemented operator/pipeline (SURVEY.md §2 +
                  the training-data operator suite).
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                 (same column names, same rounding). KG-pipeline and
-                 sketch-based queries are rows-only (non-SQL-expressible).
+                 (same column names, same rounding). 58 of 59 queries are
+                 oracle-backed; the one rows-only holdout is kg_triples,
+                 whose reference-extractor normalization
+                 (reference_extractor.normalize_text: lookahead-driven
+                 sequential re.sub rewrites) is not RE2/SQL-portable.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -33,8 +36,13 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline queries (rows-only checks: regex/clustering/linking semantics
-# are not ANSI-SQL-expressible)
+# KG pipeline queries. Every family (mentions, citations, teachings,
+# parties, outcomes, linking, eval) carries a full DuckDB oracle; only
+# kg_triples remains rows-only — its reference-triple family
+# (has_celex/has_numac/...) depends on reference_extractor.normalize_text,
+# whose lookahead-driven sequential re.sub rewrites (URL de-spacing +
+# broken-word collapse) cannot be reproduced with RE2's
+# no-lookahead/consuming-scan regexp_replace.
 # ---------------------------------------------------------------------------
 
 
@@ -1162,6 +1170,108 @@ def _kg_links_sql(path: str | None = None) -> str:
         FROM links
         ORDER BY conv_id, mention_internal_id, kind
     """
+
+
+def _kg_eval_sql(path: str | None = None) -> str:
+    """Eval-harness oracle (evals.py judge_document over the fixed 100-doc
+    corpus). The shipped candidate IS the reference extractor, so want==got
+    on every dimension: each verdict row reduces to the per-dimension
+    DISTINCT-KEY COUNT (expected == extracted == matched, 0 missing / 0
+    hallucinated, score 100.0, PASS/ACCEPT, empty samples):
+
+    - provisions: |{(provision_number_key, lower(name))}| = the seqd row
+      count (extraction already dedups on that key)
+    - decisions: |{(ecli, court_name, date, case_number)}| = the cits row
+      count (same dedup key)
+    - teachings: |{court_verbatim}| = DISTINCT marker-matching turn texts
+    - parties: |{(name, role)}| = DISTINCT lower(name) (parties.py dedups
+      by lower(name) keeping first, so names in the set are unique)
+    - keywords: min(5, |distinct letter-run words len>=4 not stopwords|)
+      (extract_keywords top-5 cap; the set has one entry per kept word)
+    - outcome: always 1 (classify_outcome never returns empty — the
+      ANDERE/AUTRE fallback)
+    """
+    import functools
+
+    from decisions_knowledge_graph_data_ray.functions.parties import _PARTY_BLOCK_RES
+
+    m = _mentions_parts(path)
+    c = _citations_parts(path)
+    sq = m["sq"]
+    mat = lambda ctes, names: functools.reduce(  # noqa: E731
+        lambda s, n: s.replace(n + " AS (", n + " AS MATERIALIZED ("), names, ctes
+    )
+    m_ctes = mat(m["ctes"], ["named", "dedup", "seqd"])
+    c_ctes = mat(c["ctes"], ["trig1", "cits"])
+    fr_pat = sq("(?i)" + _PARTY_BLOCK_RES[0].pattern)
+    nl_pat = sq("(?i)" + _PARTY_BLOCK_RES[1].pattern)
+    stop = _EN + "," + _FR + "," + _NL
+    return (
+        "WITH " + m_ctes + ", " + c_ctes + """
+        , sample AS (
+            SELECT DISTINCT conv_id FROM t ORDER BY conv_id LIMIT 100
+        ), pcnt AS (
+            SELECT conv_id, count(*)::BIGINT AS n FROM seqd GROUP BY 1
+        ), dcnt AS (
+            SELECT conv_id, count(*)::BIGINT AS n FROM cits GROUP BY 1
+        ), tcnt AS (
+            SELECT conv_id, count(DISTINCT text)::BIGINT AS n
+            FROM t
+            WHERE regexp_matches(text, '""" + _TEACH_MARKER_PAT.replace("'", "''") + """')
+            GROUP BY 1
+        ), pparts AS (
+            SELECT conv_id,
+                   regexp_extract(text, '""" + fr_pat + """',
+                                  ['p1', 'r1', 'p2', 'r2']) AS fr,
+                   regexp_extract(text, '""" + nl_pat + """',
+                                  ['p1', 'r1', 'p2', 'r2']) AS nl
+            FROM t
+        ), pexpl AS (
+            SELECT conv_id,
+                   unnest([CASE WHEN fr.p1 <> '' THEN fr.p1 ELSE nl.p1 END,
+                           CASE WHEN fr.p1 <> '' THEN fr.p2 ELSE nl.p2 END]) AS rawname
+            FROM pparts WHERE fr.p1 <> '' OR nl.p1 <> ''
+        ), pacnt AS (
+            SELECT conv_id,
+                   count(DISTINCT lower(trim(regexp_replace(rawname, '\\s+', ' ', 'g'))))::BIGINT AS n
+            FROM pexpl
+            WHERE trim(regexp_replace(rawname, '\\s+', ' ', 'g')) <> ''
+            GROUP BY 1
+        ), kcnt AS (
+            SELECT conv_id, least(5, count(DISTINCT w))::BIGINT AS n
+            FROM (SELECT conv_id,
+                         unnest(regexp_extract_all(lower(line), '[a-z]+')) AS w
+                  FROM ct)
+            WHERE length(w) >= 4 AND w NOT IN (""" + stop + """)
+            GROUP BY 1
+        ), dims(dimension) AS (
+            VALUES ('provisions'), ('decisions'), ('teachings'),
+                   ('parties'), ('keywords'), ('outcome')
+        ), counts AS (
+            SELECT s.conv_id, dm.dimension,
+                   CASE dm.dimension
+                        WHEN 'provisions' THEN COALESCE(p.n, 0)
+                        WHEN 'decisions' THEN COALESCE(d.n, 0)
+                        WHEN 'teachings' THEN COALESCE(te.n, 0)
+                        WHEN 'parties' THEN COALESCE(pa.n, 0)
+                        WHEN 'keywords' THEN COALESCE(k.n, 0)
+                        ELSE 1 END AS n
+            FROM sample s CROSS JOIN dims dm
+            LEFT JOIN pcnt p USING (conv_id)
+            LEFT JOIN dcnt d USING (conv_id)
+            LEFT JOIN tcnt te USING (conv_id)
+            LEFT JOIN pacnt pa USING (conv_id)
+            LEFT JOIN kcnt k USING (conv_id)
+        )
+        SELECT conv_id, dimension,
+               n AS expected, n AS extracted, n AS matched,
+               0::BIGINT AS missing, 0::BIGINT AS hallucinated,
+               100.0 AS score, 'PASS' AS verdict, 'ACCEPT' AS recommendation,
+               '' AS missing_samples, '' AS hallucinated_samples
+        FROM counts
+        ORDER BY conv_id, dimension
+    """
+    )
 
 
 # the teaching-marker alternation (clarity IS NOT NULL in the kg_teachings
@@ -3006,6 +3116,10 @@ def oracle_sql() -> dict[str, str]:
         # two share one oracle.
         "kg_links": _kg_links_sql(),
         "kg_links_sharded": _kg_links_sql(),
+        # eval-harness oracle (round 5): the judge's per-dimension P/R rows
+        # reduce to distinct-key counts because the shipped candidate IS the
+        # reference extractor (see _kg_eval_sql docstring)
+        "kg_eval": _kg_eval_sql(),
         # sketch oracles (round 4): md5-keyed shingle hashes make the
         # MinHash/SimHash math exactly portable to SQL
         "documents_minhash_pairs": _minhash_pairs_sql(threshold=0.7),
