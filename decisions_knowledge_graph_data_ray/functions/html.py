@@ -10,11 +10,16 @@ transformer (/root/reference/src/utils/htmlTransformer.ts):
   tables with column alignment, grid tables, footnotes (reference-style,
   pandoc's HTML5 endnotes section), fenced code, horizontal rules,
   inline/reference links, inline code, bold / italic, smart punctuation —
-  pandoc's default-on `smart` extension) — replaces the external pandoc
+  pandoc's default-on `smart` extension, heading attribute blocks
+  (`{#id .class key=val}`, `{-}` = `.unnumbered` — pandoc
+  `header_attributes`) and heading auto-identifiers with duplicate `-N`
+  suffixing (pandoc `auto_identifiers`)) — replaces the external pandoc
   binary (not available here, and a subprocess per document would be the
-  wrong shape for map_batches anyway). Still not full pandoc: no
-  attribute blocks, no inline (^[...]) notes, no multi-block footnote
-  bodies, single-paragraph grid-table cells.
+  wrong shape for map_batches anyway). Still not full pandoc: no inline
+  (^[...]) notes, no multi-block footnote bodies, single-paragraph
+  grid-table cells, no attribute blocks on fenced code / spans, and a
+  footnote reference inside a heading contributes its number to the
+  auto-identifier's input only as stripped text.
 - ``transform_html_blocks``: select leaf content elements (p, h1-h6,
   blockquote, li, td, th), skip empty, sequence 1..n, stamp
   ``data-id="{doc_id}:block-{seq:03d}"``, emit {block_id, plain_text,
@@ -50,6 +55,59 @@ _FENCE_RE = re.compile(r"^```")
 _TABLE_SEP_RE = re.compile(r"^\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?$")
 _DEF_RE = re.compile(r"^:\s+(.*)$")
 _LINE_BLOCK_RE = re.compile(r"^\|(?:\s(.*))?$")
+
+# pandoc header_attributes: a trailing {...} block on a heading line
+_ATTR_BLOCK_RE = re.compile(r"\s*\{([^{}]*)\}\s*$")
+_ATTR_TOKEN_RE = re.compile(
+    r'[#.][^\s"=]+'          # #id / .class
+    r'|[^\s"=]+="[^"]*"'     # key="quoted value"
+    r"|[^\s\"=]+=[^\s\"]*"   # key=bare
+    r"|-"                    # {-} == .unnumbered
+)
+_FN_ANCHOR_RE = re.compile(r'<a href="#fn\d+".*?</a>')
+
+
+def _parse_attr_block(spec: str) -> tuple[str | None, list[str], list[tuple[str, str]]]:
+    """{#id .c1 key=val key2="v 2" -} → (id, classes, key-values)."""
+    ident: str | None = None
+    classes: list[str] = []
+    kvs: list[tuple[str, str]] = []
+    for tok in _ATTR_TOKEN_RE.findall(spec):
+        if tok.startswith("#"):
+            if ident is None:
+                ident = tok[1:]
+        elif tok.startswith("."):
+            classes.append(tok[1:])
+        elif tok == "-":
+            classes.append("unnumbered")
+        else:
+            k, _, v = tok.partition("=")
+            kvs.append((k, v[1:-1] if v.startswith('"') else v))
+    return ident, classes, kvs
+
+
+def _auto_identifier(plain: str) -> str:
+    """pandoc auto_identifiers (T.P.Shared.inlineListToIdentifier): keep
+    [alnum _ - . space], spaces → hyphens, lowercase, drop everything up to
+    the first letter, 'section' when nothing is left."""
+    s = "".join(c for c in plain if c.isalnum() or c in "_-. ")
+    s = s.replace(" ", "-").lower()
+    i = 0
+    while i < len(s) and not s[i].isalpha():
+        i += 1
+    return s[i:] or "section"
+
+
+def _unique_id(base: str, used: set[str]) -> str:
+    """pandoc uniqueIdent: -1, -2, ... suffixes on collision."""
+    if base not in used:
+        used.add(base)
+        return base
+    n = 1
+    while f"{base}-{n}" in used:
+        n += 1
+    used.add(f"{base}-{n}")
+    return f"{base}-{n}"
 
 # smart punctuation (pandoc's `smart` extension, ON in `--from markdown`):
 # a quote OPENS at string start or after whitespace / an opening bracket /
@@ -302,6 +360,30 @@ def markdown_to_html(md: str) -> str:
     def inline(text: str) -> str:
         return _inline(text, refs, fn_sub)
 
+    used_ids: set[str] = set()
+
+    def heading(level: int, text: str) -> str:
+        """Heading with pandoc header_attributes + auto_identifiers."""
+        ident: str | None = None
+        classes: list[str] = []
+        kvs: list[tuple[str, str]] = []
+        am = _ATTR_BLOCK_RE.search(text)
+        if am:
+            ident, classes, kvs = _parse_attr_block(am.group(1))
+            text = text[: am.start()].strip()
+        body = inline(text)
+        if ident is None:
+            plain = _plain_text(_FN_ANCHOR_RE.sub("", body))
+            ident = _unique_id(_auto_identifier(plain), used_ids)
+        else:
+            used_ids.add(ident)
+        attrs = f' id="{_escape(ident)}"'
+        if classes:
+            attrs += f' class="{_escape(" ".join(classes))}"'
+        for k, v in kvs:
+            attrs += f' {k}="{_escape(v)}"'
+        return f"<h{level}{attrs}>{body}</h{level}>"
+
     out: list[str] = []
     paragraph: list[str] = []
     lists = _ListStack(inline)
@@ -445,17 +527,16 @@ def markdown_to_html(md: str) -> str:
             flush_list()
             table_rows.append(stripped)
         elif paragraph and _SETEXT_H1_RE.match(stripped):
-            out.append(f"<h1>{inline(' '.join(paragraph))}</h1>")
+            out.append(heading(1, " ".join(paragraph)))
             paragraph.clear()
         elif paragraph and _SETEXT_H2_RE.match(stripped):
-            out.append(f"<h2>{inline(' '.join(paragraph))}</h2>")
+            out.append(heading(2, " ".join(paragraph)))
             paragraph.clear()
         elif m:
             flush_deflist()
             flush_paragraph()
             flush_list()
-            level = len(m.group(1))
-            out.append(f"<h{level}>{inline(m.group(2).strip())}</h{level}>")
+            out.append(heading(len(m.group(1)), m.group(2).strip()))
         elif _HR_RE.match(stripped):
             flush_deflist()
             flush_paragraph()

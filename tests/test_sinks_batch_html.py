@@ -19,7 +19,7 @@ from decisions_knowledge_graph_data_ray.stages import batch_api as B
 def test_markdown_to_html_basic():
     md = "# Title\n\nFirst paragraph **bold** here.\n\n> quoted text\n\n- item one\n- item two"
     html = H.markdown_to_html(md)
-    assert "<h1>Title</h1>" in html
+    assert '<h1 id="title">Title</h1>' in html
     assert "<p>First paragraph <strong>bold</strong> here.</p>" in html
     assert "<blockquote><p>quoted text</p></blockquote>" in html
     assert "<li>item one</li>" in html
@@ -235,8 +235,8 @@ def test_markdown_nested_lists():
 def test_markdown_setext_headings():
     md = "Title line\n====\n\nSub heading\n---\n\nplain para\n"
     html = H.markdown_to_html(md)
-    assert "<h1>Title line</h1>" in html
-    assert "<h2>Sub heading</h2>" in html
+    assert '<h1 id="title-line">Title line</h1>' in html
+    assert '<h2 id="sub-heading">Sub heading</h2>' in html
     assert "<p>plain para</p>" in html
     # a dash rule with no pending paragraph stays a horizontal rule
     assert "<hr />" not in html
@@ -399,3 +399,28 @@ def test_footnote_and_table_blocks_flow_through_transformer():
     texts = [b["plain_text"] for b in res["blocks"]]
     assert "th" in kinds and "td" in kinds and "li" in kinds
     assert any("De noot." in t for t in texts)
+
+
+def test_markdown_heading_attribute_blocks():
+    from decisions_knowledge_graph_data_ray.functions.html import markdown_to_html
+
+    html = markdown_to_html(
+        '## Scope {#scope .special note="two words"}\n\n'
+        "# Conclusion {-}\n\n"
+        "Setext {#sx}\n====\n"
+    )
+    assert '<h2 id="scope" class="special" note="two words">Scope</h2>' in html
+    assert '<h1 id="conclusion" class="unnumbered">Conclusion</h1>' in html
+    assert '<h1 id="sx">Setext</h1>' in html
+
+
+def test_markdown_auto_identifiers():
+    from decisions_knowledge_graph_data_ray.functions.html import markdown_to_html
+
+    html = markdown_to_html("# Dup\n\n# Dup\n\n### 1. Numbered Start\n\n# ***\n")
+    assert '<h1 id="dup">Dup</h1>' in html
+    assert '<h1 id="dup-1">Dup</h1>' in html
+    # identifier drops everything up to the first letter (pandoc rule)
+    assert '<h3 id="numbered-start">1. Numbered Start</h3>' in html
+    # nothing left -> 'section'
+    assert '<h1 id="section">***</h1>' in html
