@@ -68,3 +68,18 @@ def test_job_checkpointed_rerun_skips(ray_session, tmp_path, transcripts_file):
     assert all(st["skipped"] == 4 for st in second["partitions"].values())
     assert second["rows"]["triples"] == first["rows"]["triples"]
     assert second["rows"]["links"] == first["rows"]["links"]
+
+
+def test_job_flag_plumbing():
+    from decisions_knowledge_graph_data_ray.job import _parse_concurrency, build_parser
+
+    assert _parse_concurrency("auto") == "auto"
+    assert _parse_concurrency("6") == 6
+    assert _parse_concurrency("2,8") == (2, 8)
+    args = build_parser().parse_args(
+        ["--input", "i", "--output", "o", "--mode", "barrier",
+         "--extract-concurrency", "2,8", "--link-concurrency", "3"]
+    )
+    assert args.mode == "barrier"
+    assert _parse_concurrency(args.extract_concurrency) == (2, 8)
+    assert _parse_concurrency(args.link_concurrency) == 3
