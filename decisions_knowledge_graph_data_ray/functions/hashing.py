@@ -5,8 +5,8 @@ Python loop. It uses polars' vectorized xxhash (deterministic for a fixed
 polars version, which a Ray cluster guarantees within one job — every
 worker runs the same image). Bucket assignment only influences WHERE a row
 is processed, never the result, so cross-version stability is not required;
-``stable_hash32`` (blake2) remains the hash for anything persisted or
-user-visible.
+``stable_hash32`` (crc32, a fixed standard — stable across library
+versions) remains the hash for anything persisted or user-visible.
 
 Falls back to a stable_hash32 loop if polars is unavailable.
 """
