@@ -620,6 +620,73 @@ def _kg_citation_stats_sql() -> str:
     )
 
 
+def _kg_top_cited_sql() -> str:
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , e AS (SELECT conv_id, ecli FROM cits WHERE ecli IS NOT NULL)
+        SELECT ecli,
+               COUNT(*) AS n_citations,
+               COUNT(DISTINCT conv_id) AS n_citing_docs
+        FROM e GROUP BY ecli
+        ORDER BY n_citations DESC, ecli
+        LIMIT 20
+    """
+    )
+
+
+def _kg_cocitations_sql() -> str:
+    # de is self-joined (two references) → MATERIALIZED, or DuckDB re-runs
+    # the whole region-detector pipeline per reference
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )
+        SELECT a.ecli AS src, b.ecli AS dst, COUNT(*) AS n_docs
+        FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        GROUP BY 1, 2
+        ORDER BY n_docs DESC, src, dst
+        LIMIT 50
+    """
+    )
+
+
+def _kg_2hop_sql() -> str:
+    # cits feeds two relations (e twice: seed + de) → materialize the chain
+    p = _citations_parts()
+    ctes = p["ctes"].replace("cits AS (", "cits AS MATERIALIZED (")
+    return (
+        "WITH " + ctes + """
+        , e AS MATERIALIZED (
+            SELECT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), seed AS MATERIALIZED (
+            SELECT ecli FROM e GROUP BY ecli
+            ORDER BY COUNT(*) DESC, ecli LIMIT 1
+        ), de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM e
+        ), ed AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli <> b.ecli
+        ), h1 AS MATERIALIZED (
+            SELECT DISTINCT ed.d AS node
+            FROM ed JOIN seed ON ed.s = seed.ecli
+        ), h2 AS (
+            SELECT DISTINCT ed.d AS node
+            FROM ed JOIN h1 ON ed.s = h1.node
+            WHERE ed.d NOT IN (SELECT node FROM h1)
+              AND ed.d NOT IN (SELECT ecli FROM seed)
+        )
+        SELECT node, hop FROM (
+            SELECT ecli AS node, 0 AS hop FROM seed
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+        ) ORDER BY hop, node
+    """
+    )
+
+
 def _links_parts(path: str | None = None) -> dict:
     """Shared SQL pieces of the entity-linking oracle — the DuckDB twin of
     link_document (functions/document.py:98-138) over the full linking
@@ -2573,6 +2640,80 @@ def _kg_citation_stats(sf_dir: str):
     )
 
 
+def _kg_top_cited(sf_dir: str):
+    """Citation-graph in-degrees (stages/graph.node_degrees over the cits
+    surface): the 20 most-cited decisions with citation-row and
+    distinct-citing-document counts, (n_citations desc, ecli asc)."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        node_degrees,
+        top_nodes,
+    )
+
+    edges = citation_edges(_extractions_for(sf_dir))
+    deg = node_degrees(edges, node_col="ecli", group_col="conv_id")
+    top = top_nodes(deg, "ecli", k=20)
+    return top.rename(columns={"n_edges": "n_citations", "n_groups": "n_citing_docs"})
+
+
+def _kg_cocitations(sf_dir: str):
+    """Co-citation coupling (stages/graph.cocitation_pairs): decision pairs
+    cited by the same document, counted per distinct (document, decision),
+    top 50 by (n_docs desc, src, dst) — the full ordering is unique, so the
+    LIMIT truncation is deterministic."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_groups", "src", "dst"], ascending=[False, True, True]
+        ).head(50)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = pairs.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        out.sort_values(["n_groups", "src", "dst"], ascending=[False, True, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    return out.rename(columns={"n_groups": "n_docs"})
+
+
+def _kg_2hop(sf_dir: str):
+    """2-hop BFS neighborhood (stages/graph.k_hop) of the single most-cited
+    decision over the UNDIRECTED co-citation graph: (node, min hop)."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        k_hop,
+        node_degrees,
+        top_nodes,
+    )
+
+    edges = citation_edges(_extractions_for(sf_dir))
+    seed = top_nodes(node_degrees(edges, "ecli", "conv_id"), "ecli", 1)["ecli"].iloc[0]
+    # materialized: k_hop re-reads the edge set once per hop
+    pairs = cocitation_pairs(edges, group_col="conv_id", node_col="ecli").materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s, d = b["src"].combine_chunks(), b["dst"].combine_chunks()
+        return pa.table({"src": pa.chunked_array([s, d]), "dst": pa.chunked_array([d, s])})
+
+    sym = pairs.map_batches(_sym, batch_format="pyarrow")
+    out = k_hop(sym, [seed], k=2).to_pandas()
+    return out.sort_values(["hop", "node"]).reset_index(drop=True)[["node", "hop"]]
+
+
 def _documents_html_blocks(sf_dir: str):
     """M11/M12: md→html → block transform over the documents table
     (rows-only; block identity is regex/sequence semantics, not SQL)."""
@@ -2744,6 +2885,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_vocab": _documents_vocab,
         "documents_redacted": _documents_redacted,
         "documents_chunks": _documents_chunks,
+        # -- round 5 registrations, chronological --------------------------
+        "kg_top_cited": _kg_top_cited,
+        "kg_cocitations": _kg_cocitations,
+        "kg_2hop": _kg_2hop,
     }
 
 
@@ -3625,4 +3770,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_sf001_transcripts_path()}')
             ORDER BY conv_id, turn_idx
         """,
+        "kg_top_cited": _kg_top_cited_sql(),
+        "kg_cocitations": _kg_cocitations_sql(),
+        "kg_2hop": _kg_2hop_sql(),
     }

@@ -1,0 +1,229 @@
+"""Graph analytics over the constructed knowledge graph.
+
+Downstream of construction, the reference's users analyze the citation
+network (citationStatisticsAnalyzer.ts:12-80 is the histogram cousin);
+these are the graph-shaped follow-ons: node degrees, co-citation pairs
+(two decisions cited by the same document — the classic legal-citation
+coupling measure), and bounded k-hop neighborhood expansion.
+
+All operators are Ray-Data-first and combiner-first:
+
+- ``node_degrees``: two bounded shuffles — a per-batch (node, group)
+  pre-count, then per-node sums; the shuffle carries one row per distinct
+  (node, group) per batch, never one per edge.
+- ``cocitation_pairs``: pid-cogroup pair emission (np.triu_indices per
+  group, the dedup.py pattern) with a per-pid combiner before the final
+  (src, dst) count — pair explosion is bounded by the per-group degree,
+  which for citations is tens, not millions.
+- ``k_hop``: BFS frontier expansion where the frontier and visited sets
+  stay DATASETS — each hop is a distributed semi-join (edges ⋉ frontier)
+  plus an anti-join against visited (both via hash_bucket_join), so no
+  node set is ever materialized on the driver. One barrier per hop is
+  inherent to BFS (hop h+1 needs hop h complete); k is small by use-case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.hashing import bucket_ids
+from .joins import hash_bucket_join
+
+_NODE_T = pa.string()
+
+
+def node_degrees(
+    edges: ray.data.Dataset,
+    node_col: str,
+    group_col: str,
+) -> ray.data.Dataset:
+    """(node, n_edges, n_groups): edge count + distinct-group count per node.
+
+    ``n_edges`` counts edge rows; ``n_groups`` counts distinct ``group_col``
+    values per node (for a citation graph: citations vs citing documents).
+    """
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            batch.select([node_col, group_col]), [node_col, group_col]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns([node_col, group_col, "cnt"])
+
+    per_pair = (
+        edges.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby([node_col, group_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    # per_pair rows are globally unique (node, group) after the shuffle, so
+    # a row count per node IS the distinct-group count
+    def _node_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([node_col, "cnt"]), node_col).aggregate(
+            [("cnt", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns([node_col, "n_edges", "n_groups"])
+
+    return (
+        per_pair.map_batches(_node_partial, batch_format="pyarrow")
+        .groupby(node_col)
+        .aggregate(Sum("n_edges", alias_name="n_edges"), Sum("n_groups", alias_name="n_groups"))
+    )
+
+
+def top_nodes(degrees: ray.data.Dataset, node_col: str, k: int) -> pd.DataFrame:
+    """Top-k by (n_edges desc, node asc) — partial-top-k per block before
+    the driver pick (brute_force_topk discipline), never a full sort."""
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_edges", node_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = degrees.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    return (
+        out.sort_values(["n_edges", node_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def cocitation_pairs(
+    edges: ray.data.Dataset,
+    group_col: str,
+    node_col: str,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(src, dst, n_groups): unordered node pairs (src < dst) co-occurring
+    in the same group, with the number of groups containing both. Input
+    edge rows may repeat; co-occurrence is counted per DISTINCT
+    (group, node)."""
+
+    def _pid(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, node_col]).append_column(
+            "pid", bucket_ids(batch[group_col], num_partitions)
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        src, dst = [], []
+        for _, g in group.groupby(group_col, sort=False):
+            nodes = np.sort(g[node_col].drop_duplicates().to_numpy())
+            if len(nodes) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nodes), k=1)
+            src.append(nodes[iu])
+            dst.append(nodes[ju])
+        if not src:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="object"),
+                    "dst": pd.Series(dtype="object"),
+                    "n_groups": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame({"src": np.concatenate(src), "dst": np.concatenate(dst)})
+        # combiner: count within the pid before the pair shuffle
+        return out.groupby(["src", "dst"], sort=False).size().reset_index(name="n_groups")
+
+    return (
+        edges.map_batches(_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_groups", alias_name="n_groups"))
+    )
+
+
+def k_hop(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Min-hop BFS distances: every node within ``k`` directed hops of the
+    seed set, as (node, hop). Pass a symmetrized edge set for undirected
+    semantics. Seeds are hop 0 (a seed list is small by definition — it is
+    the only driver-side input); all expansion state stays distributed."""
+    edge_schema = pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)])
+    node_schema = pa.schema([("node", _NODE_T), ("hop", pa.int32())])
+
+    def _level(nodes: list[str], hop: int) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, _NODE_T), "hop": pa.array([hop] * len(nodes), pa.int32())})
+        )
+
+    visited = _level(sorted(set(seeds)), 0)
+    frontier = visited
+    for hop in range(1, k + 1):
+        # edges whose src is in the frontier → candidate next nodes
+        reached = hash_bucket_join(
+            edges.select_columns([src_col, dst_col]),
+            frontier.select_columns(["node"]),
+            on=src_col,
+            right_on="node",
+            output_columns=[dst_col],
+            how="left_semi",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("node", _NODE_T)]),
+        )
+
+        # distinct candidates: per-batch combiner, then pid-cogroup distinct
+        # (the dedup.py pattern — never a per-key group)
+        def _distinct(batch: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(batch.select([dst_col]), dst_col).aggregate([])
+            out = out.rename_columns(["node"])
+            return out.append_column("pid", bucket_ids(out["node"], num_buckets))
+
+        candidates = (
+            reached.map_batches(_distinct, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(
+                lambda g: pa.TableGroupBy(g.select(["node"]), "node").aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
+        new = hash_bucket_join(
+            candidates,
+            visited.select_columns(["node"]),
+            on="node",
+            output_columns=["node"],
+            how="left_anti",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("node", _NODE_T)]),
+            right_schema=pa.schema([("node", _NODE_T)]),
+        ).map_batches(
+            lambda b: b.append_column("hop", pa.array([hop] * b.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+        # BFS barrier: hop h+1 expands from COMPLETE hop h (and the anti-join
+        # above re-reads visited, so both sides must be pinned)
+        new = new.materialize()
+        if new.count() == 0:
+            break
+        frontier = new
+        visited = visited.union(new).materialize()
+    return visited
+
+
+def citation_edges(extractions: ray.data.Dataset) -> ray.data.Dataset:
+    """(conv_id, ecli) citation edge list from the extraction surface —
+    one row per cited-decision record with a non-null ECLI."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        conv, ecli = [], []
+        for rec in batch.to_pylist():
+            for d in rec["cited_decisions"] or []:
+                if d.get("ecli"):
+                    conv.append(rec["conv_id"])
+                    ecli.append(d["ecli"])
+        return pa.table({"conv_id": pa.array(conv, _NODE_T), "ecli": pa.array(ecli, _NODE_T)})
+
+    return extractions.map_batches(_explode, batch_format="pyarrow")

@@ -1,0 +1,130 @@
+"""stages/graph.py: node degrees, co-citation pairs, k-hop BFS — each
+checked against a serial brute force on small synthetic graphs."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+
+def _edges_ds(rows):
+    import ray.data as rd
+
+    return rd.from_items([{"conv_id": g, "ecli": n} for g, n in rows])
+
+
+EDGES = [
+    ("D1", "E1"), ("D1", "E2"), ("D1", "E2"),  # duplicate citation
+    ("D2", "E1"), ("D2", "E3"),
+    ("D3", "E1"),
+    ("D4", "E2"), ("D4", "E3"), ("D4", "E4"),
+]
+
+
+def test_node_degrees(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.graph import node_degrees
+
+    got = (
+        node_degrees(_edges_ds(EDGES), node_col="ecli", group_col="conv_id")
+        .to_pandas()
+        .sort_values("ecli")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(EDGES, columns=["conv_id", "ecli"])
+    want = (
+        df.groupby("ecli")
+        .agg(n_edges=("conv_id", "size"), n_groups=("conv_id", "nunique"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_edges": "int64", "n_groups": "int64"}), check_dtype=False
+    )
+
+
+def test_top_nodes(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.graph import node_degrees, top_nodes
+
+    deg = node_degrees(_edges_ds(EDGES), node_col="ecli", group_col="conv_id")
+    top = top_nodes(deg, "ecli", k=2)
+    # E1 and E2 both have 3 edges; ties break ascending by node
+    assert list(top["ecli"]) == ["E1", "E2"]
+    assert list(top["n_edges"]) == [3, 3]
+
+
+def test_cocitation_pairs(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.graph import cocitation_pairs
+
+    got = (
+        cocitation_pairs(_edges_ds(EDGES), group_col="conv_id", node_col="ecli")
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # brute force over distinct (group, node)
+    df = pd.DataFrame(EDGES, columns=["g", "n"]).drop_duplicates()
+    counts: dict = {}
+    for _, grp in df.groupby("g"):
+        for a, b in itertools.combinations(sorted(grp["n"].unique()), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = (
+        pd.DataFrame(
+            [{"src": a, "dst": b, "n_groups": c} for (a, b), c in counts.items()]
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("k,expect", [
+    (1, {"A": 0, "B": 1, "C": 1}),
+    (2, {"A": 0, "B": 1, "C": 1, "D": 2}),
+    (3, {"A": 0, "B": 1, "C": 1, "D": 2, "E": 3}),
+    # k beyond the graph's diameter: the early-exit break fires
+    (9, {"A": 0, "B": 1, "C": 1, "D": 2, "E": 3}),
+])
+def test_k_hop_directed(ray_session, k, expect):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import k_hop
+
+    edges = rd.from_items(
+        [
+            {"src": s, "dst": d}
+            for s, d in [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"), ("E", "A")]
+        ]
+    )
+    got = k_hop(edges, ["A"], k).to_pandas()
+    assert dict(zip(got["node"], got["hop"])) == expect
+
+
+def test_k_hop_undirected_via_symmetrize(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import k_hop
+
+    pairs = [("X", "Y"), ("Y", "Z")]
+    edges = rd.from_items(
+        [{"src": a, "dst": b} for a, b in pairs] + [{"src": b, "dst": a} for a, b in pairs]
+    )
+    got = k_hop(edges, ["Z"], 2).to_pandas()
+    assert dict(zip(got["node"], got["hop"])) == {"Z": 0, "Y": 1, "X": 2}
+
+
+def test_citation_edges(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import citation_edges
+
+    extractions = rd.from_items(
+        [
+            {"conv_id": "C1", "cited_decisions": [{"ecli": "E1"}, {"ecli": None}, {"ecli": "E2"}]},
+            {"conv_id": "C2", "cited_decisions": []},
+            {"conv_id": "C3", "cited_decisions": None},
+        ]
+    )
+    got = citation_edges(extractions).to_pandas().sort_values("ecli").reset_index(drop=True)
+    assert list(got["conv_id"]) == ["C1", "C1"]
+    assert list(got["ecli"]) == ["E1", "E2"]
