@@ -687,6 +687,35 @@ def _kg_2hop_sql() -> str:
     )
 
 
+def _kg_components_sql() -> str:
+    # WITH RECURSIVE prefixes the whole chain (DuckDB allows non-recursive
+    # CTEs under it); comp is referenced twice → MATERIALIZED
+    p = _citations_parts()
+    return (
+        "WITH RECURSIVE " + p["ctes"] + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), pr AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        ), ed AS MATERIALIZED (
+            SELECT s AS a, d AS b FROM pr UNION ALL SELECT d, s FROM pr
+        ), reach(node, r) AS (
+            SELECT DISTINCT a, a FROM ed
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN ed e ON reach.r = e.a
+        ), comp AS MATERIALIZED (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        ), szs AS (
+            SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY component
+        )
+        SELECT c.node, c.component, s.n_nodes
+        FROM comp c JOIN szs s USING (component)
+        ORDER BY component, node
+    """
+    )
+
+
 def _links_parts(path: str | None = None) -> dict:
     """Shared SQL pieces of the entity-linking oracle — the DuckDB twin of
     link_document (functions/document.py:98-138) over the full linking
@@ -2714,6 +2743,47 @@ def _kg_2hop(sf_dir: str):
     return out.sort_values(["hop", "node"]).reset_index(drop=True)[["node", "hop"]]
 
 
+def _kg_components(sf_dir: str):
+    """Connected components of the co-citation graph via the pipeline's own
+    canonicalization stage (stages/canonicalize.connected_components —
+    hybrid driver union-find / distributed min-label propagation): every
+    co-cited decision with its component label (= string-min member) and
+    component size."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.canonicalize import connected_components
+    from decisions_knowledge_graph_data_ray.stages.graph import citation_edges, cocitation_pairs
+    from decisions_knowledge_graph_data_ray.stages.joins import hash_bucket_join
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    )
+    labels = connected_components(pairs.select_columns(["src", "dst"])).materialize()
+
+    def _size_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["label"]), "label").aggregate([([], "count_all")])
+        return out.rename_columns(["label", "n_nodes"])
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+    out = hash_bucket_join(
+        labels,
+        sizes,
+        on="label",
+        output_columns=["node", "label", "n_nodes"],
+    ).to_pandas()
+    return (
+        out.rename(columns={"label": "component"})
+        .sort_values(["component", "node"])
+        .reset_index(drop=True)
+    )
+
+
 def _documents_html_blocks(sf_dir: str):
     """M11/M12: md→html → block transform over the documents table
     (rows-only; block identity is regex/sequence semantics, not SQL)."""
@@ -2889,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_cited": _kg_top_cited,
         "kg_cocitations": _kg_cocitations,
         "kg_2hop": _kg_2hop,
+        "kg_components": _kg_components,
     }
 
 
@@ -3773,4 +3844,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_cited": _kg_top_cited_sql(),
         "kg_cocitations": _kg_cocitations_sql(),
         "kg_2hop": _kg_2hop_sql(),
+        "kg_components": _kg_components_sql(),
     }
