@@ -716,6 +716,46 @@ def _kg_components_sql() -> str:
     )
 
 
+def _kg_pagerank_sql(iterations: int = 10) -> str:
+    """Power iteration unrolled as chained CTEs (one per iteration). The
+    arithmetic mirrors stages/graph.pagerank expression-for-expression
+    ((1.0 - 0.85)/n + 0.85 * SUM(score/deg), all DOUBLE) so the two sides
+    agree to float addition-order noise (the gate compares at atol 1e-9;
+    order effects are ~1e-16)."""
+    p = _citations_parts()
+    d = "CAST(0.85 AS DOUBLE)"
+    base = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
+    parts = [
+        """de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )""",
+        """ccp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        )""",
+        "ed AS MATERIALIZED (SELECT s AS a, d AS b FROM ccp UNION ALL SELECT d, s FROM ccp)",
+        "dg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg FROM ed GROUP BY a)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM dg)",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS score FROM dg)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+            SELECT e.b AS node,
+                   {base} + {d} * SUM(r.score / dg.deg) AS score
+            FROM ed e
+            JOIN r{i} r ON e.a = r.node
+            JOIN dg ON dg.node = e.a
+            GROUP BY e.b
+        )"""
+        )
+    return (
+        "WITH " + p["ctes"] + ", " + ", ".join(parts) + f"""
+        SELECT node, score FROM r{iterations} ORDER BY node
+    """
+    )
+
+
 def _links_parts(path: str | None = None) -> dict:
     """Shared SQL pieces of the entity-linking oracle — the DuckDB twin of
     link_document (functions/document.py:98-138) over the full linking
@@ -2729,18 +2769,34 @@ def _kg_2hop(sf_dir: str):
         top_nodes,
     )
 
+    from decisions_knowledge_graph_data_ray.stages.graph import symmetrize
+
     edges = citation_edges(_extractions_for(sf_dir))
     seed = top_nodes(node_degrees(edges, "ecli", "conv_id"), "ecli", 1)["ecli"].iloc[0]
     # materialized: k_hop re-reads the edge set once per hop
     pairs = cocitation_pairs(edges, group_col="conv_id", node_col="ecli").materialize()
-
-    def _sym(b: pa.Table) -> pa.Table:
-        s, d = b["src"].combine_chunks(), b["dst"].combine_chunks()
-        return pa.table({"src": pa.chunked_array([s, d]), "dst": pa.chunked_array([d, s])})
-
-    sym = pairs.map_batches(_sym, batch_format="pyarrow")
-    out = k_hop(sym, [seed], k=2).to_pandas()
+    out = k_hop(symmetrize(pairs), [seed], k=2).to_pandas()
     return out.sort_values(["hop", "node"]).reset_index(drop=True)[["node", "hop"]]
+
+
+def _kg_pagerank(sf_dir: str):
+    """Fixed-10-iteration PageRank over the undirected co-citation graph
+    (stages/graph.pagerank — per iteration: two bounded hash joins + a
+    combiner-first groupby Sum, one power-iteration barrier): every
+    co-cited decision with its score, ordered by node."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        pagerank,
+        symmetrize,
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    )
+    edges = symmetrize(pairs).materialize()  # re-read every iteration
+    out = pagerank(edges, iterations=10).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def _kg_components(sf_dir: str):
@@ -2960,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cocitations": _kg_cocitations,
         "kg_2hop": _kg_2hop,
         "kg_components": _kg_components,
+        "kg_pagerank": _kg_pagerank,
     }
 
 
@@ -3845,4 +3902,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_cocitations": _kg_cocitations_sql(),
         "kg_2hop": _kg_2hop_sql(),
         "kg_components": _kg_components_sql(),
+        "kg_pagerank": _kg_pagerank_sql(),
     }

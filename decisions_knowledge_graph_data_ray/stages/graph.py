@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -211,6 +212,120 @@ def k_hop(
         frontier = new
         visited = visited.union(new).materialize()
     return visited
+
+
+def symmetrize(pairs: ray.data.Dataset, src_col: str = "src", dst_col: str = "dst") -> ray.data.Dataset:
+    """Unordered pairs → both directed edges (undirected-graph view)."""
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s, d = b[src_col].combine_chunks(), b[dst_col].combine_chunks()
+        return pa.table({src_col: pa.chunked_array([s, d]), dst_col: pa.chunked_array([d, s])})
+
+    return pairs.select_columns([src_col, dst_col]).map_batches(_sym, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over a directed edge set → (node, score).
+
+    Pass a symmetrized edge set for undirected semantics (then every node
+    has out-degree ≥ 1, so there are no dangling nodes — the implementation
+    assumes this; a dangling node's mass would leak). Each iteration is two
+    bounded hash joins (score ⋈ degree, then edges ⋈ per-node contribution)
+    plus a combiner-first groupby Sum — no driver-side state beyond the
+    node count. One barrier per iteration is inherent to power iteration.
+    The edge set is re-read every iteration: pass it materialized."""
+    node_schema = pa.schema([("node", _NODE_T)])
+    deg_schema = pa.schema([("node", _NODE_T), ("deg", pa.int64())])
+    score_schema = pa.schema([("node", _NODE_T), ("score", pa.float64())])
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([src_col]), src_col).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    degrees = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(score_schema.empty_table())
+    base = (1.0 - damping) / n_nodes
+
+    scores = degrees.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "score": pa.array([1.0 / n_nodes] * b.num_rows, pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        per_out = hash_bucket_join(
+            scores,
+            degrees,
+            on="node",
+            output_columns=["node", "score", "deg"],
+            num_buckets=num_buckets,
+            left_schema=score_schema,
+            right_schema=deg_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "contrib": pc.divide(
+                        b["score"].cast(pa.float64()), b["deg"].cast(pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        spread = hash_bucket_join(
+            edges.select_columns([src_col, dst_col]),
+            per_out,
+            on=src_col,
+            right_on="node",
+            output_columns=[dst_col, "contrib"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)]),
+            right_schema=pa.schema([("node", _NODE_T), ("contrib", pa.float64())]),
+        )
+
+        def _sum_partial(batch: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(batch.select([dst_col, "contrib"]), dst_col).aggregate(
+                [("contrib", "sum")]
+            )
+            return out.rename_columns(["node", "contrib"])
+
+        scores = (
+            spread.map_batches(_sum_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "score": pc.add(
+                            pa.scalar(base, pa.float64()),
+                            pc.multiply(
+                                pa.scalar(damping, pa.float64()),
+                                b["contrib"].cast(pa.float64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()  # power-iteration barrier: next round reads this
+        )
+    return scores
 
 
 def citation_edges(extractions: ray.data.Dataset) -> ray.data.Dataset:

@@ -128,3 +128,49 @@ def test_citation_edges(ray_session):
     got = citation_edges(extractions).to_pandas().sort_values("ecli").reset_index(drop=True)
     assert list(got["conv_id"]) == ["C1", "C1"]
     assert list(got["ecli"]) == ["E1", "E2"]
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import pagerank, symmetrize
+
+    pairs = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")]
+    edges = symmetrize(
+        rd.from_items([{"src": a, "dst": b} for a, b in pairs])
+    ).materialize()
+    got = (
+        pagerank(edges, iterations=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    sym = pairs + [(b, a) for a, b in pairs]
+    nodes = sorted({n for e in sym for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in sym:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nr = np.full(n, (1.0 - 0.85) / n)
+        for s, d in sym:
+            nr[idx[d]] += 0.85 * r[idx[s]] / deg[idx[s]]
+        r = nr
+    assert list(got["node"]) == nodes
+    assert np.allclose(got["score"].to_numpy(), r, atol=1e-12)
+    # symmetric graph has no dangling nodes: total mass is conserved
+    assert abs(got["score"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_empty(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import pagerank
+
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}))
+    assert pagerank(empty, iterations=3).count() == 0
