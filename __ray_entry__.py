@@ -756,6 +756,33 @@ def _kg_pagerank_sql(iterations: int = 10) -> str:
     )
 
 
+def _kg_triangles_sql() -> str:
+    # dp is referenced three times (oriented 3-way self-join) and tri three
+    # times (node unnest) → both MATERIALIZED
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), dp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        ), tri AS MATERIALIZED (
+            SELECT e1.s AS u, e1.d AS v, e2.d AS w
+            FROM dp e1
+            JOIN dp e2 ON e2.s = e1.s AND e2.d > e1.d
+            JOIN dp e3 ON e3.s = e1.d AND e3.d = e2.d
+        ), tnodes AS (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        SELECT node, COUNT(*) AS n_triangles
+        FROM tnodes GROUP BY node ORDER BY node
+    """
+    )
+
+
 def _links_parts(path: str | None = None) -> dict:
     """Shared SQL pieces of the entity-linking oracle — the DuckDB twin of
     link_document (functions/document.py:98-138) over the full linking
@@ -2799,6 +2826,28 @@ def _kg_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _kg_triangles(sf_dir: str):
+    """Per-node triangle participation over the co-citation graph
+    (stages/graph.triangle_counts — oriented wedge enumeration + a
+    distributed semi-join confirming the closing edge): nodes in ≥1
+    triangle with their counts, ordered by node."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        triangle_counts,
+    )
+
+    pairs = (
+        cocitation_pairs(
+            citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+        )
+        .select_columns(["src", "dst"])
+        .materialize()  # read twice: wedge emission + closing-edge join
+    )
+    out = triangle_counts(pairs).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _kg_components(sf_dir: str):
     """Connected components of the co-citation graph via the pipeline's own
     canonicalization stage (stages/canonicalize.connected_components —
@@ -3017,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_2hop": _kg_2hop,
         "kg_components": _kg_components,
         "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
     }
 
 
@@ -3903,4 +3953,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_2hop": _kg_2hop_sql(),
         "kg_components": _kg_components_sql(),
         "kg_pagerank": _kg_pagerank_sql(),
+        "kg_triangles": _kg_triangles_sql(),
     }

@@ -328,6 +328,90 @@ def pagerank(
     return scores
 
 
+def triangle_counts(
+    pairs: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-node triangle participation over an undirected graph given as
+    DISTINCT ordered pairs (src < dst) → (node, n_triangles), nodes in ≥1
+    triangle only.
+
+    Classic oriented wedge enumeration: every triangle u<v<w is found
+    exactly once as the wedge (v, w) hanging off u, confirmed by a
+    distributed semi-join of the wedge set against the edge set on a packed
+    v\\x01w key. Wedge volume is Σ deg⁺(u)² over the ORIENTED adjacency —
+    the standard bound; a hub's wedges are quadratic in its oriented
+    degree, which lexicographic orientation roughly halves. Pass ``pairs``
+    materialized (it is read twice: wedges + closing-edge join)."""
+    _SEP = "\x01"
+
+    def _pid(batch: pa.Table) -> pa.Table:
+        return batch.select([src_col, dst_col]).append_column(
+            "pid", bucket_ids(batch[src_col], num_buckets)
+        )
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        us, vs, ws = [], [], []
+        for u, g in group.groupby(src_col, sort=False):
+            nbrs = np.sort(g[dst_col].drop_duplicates().to_numpy())
+            if len(nbrs) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nbrs), k=1)
+            us.append(np.full(len(iu), u, dtype=object))
+            vs.append(nbrs[iu])
+            ws.append(nbrs[ju])
+        if not us:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="object"), "v": pd.Series(dtype="object"), "w": pd.Series(dtype="object")}
+            )
+        return pd.DataFrame(
+            {"u": np.concatenate(us), "v": np.concatenate(vs), "w": np.concatenate(ws)}
+        )
+
+    wedges = (
+        pairs.map_batches(_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_wedges, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "key", pc.binary_join_element_wise(b["v"], b["w"], _SEP)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edge_keys = pairs.map_batches(
+        lambda b: pa.table({"key": pc.binary_join_element_wise(b[src_col], b[dst_col], _SEP)}),
+        batch_format="pyarrow",
+    )
+    triangles = hash_bucket_join(
+        wedges,
+        edge_keys,
+        on="key",
+        output_columns=["u", "v", "w"],
+        how="left_semi",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("u", _NODE_T), ("v", _NODE_T), ("w", _NODE_T), ("key", _NODE_T)]
+        ),
+        right_schema=pa.schema([("key", _NODE_T)]),
+    )
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [batch["u"].combine_chunks(), batch["v"].combine_chunks(), batch["w"].combine_chunks()]
+        )
+        out = pa.TableGroupBy(pa.table({"node": nodes}), "node").aggregate([([], "count_all")])
+        return out.rename_columns(["node", "n_triangles"])
+
+    return (
+        triangles.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+    )
+
+
 def citation_edges(extractions: ray.data.Dataset) -> ray.data.Dataset:
     """(conv_id, ecli) citation edge list from the extraction surface —
     one row per cited-decision record with a non-null ECLI."""

@@ -174,3 +174,28 @@ def test_pagerank_empty(ray_session):
 
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}))
     assert pagerank(empty, iterations=3).count() == 0
+
+
+def test_triangle_counts(ray_session):
+    import itertools as it
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import triangle_counts
+
+    # K4 on A-D (4 triangles, each node in 3) + a pendant edge + a
+    # triangle-free path X-Y-Z
+    k4 = [tuple(sorted(p)) for p in it.combinations(["A", "B", "C", "D"], 2)]
+    pairs = k4 + [("D", "P"), ("X", "Y"), ("Y", "Z")]
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in pairs]).materialize()
+    got = triangle_counts(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    assert dict(zip(got["node"], got["n_triangles"])) == {"A": 3, "B": 3, "C": 3, "D": 3}
+
+
+def test_triangle_counts_empty_and_no_triangles(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import triangle_counts
+
+    path = rd.from_items([{"src": "X", "dst": "Y"}, {"src": "Y", "dst": "Z"}]).materialize()
+    assert triangle_counts(path).count() == 0
