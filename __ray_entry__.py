@@ -756,6 +756,22 @@ def _kg_pagerank_sql(iterations: int = 10) -> str:
     )
 
 
+def _kg_coupling_sql() -> str:
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )
+        SELECT a.conv_id AS src, b.conv_id AS dst, COUNT(*) AS n_shared
+        FROM de a JOIN de b ON a.ecli = b.ecli AND a.conv_id < b.conv_id
+        GROUP BY 1, 2
+        ORDER BY n_shared DESC, src, dst
+        LIMIT 50
+    """
+    )
+
+
 def _kg_triangles_sql() -> str:
     # dp is referenced three times (oriented 3-way self-join) and tri three
     # times (node unnest) → both MATERIALIZED
@@ -2806,6 +2822,39 @@ def _kg_2hop(sf_dir: str):
     return out.sort_values(["hop", "node"]).reset_index(drop=True)[["node", "hop"]]
 
 
+def _kg_coupling(sf_dir: str):
+    """Bibliographic coupling — the dual of co-citation: document pairs
+    sharing cited decisions, counted per distinct shared ECLI. Same
+    operator as kg_cocitations with group/node swapped
+    (stages/graph.cocitation_pairs(group_col='ecli', node_col='conv_id')).
+    Top 50 by (n_shared desc, src, dst) — unique full ordering, so the
+    LIMIT truncation is deterministic."""
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="ecli", node_col="conv_id"
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_groups", "src", "dst"], ascending=[False, True, True]
+        ).head(50)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = pairs.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        out.sort_values(["n_groups", "src", "dst"], ascending=[False, True, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    return out.rename(columns={"n_groups": "n_shared"})
+
+
 def _kg_pagerank(sf_dir: str):
     """Fixed-10-iteration PageRank over the undirected co-citation graph
     (stages/graph.pagerank — per iteration: two bounded hash joins + a
@@ -3067,6 +3116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
+        "kg_coupling": _kg_coupling,
     }
 
 
@@ -3954,4 +4004,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _kg_components_sql(),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_triangles": _kg_triangles_sql(),
+        "kg_coupling": _kg_coupling_sql(),
     }
