@@ -3028,6 +3028,38 @@ def _multimodal_decode(sf_dir: str):
     return df.drop(columns=["feature"])
 
 
+def _documents_tfidf(sf_dir: str):
+    """Per-document top-3 keyword terms by tf-idf (combiner-first df table
+    broadcast once, then a single streaming scoring map)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        tfidf_top_terms(docs, top_k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_repetition(sf_dir: str):
+    """Gopher-style within-document repetition signals (type-token ratio,
+    top-word share, duplicate-2-gram fraction) — pure vectorized map."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        repetition_stats(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3117,6 +3149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
         "kg_coupling": _kg_coupling,
+        "documents_tfidf": _documents_tfidf,
+        "documents_repetition": _documents_repetition,
     }
 
 
@@ -4005,4 +4039,61 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_coupling": _kg_coupling_sql(),
+        # tf-idf: tf * ln(N/df) in DOUBLE — bit-identical to the Python side
+        # (math.log and DuckDB ln share the libm double path), so the
+        # (tfidf DESC, token ASC) rank agrees exactly
+        "documents_tfidf": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS token FROM ws
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+            ), dfq AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+            ), sc AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                       tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfq.df) AS tfidf
+                FROM tf JOIN dfq USING (token)
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY tfidf DESC, token) AS rank
+                FROM sc
+            )
+            SELECT doc_id, rank, token, tf, df, tfidf
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # repetition signals: exact int/int double divisions (bit-identical
+        # across both sides); empty/one-word docs report 0.0 via the guards
+        "documents_repetition": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, w, len(w) AS n,
+                       list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+                FROM ws
+            )
+            SELECT g.doc_id,
+                   g.n AS n_words,
+                   len(list_distinct(g.w))::BIGINT AS n_distinct_words,
+                   CASE WHEN g.n = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(g.w)) AS DOUBLE) / g.n END AS ttr,
+                   CASE WHEN g.n = 0 THEN 0.0
+                        ELSE CAST(t.top AS DOUBLE) / g.n END AS top_word_share,
+                   CASE WHEN len(g.grams) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE)
+                                   / len(g.grams) END AS dup_2gram_frac
+            FROM g
+            LEFT JOIN (
+                SELECT doc_id, max(cnt) AS top
+                FROM (
+                    SELECT doc_id, token, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(w) AS token FROM ws)
+                    GROUP BY doc_id, token
+                ) GROUP BY doc_id
+            ) t USING (doc_id)
+            ORDER BY g.doc_id
+        """,
     }

@@ -14,6 +14,12 @@ import ray.data
 
 from ..functions import text_stats as T
 
+# lowercase word tokens for tf-idf / repetition (the prep.py convention:
+# SQL-reproducible as regexp_extract_all(lower(text), '[a-z0-9]+'))
+import re
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
 
 def _token_counts(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
@@ -88,6 +94,138 @@ def length_histogram(docs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("length_category")
         .aggregate(Sum("partial_n", alias_name="n_docs"))
     )
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    top_k: int = 3,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top-k keyword terms by tf-idf (tf × ln(N/df)).
+
+    Scale shape: the document-frequency table is built combiner-first (one
+    partial row per distinct token per batch, then a groupby Sum — the
+    ``vocabulary`` discipline, so the shuffle is bounded by |vocab| per
+    batch, never raw tokens), collected once on the driver and broadcast
+    via ``ray.put``; scoring is then a single streaming map over the
+    corpus. The broadcast is O(|vocab|) — bound it with ``min_df`` (rare
+    tokens are the bulk of any natural vocabulary; they can't score docs
+    they don't appear in once pruned).
+
+    Float contract: ``tf * math.log(N/df)`` is bit-identical to DuckDB's
+    ``tf * ln(CAST(N AS DOUBLE)/df)`` (same libm double path — verified),
+    so the (tfidf DESC, token ASC) ranking agrees exactly with the oracle.
+    """
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    n_docs = docs.count()
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        dfs: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            dfs.update(set(_WORD_RE.findall(t.lower())))
+        toks = list(dfs)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([dfs[t] for t in toks], pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    df_map: dict[str, int] = {}
+    for blk in df_tbl.iter_batches(batch_format="pyarrow", batch_size=None):
+        for tok, df in zip(blk["token"].to_pylist(), blk["df"].to_pylist()):
+            if df >= min_df:
+                df_map[tok] = df
+    df_ref = _ray.put(df_map)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        dfm = broadcast_cache(df_ref)  # one ray.get per worker
+        ids, ranks, toks, tfs, dfs, scores = [], [], [], [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            tf = Counter(_WORD_RE.findall(text.lower()))
+            scored = [
+                (t, c, dfm[t], c * math.log(n_docs / dfm[t]))
+                for t, c in tf.items()
+                if t in dfm
+            ]
+            scored.sort(key=lambda r: (-r[3], r[0]))
+            for rank, (t, c, df, s) in enumerate(scored[:top_k], start=1):
+                ids.append(doc_id)
+                ranks.append(rank)
+                toks.append(t)
+                tfs.append(c)
+                dfs.append(df)
+                scores.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "rank": pa.array(ranks, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "tfidf": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def repetition_stats(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Gopher-style within-document repetition signals — pure vectorized
+    map, no shuffle at any scale. Per document:
+
+    - ``ttr``: type-token ratio (distinct words / words)
+    - ``top_word_share``: most-frequent word's share of all words
+    - ``dup_2gram_frac``: fraction of word-2-gram occurrences that are
+      repeats (1 - distinct/total)
+
+    All three are exact int/int double divisions, so the DuckDB oracle
+    reproduces them bit-for-bit. Empty/one-word documents report 0.0 (no
+    repetition evidence), matching the oracle's CASE guards.
+    """
+    from collections import Counter
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n_words, n_distinct, ttr, top_share, dup2 = [], [], [], [], []
+        for text in batch[text_col].to_pylist():
+            words = _WORD_RE.findall(text.lower())
+            n = len(words)
+            c = Counter(words)
+            grams = [f"{words[i]} {words[i + 1]}" for i in range(n - 1)]
+            n_words.append(n)
+            n_distinct.append(len(c))
+            ttr.append(len(c) / n if n else 0.0)
+            top_share.append(max(c.values()) / n if n else 0.0)
+            dup2.append(1.0 - len(set(grams)) / len(grams) if grams else 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct_words": pa.array(n_distinct, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+                "top_word_share": pa.array(top_share, pa.float64()),
+                "dup_2gram_frac": pa.array(dup2, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_stats, batch_format="pyarrow")
 
 
 def event_type_histogram(events: ray.data.Dataset) -> ray.data.Dataset:

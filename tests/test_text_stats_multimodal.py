@@ -182,3 +182,49 @@ def test_real_decode_import_guard(ray_session):
         sf.write(buf, np.sin(np.linspace(0, 440, 8000)), 8000, format="WAV")
         feats = audio._mfcc_real(buf.getvalue())
         assert len(feats) == M.AudioFeatureActor.N_COEFF
+
+
+def test_tfidf_top_terms(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import tfidf_top_terms
+
+    # 4 docs; "common" appears in all (idf=0 -> never ranks above anything
+    # positive), "rare" only in doc 1 (max idf), "pair" in docs 1+2
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "common rare pair pair"},
+            {"doc_id": 2, "text": "common pair"},
+            {"doc_id": 3, "text": "common zeta"},
+            {"doc_id": 4, "text": "common common"},
+        ]
+    )
+    df = tfidf_top_terms(docs, top_k=2).to_pandas()
+    d1 = df[df.doc_id == 1].sort_values("rank")
+    # tf(pair)=2 * ln(4/2) = 1.386 > tf(rare)=1 * ln(4/1) = 1.386... equal!
+    # 2*ln(2) == ln(4) exactly in floats? ln(4)=1.3862943611198906,
+    # 2*ln(2)=1.3862943611198906 -- tie broken by token asc: "pair" < "rare"
+    assert list(d1.token) == ["pair", "rare"]
+    d4 = df[df.doc_id == 4]
+    # doc 4 has only "common" (df=4, idf=ln(1)=0): score 0 but still ranked
+    assert list(d4.token) == ["common"] and d4.tfidf.iloc[0] == 0.0
+    # min_df pruning drops hapaxes entirely
+    df2 = tfidf_top_terms(docs, top_k=2, min_df=2).to_pandas()
+    assert "rare" not in set(df2.token) and "zeta" not in set(df2.token)
+
+
+def test_repetition_stats(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import repetition_stats
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a a a a"},           # max repetition
+            {"doc_id": 2, "text": "w x y z"},           # no repetition
+            {"doc_id": 3, "text": ""},                  # empty
+            {"doc_id": 4, "text": "solo"},              # one word, no 2-grams
+        ]
+    )
+    df = repetition_stats(docs).to_pandas().set_index("doc_id")
+    assert df.loc[1, "ttr"] == 0.25 and df.loc[1, "top_word_share"] == 1.0
+    assert df.loc[1, "dup_2gram_frac"] == 1.0 - 1.0 / 3.0
+    assert df.loc[2, "ttr"] == 1.0 and df.loc[2, "dup_2gram_frac"] == 0.0
+    assert df.loc[3, "n_words"] == 0 and df.loc[3, "ttr"] == 0.0
+    assert df.loc[4, "dup_2gram_frac"] == 0.0
