@@ -1958,22 +1958,22 @@ def _lsh_topk_sql(k: int = 5, n_planes: int = 8) -> str:
     )
 
 
-def _ivf_topk_sql(
-    k: int = 5, nlist: int = 16, nprobe: int = 4, iters: int = 10,
-    train_sample: int = 10_000,
-) -> str:
-    """DuckDB twin of stages/similarity.ivf_topk — the ENTIRE pipeline in
-    SQL, trainer included: md5-low-64 hash sample (mod m; m=1 at gate
-    scales, so the filter keeps every row exactly like the Python
-    n<=train_sample branch), farthest-point init seeded at the min-md5(id)
-    row with (d2 desc, vec_id asc) picks, ``iters`` unrolled Lloyd
-    iterations (assignment by dot desc / cluster asc; empty clusters keep
-    their centroid; re-normalize each pass), then corpus assignment, nprobe
-    probe cells per query and in-cell top-k. Everything runs in DOUBLE —
-    the Ray wrapper passes dtype=float64 to match. Every chained CTE is
-    MATERIALIZED: DuckDB inlines CTEs, and the d/p and centroid chains
-    reference their predecessor twice (2^n re-expansion without the hint).
-    """
+def _kmeans_parts(
+    nlist: int = 16, iters: int = 10, train_sample: int = 10_000
+) -> list[str]:
+    """Shared CTE chain of the deterministic k-means trainer + corpus
+    assignment (DuckDB twin of stages/similarity.train_quantizer +
+    kmeans_assign; also the front half of the IVF oracle): md5-low-64 hash
+    sample (mod m; m=1 at gate scales, so the filter keeps every row
+    exactly like the Python n<=train_sample branch), farthest-point init
+    seeded at the min-md5(id) row with (d2 desc, vec_id asc) picks,
+    ``iters`` unrolled Lloyd iterations (assignment by dot desc / cluster
+    asc; empty clusters keep their centroid; re-normalize each pass), then
+    corpus assignment into ``casg(vec_id, e, cl)``. Everything runs in
+    DOUBLE — the Ray wrappers pass dtype=float64 to match. Every chained
+    CTE is MATERIALIZED: DuckDB inlines CTEs, and the d/p and centroid
+    chains reference their predecessor twice (2^n re-expansion without the
+    hint)."""
     h64 = " + ".join(
         "((strpos('0123456789abcdef', substr(hx, " + str(2 * i + 1) + ", 1)) - 1) * 16 "
         "+ (strpos('0123456789abcdef', substr(hx, " + str(2 * i + 2) + ", 1)) - 1))"
@@ -2043,6 +2043,17 @@ def _ivf_topk_sql(
     parts.append(
         f"casg AS MATERIALIZED ({assign.format(src='corpus', cent=f'c{iters}')})"
     )
+    return parts
+
+
+def _ivf_topk_sql(
+    k: int = 5, nlist: int = 16, nprobe: int = 4, iters: int = 10,
+    train_sample: int = 10_000,
+) -> str:
+    """DuckDB twin of stages/similarity.ivf_topk — the ENTIRE pipeline in
+    SQL: the shared k-means trainer/assignment chain (_kmeans_parts), then
+    nprobe probe cells per query and in-cell top-k."""
+    parts = _kmeans_parts(nlist=nlist, iters=iters, train_sample=train_sample)
     parts.append(
         "qv AS MATERIALIZED (SELECT vec_id AS query_id, e FROM corpus WHERE vec_id < 3)"
     )
@@ -3028,6 +3039,25 @@ def _multimodal_decode(sf_dir: str):
     return df.drop(columns=["feature"])
 
 
+def _embeddings_kmeans(sf_dir: str):
+    """Semantic clustering of the embedding corpus: deterministic k-means
+    (bounded hash-sample trainer, broadcast centroids, streaming vectorized
+    assignment — no shuffle) → (vec_id, cluster)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        kmeans_assign(emb, nlist=16, dtype=np.float64)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_tfidf(sf_dir: str):
     """Per-document top-3 keyword terms by tf-idf (combiner-first df table
     broadcast once, then a single streaming scoring map)."""
@@ -3151,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coupling": _kg_coupling,
         "documents_tfidf": _documents_tfidf,
         "documents_repetition": _documents_repetition,
+        "embeddings_kmeans": _embeddings_kmeans,
     }
 
 
@@ -4039,6 +4070,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_coupling": _kg_coupling_sql(),
+        # k-means cluster assignment: the shared trainer/assignment chain
+        # (_kmeans_parts — same CTEs as the IVF oracle's front half)
+        "embeddings_kmeans": (
+            "WITH " + ", ".join(_kmeans_parts())
+            + " SELECT vec_id, cl AS cluster FROM casg ORDER BY vec_id"
+        ),
         # tf-idf: tf * ln(N/df) in DOUBLE — bit-identical to the Python side
         # (math.log and DuckDB ln share the libm double path), so the
         # (tfidf DESC, token ASC) rank agrees exactly

@@ -254,6 +254,92 @@ def kmeans_centroids(
     return C
 
 
+def train_quantizer(
+    embeddings: ray.data.Dataset,
+    nlist: int,
+    train_sample: int = 10_000,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Train the deterministic k-means coarse quantizer on a bounded,
+    layout-independent sample of the corpus (shared by ``ivf_topk`` and
+    ``kmeans_assign``).
+
+    Deterministic HASH-based trainer sample (md5-low-64 of str(vec_id)
+    mod m): unlike random_sample(seed=...) — whose draw depends on the
+    block LAYOUT, so the quantizer (and thus every downstream result) would
+    change with cluster size / partitioning — the same rows are selected
+    on any topology, and first-N bias is still avoided on ordered
+    corpora. md5 (not blake2b) so the DuckDB oracle reproduces the draw."""
+    n_total = embeddings.count()
+    if n_total > train_sample:
+        m = max(1, n_total // train_sample)
+
+        def _hash_sample(batch: pa.Table) -> pa.Table:
+            import hashlib as _hl
+
+            keep = [
+                int.from_bytes(_hl.md5(str(v).encode()).digest()[:8], "little") % m == 0
+                for v in batch["vec_id"].to_pylist()
+            ]
+            return batch.filter(pa.array(keep))
+
+        sdf = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(_hash_sample, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(sdf) < max(nlist, 2):  # undershoot on tiny corpora
+            sdf = embeddings.limit(train_sample).to_pandas()
+    else:
+        sdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    return kmeans_centroids(
+        np.asarray(sdf["embedding"].tolist(), dtype=dtype),
+        nlist,
+        ids=sdf["vec_id"].to_numpy(),
+        dtype=dtype,
+    )
+
+
+def kmeans_assign(
+    embeddings: ray.data.Dataset,
+    nlist: int = 16,
+    train_sample: int = 10_000,
+    dtype=np.float32,
+) -> ray.data.Dataset:
+    """Semantic clustering: assign every vector to its nearest k-means
+    centroid → (vec_id, cluster). The topic-bucketing step of a
+    training-data pipeline (cluster-balanced sampling, per-topic dedup,
+    semantic sharding).
+
+    Scale shape: the quantizer trains on a bounded hash sample (driver),
+    centroids broadcast once via ``ray.put``; assignment is a single
+    streaming vectorized map — no shuffle at any corpus size. Ties break to
+    the lowest cluster index (np.argmax first-maximum), matching the DuckDB
+    oracle's ORDER BY dot DESC, cluster ASC.
+
+    ``dtype=np.float64`` selects oracle precision (the DuckDB twin computes
+    in DOUBLE); the engine default stays float32."""
+    C = train_quantizer(embeddings, nlist, train_sample=train_sample, dtype=dtype)
+    c_ref = ray.put({"C": C, "dtype": np.dtype(dtype).str})
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        ctx = broadcast_cache(c_ref)
+        vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.dtype(ctx["dtype"])))
+        cl = np.argmax(vecs @ ctx["C"].T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+
+
 def ivf_topk(
     embeddings: ray.data.Dataset,
     queries_ref,
@@ -281,40 +367,7 @@ def ivf_topk(
     in DOUBLE); the engine default stays float32."""
     q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
     qm = _normalize(np.asarray(q["matrix"], dtype=dtype))
-    # deterministic HASH-based trainer sample (md5-low-64 of str(vec_id)
-    # mod m): unlike random_sample(seed=...) — whose draw depends on the
-    # block LAYOUT, so the quantizer (and thus every IVF result) would
-    # change with cluster size / partitioning — the same rows are selected
-    # on any topology, and first-N bias is still avoided on ordered
-    # corpora. md5 (not blake2b) so the DuckDB oracle reproduces the draw.
-    n_total = embeddings.count()
-    if n_total > train_sample:
-        m = max(1, n_total // train_sample)
-
-        def _hash_sample(batch: pa.Table) -> pa.Table:
-            import hashlib as _hl
-
-            keep = [
-                int.from_bytes(_hl.md5(str(v).encode()).digest()[:8], "little") % m == 0
-                for v in batch["vec_id"].to_pylist()
-            ]
-            return batch.filter(pa.array(keep))
-
-        sdf = (
-            embeddings.select_columns(["vec_id", "embedding"])
-            .map_batches(_hash_sample, batch_format="pyarrow")
-            .to_pandas()
-        )
-        if len(sdf) < max(nlist, 2):  # undershoot on tiny corpora
-            sdf = embeddings.limit(train_sample).to_pandas()
-    else:
-        sdf = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
-    C = kmeans_centroids(
-        np.asarray(sdf["embedding"].tolist(), dtype=dtype),
-        nlist,
-        ids=sdf["vec_id"].to_numpy(),
-        dtype=dtype,
-    )
+    C = train_quantizer(embeddings, nlist, train_sample=train_sample, dtype=dtype)
     nprobe = min(nprobe, len(C))
     # per query: the nprobe nearest cells (stable sort: ties keep the lower
     # cluster index, matching the oracle's ORDER BY dot DESC, cluster ASC)

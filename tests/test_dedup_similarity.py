@@ -259,3 +259,31 @@ def test_ivf_topk_layout_independent(ray_session):
 
     a, b = run(2), run(17)
     assert a[["query_id", "vec_id", "rank"]].values.tolist() == b[["query_id", "vec_id", "rank"]].values.tolist()
+
+
+def test_kmeans_assign_layout_independent(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        kmeans_assign,
+        train_quantizer,
+    )
+
+    ds = _emb_ds(n=80)
+    out = kmeans_assign(ds, nlist=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 80
+    assert out["cluster"].between(0, 3).all()
+    assert out["cluster"].nunique() > 1  # nondegenerate on spread-out data
+    # same doc -> same cluster under a different block layout
+    out2 = (
+        kmeans_assign(ds.repartition(7), nlist=4)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    # identical-direction vectors land in the same cluster
+    by_id = out.set_index("vec_id")["cluster"]
+    assert by_id[0] == by_id[1]
+    # assignment IS nearest-centroid: recompute on the driver
+    C = train_quantizer(ds, 4)
+    emb = ds.to_pandas().sort_values("vec_id")
+    m = np.asarray(emb["embedding"].tolist(), dtype=np.float32)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert (np.argmax(m @ C.T, axis=1) == out["cluster"].to_numpy()).all()
