@@ -3058,6 +3058,39 @@ def _embeddings_kmeans(sf_dir: str):
     )
 
 
+def _embeddings_decontaminated(sf_dir: str):
+    """Semantic decontamination: corpus vectors (vec_id % 50 != 0) whose
+    max cosine to the benchmark slice (vec_id % 50 == 0) reaches 0.3 are
+    flagged. Benchmark side broadcast once; one matmul + row-max per batch,
+    zero shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import semantic_contamination_flags
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def _slice(keep_bench: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            is_bench = b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return b.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return _f
+
+    corpus = emb.map_batches(_slice(False), batch_format="pyarrow")
+    bench = emb.map_batches(_slice(True), batch_format="pyarrow")
+    return (
+        semantic_contamination_flags(corpus, bench, threshold=0.3, dtype="float64")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_tfidf(sf_dir: str):
     """Per-document top-3 keyword terms by tf-idf (combiner-first df table
     broadcast once, then a single streaming scoring map)."""
@@ -3182,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_tfidf": _documents_tfidf,
         "documents_repetition": _documents_repetition,
         "embeddings_kmeans": _embeddings_kmeans,
+        "embeddings_decontaminated": _embeddings_decontaminated,
     }
 
 
@@ -4076,6 +4110,31 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + ", ".join(_kmeans_parts())
             + " SELECT vec_id, cl AS cluster FROM casg ORDER BY vec_id"
         ),
+        # semantic decontamination: max-cosine to the benchmark slice in
+        # DOUBLE (sum-order noise ~1e-16, threshold margin measured 1.9e-4)
+        "embeddings_decontaminated": """
+            WITH nrm AS (
+                SELECT vec_id,
+                       CASE WHEN n = 0 THEN e
+                            ELSE list_transform(e, x -> x / n) END AS e
+                FROM (
+                    SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                           sqrt(list_sum(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+                    FROM embeddings
+                )
+            ), bench AS MATERIALIZED (
+                SELECT e FROM nrm WHERE vec_id % 50 = 0
+            ), sims AS (
+                SELECT c.vec_id, max(list_dot_product(c.e, b.e)) AS max_cosine
+                FROM nrm c CROSS JOIN bench b
+                WHERE c.vec_id % 50 <> 0
+                GROUP BY c.vec_id
+            )
+            SELECT vec_id, max_cosine, max_cosine >= 0.3 AS contaminated
+            FROM sims ORDER BY vec_id
+        """,
         # tf-idf: tf * ln(N/df) in DOUBLE — bit-identical to the Python side
         # (math.log and DuckDB ln share the libm double path), so the
         # (tfidf DESC, token ASC) rank agrees exactly

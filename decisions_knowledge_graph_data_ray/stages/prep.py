@@ -106,6 +106,67 @@ def contamination_flags(
     return docs.map_batches(_flags, batch_format="pyarrow")
 
 
+def semantic_contamination_flags(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dtype="float32",
+) -> ray.data.Dataset:
+    """Embedding-space decontamination: flag corpus vectors whose cosine to
+    ANY benchmark vector reaches ``threshold`` — the semantic complement of
+    ``contamination_flags``' exact n-gram overlap (catches paraphrased eval
+    leakage that n-grams miss).
+
+    Same scale envelope as the n-gram variant: the benchmark side is small
+    by definition (an eval suite) — streamed once into a matrix, L2-
+    normalized, broadcast via ``ray.put``; each corpus batch then computes
+    one vectorized matmul + row-max locally. Zero shuffles; the broadcast
+    is O(|benchmark| × dim), independent of corpus size.
+
+    ``dtype="float64"`` selects oracle precision (the DuckDB twin computes
+    in DOUBLE); the engine default stays float32."""
+    import numpy as np
+
+    from .similarity import _normalize
+
+    np_dtype = np.dtype(dtype)
+    mats = [
+        np.asarray(blk[emb_col].to_pylist(), dtype=np_dtype)
+        for blk in benchmark.select_columns([emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if blk.num_rows
+    ]
+    bm = _normalize(np.concatenate(mats)) if mats else np.zeros((0, 1), dtype=np_dtype)
+    bm_ref = ray.put({"bm": bm, "dtype": np_dtype.str})
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        ctx = broadcast_cache(bm_ref)
+        b = ctx["bm"]
+        if b.shape[0] == 0:
+            mx = np.zeros(batch.num_rows, dtype=np.float64)
+        else:
+            vecs = _normalize(
+                np.asarray(batch[emb_col].to_pylist(), dtype=np.dtype(ctx["dtype"]))
+            )
+            mx = (vecs @ b.T).max(axis=1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "max_cosine": pa.array(mx, pa.float64()),
+                "contaminated": pa.array(mx >= threshold, pa.bool_()),
+            }
+        )
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        _flags, batch_format="pyarrow"
+    )
+
+
 def vocabulary(
     docs: ray.data.Dataset, top_k: int = 50, text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -99,3 +99,35 @@ def test_chunk_documents_roundtrip(ray_session):
         assert toks == src[doc_id].split()
         assert (g["n_tokens"].iloc[:-1] == 16).all()  # full windows except last
         assert g["chunk_idx"].tolist() == list(range(len(g)))
+
+
+def test_semantic_contamination_flags(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import semantic_contamination_flags
+
+    # corpus vec 10 IS benchmark vec 0 scaled (cosine 1); vec 11 orthogonal
+    bench = rd.from_items([{"vec_id": 0, "embedding": [1.0, 0.0, 0.0]}])
+    corpus = rd.from_items(
+        [
+            {"vec_id": 10, "embedding": [2.0, 0.0, 0.0]},
+            {"vec_id": 11, "embedding": [0.0, 3.0, 0.0]},
+            {"vec_id": 12, "embedding": [1.0, 1.0, 0.0]},  # cos ~0.707
+        ]
+    )
+    df = (
+        semantic_contamination_flags(corpus, bench, threshold=0.8)
+        .to_pandas().set_index("vec_id")
+    )
+    assert bool(df.loc[10, "contaminated"]) and df.loc[10, "max_cosine"] == 1.0
+    assert not bool(df.loc[11, "contaminated"]) and df.loc[11, "max_cosine"] == 0.0
+    assert not bool(df.loc[12, "contaminated"])
+    assert np.isclose(df.loc[12, "max_cosine"], 1 / np.sqrt(2), atol=1e-6)
+
+    # empty benchmark: nothing flagged, max_cosine 0.0
+    empty = rd.from_items([{"vec_id": 0, "embedding": [1.0, 0.0, 0.0]}]).filter(
+        lambda r: False
+    )
+    df2 = semantic_contamination_flags(corpus, empty, threshold=0.5).to_pandas()
+    assert not df2["contaminated"].any() and (df2["max_cosine"] == 0.0).all()
