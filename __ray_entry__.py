@@ -756,6 +756,51 @@ def _kg_pagerank_sql(iterations: int = 10) -> str:
     )
 
 
+def _kg_hits_sql(iterations: int = 10) -> str:
+    """HITS unrolled as chained CTEs — two per iteration (authority half,
+    hub half), each an edge join + SUM + an L1 normalization whose total is
+    a scalar subquery (the unnormalized relation is MATERIALIZED: it is
+    referenced twice — norm + divide — and DuckDB inlines CTEs). Mirrors
+    stages/graph.hits expression-for-expression in DOUBLE; the two sides
+    agree to float addition-order noise (~1e-15 ≪ the gate's 1e-9)."""
+    p = _citations_parts()
+    parts = [
+        """de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )""",
+        "hn AS MATERIALIZED (SELECT DISTINCT conv_id AS node FROM de)",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / "
+        "(SELECT count(*) FROM hn) AS score FROM hn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i}u AS MATERIALIZED (
+            SELECT e.ecli AS node, SUM(h.score) AS s
+            FROM de e JOIN h{i - 1} h ON h.node = e.conv_id GROUP BY e.ecli
+        )"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, s / (SELECT SUM(s) FROM a{i}u) AS score FROM a{i}u)"
+        )
+        parts.append(
+            f"""h{i}u AS MATERIALIZED (
+            SELECT e.conv_id AS node, SUM(a.score) AS s
+            FROM de e JOIN a{i} a ON a.node = e.ecli GROUP BY e.conv_id
+        )"""
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, s / (SELECT SUM(s) FROM h{i}u) AS score FROM h{i}u)"
+        )
+    return (
+        "WITH " + p["ctes"] + ", " + ", ".join(parts) + f"""
+        SELECT node, 'hub' AS role, score FROM h{iterations}
+        UNION ALL
+        SELECT node, 'authority' AS role, score FROM a{iterations}
+        ORDER BY role, node
+    """
+    )
+
+
 def _kg_coupling_sql() -> str:
     p = _citations_parts()
     return (
@@ -3039,6 +3084,25 @@ def _multimodal_decode(sf_dir: str):
     return df.drop(columns=["feature"])
 
 
+def _kg_hits(sf_dir: str):
+    """HITS hubs-and-authorities over the directed document→decision
+    citation graph (stages/graph.hits — per half-iteration one bounded hash
+    join + combiner-first groupby Sum + a scalar L1 norm): hub = document
+    citing many authoritative decisions, authority = decision cited by good
+    hubs. 10 iterations; scores L1-normalized per side."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        distinct_pairs,
+        hits,
+    )
+
+    edges = distinct_pairs(
+        citation_edges(_extractions_for(sf_dir)), ["conv_id", "ecli"]
+    ).materialize()  # re-read every half-iteration
+    out = hits(edges, iterations=10, src_col="conv_id", dst_col="ecli").to_pandas()
+    return out.sort_values(["role", "node"]).reset_index(drop=True)
+
+
 def _embeddings_kmeans(sf_dir: str):
     """Semantic clustering of the embedding corpus: deterministic k-means
     (bounded hash-sample trainer, broadcast centroids, streaming vectorized
@@ -3212,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
         "kg_coupling": _kg_coupling,
+        "kg_hits": _kg_hits,
         "documents_tfidf": _documents_tfidf,
         "documents_repetition": _documents_repetition,
         "embeddings_kmeans": _embeddings_kmeans,
@@ -4104,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_triangles": _kg_triangles_sql(),
         "kg_coupling": _kg_coupling_sql(),
+        "kg_hits": _kg_hits_sql(),
         # k-means cluster assignment: the shared trainer/assignment chain
         # (_kmeans_parts — same CTEs as the IVF oracle's front half)
         "embeddings_kmeans": (

@@ -328,6 +328,136 @@ def pagerank(
     return scores
 
 
+def distinct_pairs(
+    ds: ray.data.Dataset, cols: list[str], num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Distinct rows over ``cols``: per-batch combiner distinct, then a
+    pid-cogroup distinct (the dedup.py pattern — never a per-key group)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(cols), cols).aggregate([])
+        return out.append_column("pid", bucket_ids(out[cols[0]], num_buckets))
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(
+            lambda g: pa.TableGroupBy(g.select(cols), cols).aggregate([]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over a directed edge set → (node, role,
+    score), role ∈ {'hub', 'authority'}. On the document→decision citation
+    graph this is the natural ranking pair: hub = a document that cites
+    many authoritative decisions, authority = a decision cited by many good
+    hubs (Kleinberg's mutual reinforcement).
+
+    Per iteration: authority = L1-normalized Σ of hub scores over in-edges,
+    then hub = L1-normalized Σ of authority scores over out-edges — each
+    half is one bounded hash join + a combiner-first groupby Sum + a global
+    scalar Sum for the norm (the only driver-side value). One barrier per
+    half-iteration is inherent to power iteration. The edge set is re-read
+    every iteration: pass it materialized and DISTINCT (parallel edges
+    would double-count)."""
+    node_schema = pa.schema([("node", _NODE_T), ("score", pa.float64())])
+    edge_schema = pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)])
+
+    def _distinct_nodes(col: str) -> ray.data.Dataset:
+        def _partial(batch: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(batch.select([col]), col).aggregate([])
+            return out.rename_columns(["node"])
+
+        return (
+            edges.map_batches(_partial, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(
+                lambda g: pa.TableGroupBy(g.select(["node"]), "node").aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
+
+    hub_nodes = _distinct_nodes(src_col).materialize()
+    n_hubs = hub_nodes.count()
+    if n_hubs == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", _NODE_T), ("role", pa.string()), ("score", pa.float64())]).empty_table()
+        )
+
+    hubs = hub_nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "score": pa.array([1.0 / n_hubs] * b.num_rows, pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auths = None
+
+    def _half_step(scores: ray.data.Dataset, join_col: str, out_col: str) -> ray.data.Dataset:
+        """Push ``scores`` across the edges from ``join_col`` to ``out_col``,
+        sum per target, L1-normalize."""
+        spread = hash_bucket_join(
+            edges.select_columns([src_col, dst_col]),
+            scores,
+            on=join_col,
+            right_on="node",
+            output_columns=[out_col, "score"],
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=node_schema,
+        )
+
+        def _sum_partial(batch: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(batch.select([out_col, "score"]), out_col).aggregate(
+                [("score", "sum")]
+            )
+            return out.rename_columns(["node", "score"])
+
+        unnorm = (
+            spread.map_batches(_sum_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("score", alias_name="score"))
+            .materialize()  # read twice: the norm Sum + the divide
+        )
+        total = unnorm.sum("score") or 1.0
+        return unnorm.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "score": pc.divide(b["score"].cast(pa.float64()), pa.scalar(total, pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # power-iteration barrier
+
+    for _ in range(iterations):
+        auths = _half_step(hubs, src_col, dst_col)
+        hubs = _half_step(auths, dst_col, src_col)
+
+    def _tag(role: str):
+        def _t(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "role": pa.array([role] * b.num_rows, pa.string()),
+                    "score": b["score"],
+                }
+            )
+
+        return _t
+
+    return hubs.map_batches(_tag("hub"), batch_format="pyarrow").union(
+        auths.map_batches(_tag("authority"), batch_format="pyarrow")
+    )
+
+
 def triangle_counts(
     pairs: ray.data.Dataset,
     src_col: str = "src",

@@ -199,3 +199,46 @@ def test_triangle_counts_empty_and_no_triangles(ray_session):
 
     path = rd.from_items([{"src": "X", "dst": "Y"}, {"src": "Y", "dst": "Z"}]).materialize()
     assert triangle_counts(path).count() == 0
+
+
+def test_distinct_pairs(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    ds = rd.from_items(
+        [{"a": "x", "b": "1"}, {"a": "x", "b": "1"}, {"a": "x", "b": "2"}, {"a": "y", "b": "1"}]
+    )
+    got = distinct_pairs(ds, ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [("x", "1"), ("x", "2"), ("y", "1")]
+
+
+def test_hits_bipartite_ranking(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import hits
+
+    # docs A,B,C cite decisions e1,e2,e3: e1 cited by all three, e2 by A+B,
+    # e3 by A only -> authority e1 > e2 > e3; A cites the most/best -> top hub
+    edges = [
+        ("A", "e1"), ("A", "e2"), ("A", "e3"),
+        ("B", "e1"), ("B", "e2"),
+        ("C", "e1"),
+    ]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]).materialize()
+    out = hits(ds, iterations=10).to_pandas()
+    auth = out[out.role == "authority"].set_index("node")["score"]
+    hub = out[out.role == "hub"].set_index("node")["score"]
+    assert auth["e1"] > auth["e2"] > auth["e3"] > 0
+    assert hub["A"] > hub["B"] > hub["C"] > 0
+    # each side is L1-normalized
+    assert abs(auth.sum() - 1.0) < 1e-12 and abs(hub.sum() - 1.0) < 1e-12
+
+
+def test_hits_empty(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import hits
+
+    empty = rd.from_items([{"src": "a", "dst": "b"}]).filter(lambda r: False).materialize()
+    assert hits(empty, iterations=2).count() == 0
