@@ -15,10 +15,13 @@ transformer (/root/reference/src/utils/htmlTransformer.ts):
   `header_attributes`) and heading auto-identifiers with duplicate `-N`
   suffixing (pandoc `auto_identifiers`)) — replaces the external pandoc
   binary (not available here, and a subprocess per document would be the
-  wrong shape for map_batches anyway). Still not full pandoc: no inline
-  (^[...]) notes, no multi-block footnote bodies, single-paragraph
-  grid-table cells, no attribute blocks on fenced code / spans, and a
-  footnote reference inside a heading contributes its number to the
+  wrong shape for map_batches anyway), inline (^[...]) notes numbered in
+  appearance order with reference notes, multi-block footnote bodies
+  (4-space-indented continuation paragraphs), and fenced-code attribute
+  blocks (```python bare language class or ```{.cls #id key=val}). Still
+  not full pandoc: single-paragraph grid-table cells, no attribute blocks
+  on inline spans / links, no lazy (unindented) footnote continuation, and
+  a footnote reference inside a heading contributes its number to the
   auto-identifier's input only as stripped text.
 - ``transform_html_blocks``: select leaf content elements (p, h1-h6,
   blockquote, li, td, th), skip empty, sequence 1..n, stamp
@@ -45,6 +48,10 @@ _OL_RE = re.compile(r"^\d+[.)]\s+(.*)$")
 _UL_RE = re.compile(r"^[-*]\s+(.*)$")
 _FN_DEF_RE = re.compile(r"^\[\^([^\]\s]+)\]:\s*(.*)$")
 _FN_REF_RE = re.compile(r"\[\^([^\]\s]+)\]")
+# pandoc inline_notes: ^[body] with at most one nesting level of brackets;
+# the combined alternation with [^label] keeps NUMBERING in left-to-right
+# appearance order across both note kinds (pandoc renumbers that way)
+_FN_ANY_RE = re.compile(r"\^\[((?:[^\[\]]|\[[^\[\]]*\])*)\]|\[\^([^\]\s]+)\]")
 _GRID_BORDER_RE = re.compile(r"^\+(-+\+)+$")
 _GRID_HSEP_RE = re.compile(r"^\+([:=]=*:?\+)+$")
 _GRID_LINE_RE = re.compile(r"^[+|].*[+|]$")
@@ -130,7 +137,13 @@ def _escape(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def _inline(text: str, refs: dict[str, str] | None = None, fn_sub=None) -> str:
+def _unescape(text: str) -> str:
+    """Exact inverse of _escape (for inline-note bodies captured from
+    already-escaped text but re-rendered — and re-escaped — later)."""
+    return text.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+def _inline(text: str, refs: dict[str, str] | None = None, fn_sub=None, note_sub=None) -> str:
     text = _escape(text)
     # Extract code-span contents into placeholders first so the other inline
     # substitutions never touch markup inside them (pandoc: `a*b*c` stays
@@ -145,15 +158,26 @@ def _inline(text: str, refs: dict[str, str] | None = None, fn_sub=None) -> str:
     # footnote references ([^label] → numbered sup anchors) stash before
     # smart punctuation so the anchor's attribute quotes stay straight
     fn_spans: list[str] = []
-    if fn_sub is not None:
-        def _stash_fn(m: re.Match) -> str:
-            html = fn_sub(m.group(1))
+    # one left-to-right pass over BOTH note kinds, so inline ^[body] notes
+    # and [^label] refs number in appearance order; a [^ref] or [link](url)
+    # inside a note body survives raw into the stored body (the endnotes
+    # section re-renders it through _inline later)
+    if fn_sub is not None or note_sub is not None:
+        def _stash_any(m: re.Match) -> str:
+            if m.group(1) is not None:
+                if note_sub is None:
+                    return m.group(0)
+                fn_spans.append(note_sub(_unescape(m.group(1))))
+                return f"\x03{len(fn_spans) - 1}\x03"
+            if fn_sub is None:
+                return m.group(0)
+            html = fn_sub(m.group(2))
             if html is None:  # undefined label: pandoc leaves it literal
                 return m.group(0)
             fn_spans.append(html)
             return f"\x03{len(fn_spans) - 1}\x03"
 
-        text = _FN_REF_RE.sub(_stash_fn, text)
+        text = _FN_ANY_RE.sub(_stash_any, text)
     # stash inline-link URLS before smart punctuation: pandoc smartens link
     # TEXT but never the target (-- / ... / ' inside a URL must survive)
     urls: list[str] = []
@@ -324,41 +348,83 @@ def markdown_to_html(md: str) -> str:
     /root/reference/src/utils/markdownToHtml.ts:53-98 the corpus uses)."""
     lines = md.split("\n")
 
-    # pre-pass: collect reference-link + footnote definitions, drop their lines
+    # pre-pass: collect reference-link + footnote definitions, drop their
+    # lines. A footnote body may span multiple blocks: paragraphs indented
+    # >= 4 spaces after the definition line belong to the note (pandoc
+    # footnote continuation; lazy unindented continuation is out of subset).
     refs: dict[str, str] = {}
     fn_defs: dict[str, str] = {}
     body_lines: list[str] = []
     in_fence = False
-    for raw in lines:
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
         if _FENCE_RE.match(raw.strip()):
             in_fence = not in_fence
             body_lines.append(raw)
+            i += 1
             continue
         d = None if in_fence else _REF_DEF_RE.match(raw)
         f = None if in_fence else _FN_DEF_RE.match(raw.strip())
         if f:
-            fn_defs.setdefault(f.group(1), f.group(2).strip())  # first def wins
+            first = f.group(2).strip()
+            paras: list[str] = [first] if first else []
+            j = i + 1
+            pending_blank = False
+            while j < len(lines):
+                nxt = lines[j]
+                if not nxt.strip():
+                    pending_blank = True
+                    j += 1
+                    continue
+                if len(nxt) - len(nxt.lstrip(" ")) >= 4:
+                    seg = nxt.strip()
+                    if pending_blank or not paras:
+                        paras.append(seg)
+                    else:
+                        paras[-1] += " " + seg
+                    pending_blank = False
+                    j += 1
+                else:
+                    break
+            if pending_blank:
+                # the blank run we consumed still separates surrounding
+                # blocks: put one blank back
+                body_lines.append("")
+            fn_defs.setdefault(f.group(1), "\n\n".join(paras))  # first def wins
+            i = j
+            continue
         elif d:
             refs[d.group(1).lower()] = _escape(d.group(2))
         else:
             body_lines.append(raw)
+        i += 1
 
-    # footnote numbering follows first-REFERENCE order (pandoc renumbers)
+    # footnote numbering follows first-REFERENCE order (pandoc renumbers;
+    # inline ^[...] notes share the same sequence in appearance order)
     fn_order: list[str] = []
+
+    def _fn_anchor(n: int) -> str:
+        return (
+            f'<a href="#fn{n}" class="footnote-ref" id="fnref{n}" '
+            f'role="doc-noteref"><sup>{n}</sup></a>'
+        )
 
     def fn_sub(label: str) -> str | None:
         if label not in fn_defs:
             return None
         if label not in fn_order:
             fn_order.append(label)
-        n = fn_order.index(label) + 1
-        return (
-            f'<a href="#fn{n}" class="footnote-ref" id="fnref{n}" '
-            f'role="doc-noteref"><sup>{n}</sup></a>'
-        )
+        return _fn_anchor(fn_order.index(label) + 1)
+
+    def note_sub(body: str) -> str:
+        key = f"\x02inline-{len(fn_defs)}"
+        fn_defs[key] = body.strip()
+        fn_order.append(key)
+        return _fn_anchor(len(fn_order))
 
     def inline(text: str) -> str:
-        return _inline(text, refs, fn_sub)
+        return _inline(text, refs, fn_sub, note_sub)
 
     used_ids: set[str] = set()
 
@@ -389,6 +455,7 @@ def markdown_to_html(md: str) -> str:
     lists = _ListStack(inline)
     table_rows: list[str] = []
     code_lines: list[str] | None = None  # inside a fence when not None
+    fence_attrs = ""  # attribute string of the open fence's <pre>
     deflist: list[tuple[str, list[str]]] = []  # [(term, [definitions])]
     line_block: list[str] | None = None
     grid_rows: list[str] | None = None  # inside a grid table when not None
@@ -463,7 +530,9 @@ def markdown_to_html(md: str) -> str:
 
         if code_lines is not None:  # inside a fenced code block
             if _FENCE_RE.match(stripped):
-                out.append(f"<pre><code>{_escape(chr(10).join(code_lines))}</code></pre>")
+                out.append(
+                    f"<pre{fence_attrs}><code>{_escape(chr(10).join(code_lines))}</code></pre>"
+                )
                 code_lines = None
             else:
                 code_lines.append(line)
@@ -500,6 +569,20 @@ def markdown_to_html(md: str) -> str:
             flush_paragraph()
             flush_list()
             code_lines = []
+            # fenced_code_attributes: ```python (bare language class) or
+            # ```{.python .numberLines #id key=val}
+            info = stripped.lstrip("`").strip()
+            fence_attrs = ""
+            if info.startswith("{") and info.endswith("}"):
+                ident, classes, kvs = _parse_attr_block(info[1:-1])
+                if ident:
+                    fence_attrs += f' id="{_escape(ident)}"'
+                if classes:
+                    fence_attrs += f' class="{_escape(" ".join(classes))}"'
+                for k, v in kvs:
+                    fence_attrs += f' {k}="{_escape(v)}"'
+            elif info:
+                fence_attrs = f' class="{_escape(info.split()[0])}"'
         elif lb:
             flush_deflist()
             flush_paragraph()
@@ -571,7 +654,7 @@ def markdown_to_html(md: str) -> str:
             flush_list()
             paragraph.append(stripped)
     if code_lines is not None:  # unterminated fence: pandoc closes it at EOF
-        out.append(f"<pre><code>{_escape(chr(10).join(code_lines))}</code></pre>")
+        out.append(f"<pre{fence_attrs}><code>{_escape(chr(10).join(code_lines))}</code></pre>")
     flush_deflist()
     flush_paragraph()
     flush_list()
@@ -580,13 +663,19 @@ def markdown_to_html(md: str) -> str:
     flush_grid()
     if fn_order:
         # pandoc's HTML5 endnotes section: <section class="footnotes"> with
-        # an <ol> of notes, each closing with a backref anchor
-        items = "".join(
-            f'<li id="fn{i + 1}"><p>{inline(fn_defs[lab])}'
-            f'<a href="#fnref{i + 1}" class="footnote-back" '
-            f'role="doc-backref">↩︎</a></p></li>'
-            for i, lab in enumerate(fn_order)
-        )
+        # an <ol> of notes; multi-block bodies render one <p> per paragraph
+        # and the backref anchor closes the LAST paragraph
+        def _fn_item(i: int, lab: str) -> str:
+            backref = (
+                f'<a href="#fnref{i + 1}" class="footnote-back" '
+                f'role="doc-backref">↩︎</a>'
+            )
+            paras = [p for p in fn_defs[lab].split("\n\n") if p] or [""]
+            ps = [f"<p>{inline(p)}</p>" for p in paras]
+            ps[-1] = ps[-1][: -len("</p>")] + backref + "</p>"
+            return f'<li id="fn{i + 1}">{"".join(ps)}</li>'
+
+        items = "".join(_fn_item(i, lab) for i, lab in enumerate(fn_order))
         out.append(
             '<section class="footnotes footnotes-end-of-document" '
             f'role="doc-endnotes"><hr /><ol>{items}</ol></section>'

@@ -424,3 +424,59 @@ def test_markdown_auto_identifiers():
     assert '<h3 id="numbered-start">1. Numbered Start</h3>' in html
     # nothing left -> 'section'
     assert '<h1 id="section">***</h1>' in html
+
+
+def test_markdown_inline_notes_golden():
+    """pandoc inline_notes: ^[body] shares the footnote numbering sequence
+    with [^label] refs in left-to-right appearance order."""
+    md = "A^[first] and B[^r] and C^[third *em*].\n\n[^r]: second ref\n"
+    html = H.markdown_to_html(md)
+    import re as _re
+
+    assert _re.findall(r'#fn(\d)" class="footnote-ref"', html) == ["1", "2", "3"]
+    sec = html.split("<section", 1)[1]
+    assert '<li id="fn1"><p>first<a href="#fnref1"' in sec
+    assert '<li id="fn2"><p>second ref<a href="#fnref2"' in sec
+    assert "<em>em</em>" in sec  # note bodies get inline formatting
+    # a link inside a note body renders in the endnotes, not inline
+    html2 = H.markdown_to_html("zie^[de [bron](http://x.y/a) hier].")
+    assert '<a href="http://x.y/a">bron</a>' in html2.split("<section", 1)[1]
+
+
+def test_markdown_multiblock_footnote_golden():
+    """4-space-indented continuation paragraphs belong to the footnote;
+    the backref closes the LAST paragraph (pandoc)."""
+    md = (
+        "Ref[^a]. Tussen[^b].\n"
+        "\n"
+        "[^a]: para one\n"
+        "    continues.\n"
+        "\n"
+        "    para two.\n"
+        "\n"
+        "Next paragraph.\n"
+        "\n"
+        "[^b]: single.\n"
+    )
+    html = H.markdown_to_html(md)
+    assert "<p>Next paragraph.</p>" in html
+    sec = html.split("<section", 1)[1]
+    assert "<p>para one continues.</p><p>para two." in sec
+    # backref on the last paragraph only
+    li_a = sec.split('<li id="fn1">', 1)[1].split("</li>", 1)[0]
+    assert li_a.count("footnote-back") == 1 and li_a.endswith(
+        'role="doc-backref">↩︎</a></p>'
+    )
+    assert '<li id="fn2"><p>single.<a href="#fnref2"' in sec
+
+
+def test_markdown_fence_attributes_golden():
+    """fenced_code_attributes: bare info word -> language class; full
+    {...} block -> id/classes/key-vals on <pre>."""
+    assert '<pre class="python"><code>x = 1</code></pre>' in H.markdown_to_html(
+        "```python\nx = 1\n```"
+    )
+    html = H.markdown_to_html('```{.python .numberLines #code1 start="5"}\ny < 2\n```')
+    assert '<pre id="code1" class="python numberLines" start="5"><code>y &lt; 2</code></pre>' in html
+    # bare fence unchanged; info never leaks into the body
+    assert "<pre><code>plain</code></pre>" in H.markdown_to_html("```\nplain\n```")
