@@ -3103,6 +3103,17 @@ def _kg_hits(sf_dir: str):
     return out.sort_values(["role", "node"]).reset_index(drop=True)
 
 
+def _documents_dup_spans(sf_dir: str):
+    """Exact repeated-substring detection: top-50 cross-document 8-word
+    spans by occurrence count (combiner-first, partial-top-k)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import duplicate_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicate_spans(docs, window=8, top_k=50).to_pandas()
+
+
 def _embeddings_kmeans(sf_dir: str):
     """Semantic clustering of the embedding corpus: deterministic k-means
     (bounded hash-sample trainer, broadcast centroids, streaming vectorized
@@ -3281,6 +3292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_repetition": _documents_repetition,
         "embeddings_kmeans": _embeddings_kmeans,
         "embeddings_decontaminated": _embeddings_decontaminated,
+        "documents_dup_spans": _documents_dup_spans,
     }
 
 
@@ -4200,6 +4212,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, max_cosine, max_cosine >= 0.3 AS contaminated
             FROM sims ORDER BY vec_id
+        """,
+        # exact repeated-substring detector: top-50 cross-doc 8-word spans;
+        # (n_occurrences desc, span asc) is a unique total order, so the
+        # LIMIT truncation is deterministic
+        "documents_dup_spans": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), sp AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 8 + 2),
+                              i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS span
+                FROM ws
+            ), ag AS (
+                SELECT span, count(*) AS n_occurrences,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM sp GROUP BY span
+            )
+            SELECT span, n_docs, n_occurrences FROM ag
+            WHERE n_docs >= 2
+            ORDER BY n_occurrences DESC, span
+            LIMIT 50
         """,
         # tf-idf: tf * ln(N/df) in DOUBLE — bit-identical to the Python side
         # (math.log and DuckDB ln share the libm double path), so the

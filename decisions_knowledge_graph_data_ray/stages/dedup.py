@@ -623,3 +623,84 @@ def near_dedup_keep_ids(
         left_schema=pa.schema([("doc_id", pa.int64())]),
         right_schema=pa.schema([("drop_id", pa.int64())]),
     )
+
+
+def duplicate_spans(
+    docs: ray.data.Dataset,
+    window: int = 8,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact repeated-substring detection: every ``window``-word span
+    (stride 1, lowercase word tokens) counted corpus-wide; spans appearing
+    in >= 2 documents ranked by (occurrences desc, span asc), top-k. The
+    hashed-fixed-window approximation of suffix-array training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") — the detector that finds boilerplate/licence blocks exact
+    n-gram MinHash similarity misses because the containing documents
+    differ.
+
+    Scale shape: per-batch combiner (one partial row per DISTINCT span per
+    batch with its occurrence count and within-batch doc count — a document
+    lives in exactly one batch, so summed doc counts are exact distincts),
+    then one groupby Sum; partial-top-k per block before the driver pick.
+    The shuffle is bounded by distinct spans per batch, never raw windows;
+    at larger scale raise the stride (windows every s words) to cut the
+    span volume w/s-fold — boilerplate blocks longer than w+s still hit.
+    """
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        occ: Counter = Counter()
+        dcs: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            words = word_re.findall(text.lower())
+            spans = [
+                " ".join(words[i : i + window]) for i in range(len(words) - window + 1)
+            ]
+            occ.update(spans)
+            dcs.update(set(spans))
+        keys = list(occ)
+        return pa.table(
+            {
+                "span": pa.array(keys, pa.string()),
+                "n_occurrences": pa.array([occ[k] for k in keys], pa.int64()),
+                "n_docs": pa.array([dcs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("span")
+        .aggregate(
+            Sum("n_occurrences", alias_name="n_occurrences"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["n_docs"] >= 2]
+        df = df.sort_values(["n_occurrences", "span"], ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = totals.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    if out.empty:  # no qualifying span anywhere: keep the schema
+        return ray.data.from_arrow(
+            pa.schema(
+                [("span", pa.string()), ("n_docs", pa.int64()), ("n_occurrences", pa.int64())]
+            ).empty_table()
+        )
+    out = (
+        out.sort_values(["n_occurrences", "span"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(pd.DataFrame(out[["span", "n_docs", "n_occurrences"]]))

@@ -287,3 +287,27 @@ def test_kmeans_assign_layout_independent(ray_session):
     m = np.asarray(emb["embedding"].tolist(), dtype=np.float32)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     assert (np.argmax(m @ C.T, axis=1) == out["cluster"].to_numpy()).all()
+
+
+def test_duplicate_spans(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import duplicate_spans
+
+    boiler = "all rights reserved see license file for details"  # 8 words
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": f"alpha beta {boiler} gamma"},
+            {"doc_id": 2, "text": f"{boiler} and unrelated tail content here"},
+            {"doc_id": 3, "text": f"prefix words {boiler} {boiler}"},
+            {"doc_id": 4, "text": "completely different text with no shared span at all"},
+        ]
+    )
+    out = duplicate_spans(docs, window=8, top_k=10).to_pandas()
+    assert list(out.columns) == ["span", "n_docs", "n_occurrences"]
+    top = out.iloc[0]
+    assert top["span"] == boiler and top["n_docs"] == 3 and top["n_occurrences"] == 4
+    # within-one-doc repeats don't qualify (n_docs >= 2 filter)
+    solo = rd.from_items([{"doc_id": 1, "text": f"{boiler} x {boiler}"}])
+    assert duplicate_spans(solo, window=8).count() == 0
+    # layout independence: same result under a different block layout
+    out2 = duplicate_spans(docs.repartition(3), window=8, top_k=10).to_pandas()
+    assert out.equals(out2)
