@@ -3293,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": _embeddings_kmeans,
         "embeddings_decontaminated": _embeddings_decontaminated,
         "documents_dup_spans": _documents_dup_spans,
+        "events_funnel": R.q_events_funnel,
     }
 
 
@@ -4212,6 +4213,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, max_cosine, max_cosine >= 0.3 AS contaminated
             FROM sims ORDER BY vec_id
+        """,
+        # ordered funnel: first view, first click strictly after it (by the
+        # (ts, event_id) total order — row-tuple comparison), first purchase
+        # after that; greedy earliest-match equals the maximal sequence
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, ts, event_id FROM (
+                    SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events WHERE event_type = 'view'
+                ) WHERE rn = 1
+            ), c AS (
+                SELECT user_id, ts, event_id FROM (
+                    SELECT e.user_id, e.ts, e.event_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                                              ORDER BY e.ts, e.event_id) AS rn
+                    FROM events e JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click'
+                      AND (e.ts, e.event_id) > (v.ts, v.event_id)
+                ) WHERE rn = 1
+            ), p AS (
+                SELECT user_id FROM (
+                    SELECT e.user_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                                              ORDER BY e.ts, e.event_id) AS rn
+                    FROM events e JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND (e.ts, e.event_id) > (c.ts, c.event_id)
+                ) WHERE rn = 1
+            )
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id
         """,
         # exact repeated-substring detector: top-50 cross-doc 8-word spans;
         # (n_occurrences desc, span asc) is a unique total order, so the

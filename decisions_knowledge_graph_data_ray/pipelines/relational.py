@@ -399,6 +399,34 @@ def q_events_sessionized(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view -> click -> purchase) per user: the
+    greedy earliest-match scan over the (ts, event_id)-ordered event log —
+    equivalent to first-view / first-click-after / first-purchase-after
+    (earliest-first is maximal). Per-user ordered map over the same
+    hash-partitioned cogroup shape as sessionization; no global sort."""
+    import numpy as np
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    seq = ("view", "click", "purchase")
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        types = g.sort_values(["ts", "event_id"], kind="stable")["event_type"].to_numpy()
+        pos, stage = -1, 0
+        for step in seq:
+            nxt = np.nonzero(types[pos + 1 :] == step)[0]
+            if len(nxt) == 0:
+                break
+            pos += 1 + int(nxt[0])
+            stage += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "funnel_stage": [stage]})
+
+    out = _partitioned_groupby(events, "user_id", _funnel, ["user_id", "funnel_stage"]).to_pandas()
+    out["funnel_stage"] = out["funnel_stage"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup (training-data ops with SQL oracles)
 # ---------------------------------------------------------------------------

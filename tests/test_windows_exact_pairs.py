@@ -347,3 +347,28 @@ def test_cosine_pairs_exact_refuses_above_cap(ray_session):
     # below the cap it still runs
     out = cosine_pairs_exact(ds, threshold=0.99, max_rows=50).to_pandas()
     assert (out["src_id"] < out["dst_id"]).all() if len(out) else True
+
+
+def test_events_funnel_ordered_semantics(ray_session, tmp_path):
+    """Funnel stages respect event ORDER: a click before the first view
+    doesn't count; ties at the same ts break by event_id."""
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.pipelines.relational import q_events_funnel
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        # user 1: click BEFORE view -> only reaches stage 1 (view)
+        dict(event_id=1, ts=t0, user_id=1, event_type="click", value=0.0, props=""),
+        dict(event_id=2, ts=t0 + pd.Timedelta("1min"), user_id=1, event_type="view", value=0.0, props=""),
+        # user 2: full funnel, with the click tied at the view's ts but a
+        # LATER event_id (counts: (ts, event_id) order)
+        dict(event_id=3, ts=t0, user_id=2, event_type="view", value=0.0, props=""),
+        dict(event_id=4, ts=t0, user_id=2, event_type="click", value=0.0, props=""),
+        dict(event_id=5, ts=t0 + pd.Timedelta("2min"), user_id=2, event_type="purchase", value=0.0, props=""),
+        # user 3: no view at all -> stage 0
+        dict(event_id=6, ts=t0, user_id=3, event_type="purchase", value=0.0, props=""),
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_funnel(str(tmp_path)).set_index("user_id")["funnel_stage"]
+    assert out.to_dict() == {1: 1, 2: 3, 3: 0}
