@@ -3294,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_decontaminated": _embeddings_decontaminated,
         "documents_dup_spans": _documents_dup_spans,
         "events_funnel": R.q_events_funnel,
+        "events_retention": R.q_events_retention,
     }
 
 
@@ -4213,6 +4214,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, max_cosine, max_cosine >= 0.3 AS contaminated
             FROM sims ORDER BY vec_id
+        """,
+        # cohort retention: cohort = first-activity hour per user; a user
+        # counts once per distinct active hour offset
+        "events_retention": """
+            WITH f AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour
+                FROM events GROUP BY user_id
+            ), act AS (
+                SELECT DISTINCT e.user_id, f.cohort_hour,
+                       CAST(epoch(date_trunc('hour', e.ts) - f.cohort_hour)
+                            // 3600 AS BIGINT) AS offset_hours
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_hour, offset_hours, count(*) AS n_users
+            FROM act GROUP BY cohort_hour, offset_hours
+            ORDER BY cohort_hour, offset_hours
         """,
         # ordered funnel: first view, first click strictly after it (by the
         # (ts, event_id) total order — row-tuple comparison), first purchase

@@ -427,6 +427,78 @@ def q_events_funnel(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-activity hour (the cohort),
+    counted as retained at every hour offset they are active again. Shape:
+    combiner-first per-user Min (first ts) -> one bounded hash join back to
+    the event stream -> distinct (user, offset) via the pid-cogroup distinct
+    -> combiner-first (cohort, offset) count. No global sort; the join and
+    both distincts are hash-bucketed on user_id."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.graph import distinct_pairs
+    from ..stages.joins import hash_bucket_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _min_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["user_id", "ts"]), "user_id").aggregate(
+            [("ts", "min")]
+        )
+        return out.rename_columns(["user_id", "first_ts"])
+
+    firsts = (
+        events.map_batches(_min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("first_ts", alias_name="first_ts"))
+    )
+
+    ev_schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    f_schema = pa.schema([("user_id", pa.int64()), ("first_ts", pa.timestamp("us"))])
+    joined = hash_bucket_join(
+        events,
+        firsts,
+        on="user_id",
+        output_columns=["user_id", "ts", "first_ts"],
+        left_schema=ev_schema,
+        right_schema=f_schema,
+    )
+
+    def _offsets(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cohort = df["first_ts"].dt.floor("h")
+        offset = (
+            (df["ts"].dt.floor("h") - cohort).dt.total_seconds() // 3600
+        ).astype("int64")
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "cohort_hour": pa.Array.from_pandas(cohort, type=pa.timestamp("us")),
+                "offset_hours": pa.array(offset, pa.int64()),
+            }
+        )
+
+    triples = distinct_pairs(
+        joined.map_batches(_offsets, batch_format="pyarrow"),
+        ["user_id", "cohort_hour", "offset_hours"],
+    )
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(
+            batch.select(["cohort_hour", "offset_hours"]), ["cohort_hour", "offset_hours"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(["cohort_hour", "offset_hours", "n_users"])
+
+    out = (
+        triples.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby(["cohort_hour", "offset_hours"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    return out.sort_values(["cohort_hour", "offset_hours"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup (training-data ops with SQL oracles)
 # ---------------------------------------------------------------------------

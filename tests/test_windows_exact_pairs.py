@@ -372,3 +372,33 @@ def test_events_funnel_ordered_semantics(ray_session, tmp_path):
     pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
     out = q_events_funnel(str(tmp_path)).set_index("user_id")["funnel_stage"]
     assert out.to_dict() == {1: 1, 2: 3, 3: 0}
+
+
+def test_events_retention_cohorts(ray_session, tmp_path):
+    """Cohort = first-activity hour; a user counts once per distinct
+    active hour offset (repeat events within an hour don't double count)."""
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.pipelines.relational import q_events_retention
+
+    h = pd.Timestamp("2026-01-01 10:00:00")
+    rows = [
+        # user 1: cohort 10:00, active at offsets 0 (twice) and 2
+        dict(event_id=1, ts=h + pd.Timedelta("5min"), user_id=1, event_type="view", value=0.0, props=""),
+        dict(event_id=2, ts=h + pd.Timedelta("20min"), user_id=1, event_type="view", value=0.0, props=""),
+        dict(event_id=3, ts=h + pd.Timedelta("2h5min"), user_id=1, event_type="view", value=0.0, props=""),
+        # user 2: same cohort, offset 0 only
+        dict(event_id=4, ts=h + pd.Timedelta("30min"), user_id=2, event_type="view", value=0.0, props=""),
+        # user 3: later cohort 11:00, offset 1
+        dict(event_id=5, ts=h + pd.Timedelta("1h"), user_id=3, event_type="view", value=0.0, props=""),
+        dict(event_id=6, ts=h + pd.Timedelta("2h"), user_id=3, event_type="view", value=0.0, props=""),
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_retention(str(tmp_path))
+    got = {(str(r.cohort_hour), r.offset_hours): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("2026-01-01 10:00:00", 0): 2,
+        ("2026-01-01 10:00:00", 2): 1,
+        ("2026-01-01 11:00:00", 0): 1,
+        ("2026-01-01 11:00:00", 1): 1,
+    }
