@@ -213,6 +213,18 @@ def run_bench(headline_only: bool = False) -> dict:
         ).count()
     except Exception:
         pass
+    try:
+        from decisions_knowledge_graph_data_ray.stages.dedup import duplicate_spans
+        from decisions_knowledge_graph_data_ray.stages.text_analysis import tfidf_top_terms
+
+        def _docs_r5():
+            return rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+        secondary["documents_tfidf"] = lambda: tfidf_top_terms(_docs_r5(), top_k=3).count()
+        secondary["documents_dup_spans"] = lambda: duplicate_spans(_docs_r5(), window=8).to_pandas()
+        secondary["events_retention"] = lambda: R.q_events_retention(SF_DIR)
+    except Exception:
+        pass
 
     # best-of-2 per secondary: single runs on this box vary 2-3x under the
     # session's own residual load (object-store churn from the headline reps)
