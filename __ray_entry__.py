@@ -2218,6 +2218,277 @@ def _kg_interpretations_sql() -> str:
     """
 
 
+# validator expressions of the reference extractor, as SQL fragments
+# (reference_extractor.py:51-100 / referenceExtractorN8N.ts:94-202).
+# _REF_V_CELEX expects an ALREADY-UPPERCASED candidate: one anchored regex
+# covers positions 0-5 plus the len>=7 check (the trailing '.').
+_REF_V_CELEX = "regexp_matches({c}, '^[0-9CE][12][90][0-9]{{2}}[A-Z].')"
+_REF_NUMAC_STRIP = "regexp_replace(upper({n}), '[^0-9A-E]', '', 'g')"
+_REF_V_NUMAC = (
+    "(length({s}) = 10 AND regexp_matches({s}, '^[12][7890][0-9]{{2}}[0-9A-E][0-9]{{5}}$')"
+    " AND TRY_CAST(substr({s}, 1, 4) AS INT) BETWEEN 1789 AND 2026)"
+)
+_REF_V_FILE = (
+    "(regexp_matches({f}, '^[12][7890][0-9]{{2}}[01][0-9][0123][0-9][0-9]{{2}}$')"
+    " AND TRY_CAST(substr({f}, 1, 4) AS INT) BETWEEN 1789 AND 2026"
+    " AND TRY_CAST(substr({f}, 5, 2) AS INT) BETWEEN 1 AND 12"
+    " AND TRY_CAST(substr({f}, 7, 2) AS INT) BETWEEN 1"
+    "     AND [31,29,31,30,31,30,31,31,30,31,30,31][TRY_CAST(substr({f}, 5, 2) AS INT)])"
+)
+_REF_URL_CLS = r'[^\s<>"{{}}|\\\^`\[\]]'  # URL char class (f-string braces doubled)
+
+
+def _norm_docs_ctes() -> str:
+    """CTE chain ending in ``norm(conv_id, ntext)``: assembled documents run
+    through a DuckDB port of reference_extractor.normalize_text — the one
+    transform previously believed non-SQL-expressible (RE2 has no lookahead
+    and re.sub is a consuming scan). Closed form, verified string-exact vs
+    the Python normalizer on every sf0.01 AND sf0.1 document plus 70k
+    adversarial fuzz cases (tests/test_reference_oracle_sql.py):
+
+    URL de-spacing (``(https?://[\\S\\s]+?)(?=\\s+https?://|\\s{{2,}}|\\Z)``
+    with all whitespace stripped from each match): sentinel-split the text
+    at every ``https?://``; in each URL-started part, strip all whitespace
+    before the first ``\\s\\s`` run (everything from it on is untouched —
+    the scan resumes there and the next match only starts at the next URL,
+    i.e. the next part); with no ``\\s\\s``, strip the whole part if last,
+    else strip everything except the trailing whitespace run (that run is
+    the ``\\s+https?://`` terminator, which the lookahead leaves in place).
+    A part with no trailing whitespace before the next URL corresponds to a
+    single Python match spanning both — stripping distributes over the
+    concatenation, so per-part stripping is identical.
+
+    Broken-word collapse (``(\\w)\\s+(\\w)(?=\\S{{0,2}}\\s+\\w|\\S{{0,2}}[^\\w\\s])``
+    with re.ASCII, sequential re.sub): tokenize into alternating
+    whitespace/non-whitespace elements; a gap is a CANDIDATE iff its left
+    token ends and right token starts with an ASCII word char and the right
+    token either (a) has length <= 3 and is followed by a word-initial
+    token, or (b) carries a non-word char at code-point index 1-3. Matches
+    consume ``w1 \\s+ w2``, so two candidates conflict only when they share
+    a single-character token; re.sub's left-to-right scan therefore takes
+    the even-parity members of each maximal run of consecutive candidates
+    chained through length-1 left tokens — computed with window functions
+    (chain start = candidate whose predecessor gap is not a candidate or
+    whose left token is longer than one char; running max + offset parity).
+    """
+    path = _sf001_transcripts_path()
+    return (
+        f"""
+        docs AS (
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS dtext
+            FROM read_parquet('{path}')
+            GROUP BY conv_id
+        ), """
+        + _norm_from_docs_ctes()
+    )
+
+
+def _norm_from_docs_ctes() -> str:
+    """The normalize_text CTE chain from an existing ``docs(conv_id, dtext)``
+    CTE to ``norm(conv_id, ntext)`` (see _norm_docs_ctes for the derivation;
+    tests drive this fragment with crafted strings)."""
+    return """uparts0 AS (
+            SELECT conv_id,
+                   string_split(regexp_replace(dtext, '(https?://)', chr(1) || '\\1', 'g'),
+                                chr(1)) AS pl
+            FROM docs
+        ), uparts AS (
+            SELECT conv_id, i, pl[i] AS part, len(pl) AS np
+            FROM uparts0, unnest(range(1, len(pl) + 1)) AS r(i)
+        ), udone AS (
+            SELECT conv_id, i,
+                CASE
+                    WHEN i = 1 THEN part
+                    WHEN regexp_matches(part, '(?s)\\s\\s') THEN
+                        regexp_replace(regexp_extract(part, '(?s)^(.*?)\\s\\s', 1),
+                                       '(?s)\\s+', '', 'g')
+                        || substr(part,
+                                  length(regexp_extract(part, '(?s)^(.*?)\\s\\s', 1)) + 1)
+                    WHEN i = np THEN regexp_replace(part, '(?s)\\s+', '', 'g')
+                    ELSE regexp_replace(
+                             substr(part, 1,
+                                    length(part)
+                                    - length(regexp_extract(part, '(?s)(\\s+)$', 1))),
+                             '(?s)\\s+', '', 'g')
+                         || regexp_extract(part, '(?s)(\\s+)$', 1)
+                END AS dp
+            FROM uparts
+        ), despaced AS (
+            SELECT conv_id, string_agg(dp, '' ORDER BY i) AS ntext0
+            FROM udone GROUP BY conv_id
+        ), elems0 AS (
+            SELECT conv_id, regexp_extract_all(ntext0, '(?s)\\s+|\\S+') AS el
+            FROM despaced
+        ), elems AS (
+            SELECT conv_id, j, el[j] AS s
+            FROM elems0, unnest(range(1, len(el) + 1)) AS r(j)
+        ), ew AS (
+            SELECT conv_id, j, s,
+                   regexp_matches(s, '^\\s') AS is_gap,
+                   lag(s)  OVER w AS t1,
+                   lead(s) OVER w AS t2,
+                   lead(s, 3) OVER w AS t3
+            FROM elems
+            WINDOW w AS (PARTITION BY conv_id ORDER BY j)
+        ), gapsq AS (
+            SELECT conv_id, j, t1,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY j) AS g,
+                   (t1 IS NOT NULL AND t2 IS NOT NULL
+                    AND regexp_matches(t1, '[A-Za-z0-9_]$')
+                    AND regexp_matches(t2, '^[A-Za-z0-9_]')
+                    AND ((length(t2) <= 3 AND t3 IS NOT NULL
+                          AND regexp_matches(t3, '^[A-Za-z0-9_]'))
+                         OR regexp_matches(substr(t2, 2, 3), '[^A-Za-z0-9_]'))
+                   ) AS cand
+            FROM ew WHERE is_gap
+        ), gstart AS (
+            SELECT conv_id, j, g, cand,
+                   CASE WHEN cand AND NOT (coalesce(lag(cand) OVER w2, false)
+                                           AND length(t1) = 1)
+                        THEN g END AS start_g
+            FROM gapsq
+            WINDOW w2 AS (PARTITION BY conv_id ORDER BY g)
+        ), gtaken AS (
+            SELECT conv_id, j,
+                   (cand AND (g - max(start_g) OVER (PARTITION BY conv_id ORDER BY g
+                                                     ROWS UNBOUNDED PRECEDING)) % 2 = 0
+                   ) AS taken
+            FROM gstart
+        ), norm AS (
+            SELECT e.conv_id,
+                   string_agg(CASE WHEN coalesce(t.taken, false) THEN '' ELSE e.s END,
+                              '' ORDER BY e.j) AS ntext
+            FROM elems e
+            LEFT JOIN gtaken t ON t.conv_id = e.conv_id AND t.j = e.j
+            GROUP BY e.conv_id
+        )"""
+
+
+def _references_ctes() -> str:
+    """CTE chain (appended after _norm_docs_ctes) ending in
+    ``allrefs(conv_id, kind, value)`` — the SQL twin of
+    reference_extractor.extract_references (referenceExtractorN8N.ts
+    :59-384): candidate patterns over the normalized text, validation
+    splits, URL content gating, per-document distinct."""
+    return f"""
+        celex_c AS (
+            SELECT DISTINCT conv_id, upper(c) AS c FROM (
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)\\b([1-9CE0][12][90][0-9]{{2}}[A-Z][0-9A-Z()_-]+)\\b', 1)) AS c
+                FROM norm
+                UNION ALL
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)CELEX\\s*[:\\s]\\s*([0-9CE][0-9A-Z()_-]+)', 1)) AS c
+                FROM norm
+            )
+        ), numac_c AS (
+            SELECT DISTINCT conv_id, n FROM (
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '\\b([12][7890][0-9]{{2}}[0-9ABCDE][0-9]{{5}})\\b', 1)) AS n
+                FROM norm
+                UNION ALL
+                SELECT conv_id, upper(unnest(regexp_extract_all(ntext,
+                    '(?i)numac[_\\s]*[=:\\s]\\s*([0-9A-E]{{10}})', 1))) AS n
+                FROM norm
+                UNION ALL
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)/eli/[^/]+/[^/]+/[^/]+/([0-9]{{10}})', 1)) AS n
+                FROM norm
+                UNION ALL
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)etaamb\\.openjustice\\.be/[^_]+_n([0-9]{{10}})', 1)) AS n
+                FROM norm
+            )
+        ), file_c AS (
+            SELECT DISTINCT conv_id, f FROM (
+                SELECT conv_id,
+                       regexp_replace(unnest(regexp_extract_all(ntext,
+                           '\\b([12][7890][0-9]{{2}}[-/\\s]?[01][0-9][-/\\s]?[0123][0-9][-/\\s]?[0-9]{{2}})\\b',
+                           1)), '[-/\\s]', '', 'g') AS f
+                FROM norm
+                UNION ALL
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)ejustice\\.just\\.fgov\\.be[^\\s]*[?&]cn[_\\s]*search=([0-9]{{10}})', 1)) AS f
+                FROM norm
+            )
+            WHERE length(f) = 10 AND regexp_matches(f, '^[0-9]{{10}}$')
+        ), url_eu AS (
+            SELECT DISTINCT conv_id, u FROM (
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)https?://{_REF_URL_CLS}*europa\\.eu{_REF_URL_CLS}*', 0)) AS u
+                FROM norm
+            )
+            WHERE regexp_matches(u, '(?i)CELEX')
+               OR len(list_filter(string_split(u, '/'),
+                      p -> {_REF_V_CELEX.format(c='upper(p)')})) > 0
+        ), url_be AS (
+            SELECT DISTINCT conv_id, u FROM (
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)https?://{_REF_URL_CLS}*ejustice\\.just\\.fgov\\.be{_REF_URL_CLS}*', 0)) AS u
+                FROM norm
+                UNION ALL
+                SELECT conv_id, unnest(regexp_extract_all(ntext,
+                    '(?i)https?://{_REF_URL_CLS}*etaamb\\.openjustice\\.be{_REF_URL_CLS}*', 0)) AS u
+                FROM norm
+            ) t
+            WHERE (regexp_matches(u, '(?i)etaamb\\.openjustice\\.be') AND contains(u, '_n'))
+               OR (regexp_matches(u, '(?i)ejustice\\.just\\.fgov\\.be')
+                   AND len(list_filter(regexp_split_to_array(u, '[/?&=]'),
+                           p -> length(p) = 10
+                                AND (regexp_matches(p, '^[0-9]{{10}}$')
+                                     OR {_REF_V_NUMAC.format(s=_REF_NUMAC_STRIP.format(n='p'))}))) > 0)
+        ), allrefs AS (
+            SELECT conv_id, 'url_eu' AS kind, u AS value FROM url_eu
+            UNION ALL
+            SELECT conv_id, 'url_be', u FROM url_be
+            UNION ALL
+            SELECT conv_id, 'eu_verified', c FROM celex_c
+            WHERE {_REF_V_CELEX.format(c='c')}
+            UNION ALL
+            SELECT conv_id, 'eu_extracted', c FROM celex_c
+            WHERE NOT {_REF_V_CELEX.format(c='c')}
+            UNION ALL
+            SELECT conv_id, 'be_verified_numac', n FROM numac_c
+            WHERE {_REF_V_NUMAC.format(s=_REF_NUMAC_STRIP.format(n='n'))}
+            UNION ALL
+            SELECT DISTINCT conv_id, 'be_extracted', v FROM (
+                SELECT conv_id, n AS v FROM numac_c
+                WHERE NOT {_REF_V_NUMAC.format(s=_REF_NUMAC_STRIP.format(n='n'))}
+                UNION ALL
+                SELECT conv_id, f FROM file_c
+                WHERE NOT {_REF_V_FILE.format(f='f')}
+            )
+            UNION ALL
+            SELECT conv_id, 'be_verified_file_number', f FROM file_c
+            WHERE {_REF_V_FILE.format(f='f')}
+        )"""
+
+
+def _kg_references_sql() -> str:
+    return f"""
+        WITH {_norm_docs_ctes()}, {_references_ctes()}
+        SELECT conv_id, kind, value FROM allrefs
+        ORDER BY conv_id, kind, value
+    """
+
+
+def _kg_references(sf_dir: str):
+    """Exploded legal-reference table (conv_id, kind, value): the reference's
+    extract-references job (referenceExtractorN8N.ts) as a standalone query —
+    URL de-spacing + broken-word normalization, CELEX/NUMAC/file-number/URL
+    candidate patterns, validation splits."""
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import reference_table
+
+    docs = _docs_for(sf_dir)
+    return (
+        reference_table(docs.select_columns(["conv_id", "text"]))
+        .to_pandas()
+        .sort_values(["conv_id", "kind", "value"])
+        .reset_index(drop=True)
+    )
+
+
 def _kg_mentions(sf_dir: str):
     """Exploded provision mentions (assembly + extraction only)."""
     import pyarrow as pa
@@ -3295,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_dup_spans": _documents_dup_spans,
         "events_funnel": R.q_events_funnel,
         "events_retention": R.q_events_retention,
+        "kg_references": _kg_references,
     }
 
 
@@ -4351,4 +4623,7 @@ def oracle_sql() -> dict[str, str]:
             ) t USING (doc_id)
             ORDER BY g.doc_id
         """,
+        # full SQL port of the reference extractor, INCLUDING normalize_text
+        # (see _norm_docs_ctes for the lookahead-free closed form)
+        "kg_references": _kg_references_sql(),
     }

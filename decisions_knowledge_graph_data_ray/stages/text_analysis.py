@@ -243,3 +243,39 @@ def event_type_histogram(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("event_type")
         .aggregate(Sum("partial_n", alias_name="n_events"))
     )
+
+
+def reference_table(docs: ray.data.Dataset, id_col: str = "conv_id") -> ray.data.Dataset:
+    """Exploded legal-reference table: one row per (id, kind, value).
+
+    Runs the reference's production regex extractor
+    (functions/reference_extractor.py, a behavioral port of
+    /root/reference/src/utils/referenceExtractorN8N.ts:59-384) over each
+    document and explodes the seven output families (url_eu, url_be,
+    eu_extracted, eu_verified, be_extracted, be_verified_numac,
+    be_verified_file_number) to rows. A pure flat-map: streams, no shuffle;
+    the per-row regex scan IS the compute (the patterns are compiled once
+    at module import).
+    """
+    from ..functions.reference_extractor import extract_references
+
+    def _refs(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        kinds: list[str] = []
+        values: list[str] = []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch["text"].to_pylist()):
+            refs = extract_references(text)
+            for kind, vals in refs.items():
+                for v in vals:
+                    ids.append(doc_id)
+                    kinds.append(kind)
+                    values.append(v)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "kind": pa.array(kinds, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_refs, batch_format="pyarrow")
