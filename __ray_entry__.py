@@ -87,7 +87,11 @@ def _kg_run_for(sf_dir: str):
 
 
 def _kg_triples(sf_dir: str):
-    return _kg_run_for(sf_dir)["triples"]
+    """The deduplicated graph: (subj, pred, obj, conv_id, score). Sorted by
+    the (subj, pred, obj) key — unique after dedup_triples — so the oracle
+    hash gate sees a total order."""
+    df = _kg_run_for(sf_dir)["triples"].to_pandas()
+    return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 
 def _kg_links(sf_dir: str):
@@ -2326,11 +2330,11 @@ def _norm_from_docs_ctes() -> str:
         ), ew AS (
             SELECT conv_id, j, s,
                    regexp_matches(s, '^\\s') AS is_gap,
-                   lag(s)  OVER w AS t1,
-                   lead(s) OVER w AS t2,
-                   lead(s, 3) OVER w AS t3
+                   lag(s)  OVER normw AS t1,
+                   lead(s) OVER normw AS t2,
+                   lead(s, 3) OVER normw AS t3
             FROM elems
-            WINDOW w AS (PARTITION BY conv_id ORDER BY j)
+            WINDOW normw AS (PARTITION BY conv_id ORDER BY j)
         ), gapsq AS (
             SELECT conv_id, j, t1,
                    row_number() OVER (PARTITION BY conv_id ORDER BY j) AS g,
@@ -2344,11 +2348,11 @@ def _norm_from_docs_ctes() -> str:
             FROM ew WHERE is_gap
         ), gstart AS (
             SELECT conv_id, j, g, cand,
-                   CASE WHEN cand AND NOT (coalesce(lag(cand) OVER w2, false)
+                   CASE WHEN cand AND NOT (coalesce(lag(cand) OVER normw2, false)
                                            AND length(t1) = 1)
                         THEN g END AS start_g
             FROM gapsq
-            WINDOW w2 AS (PARTITION BY conv_id ORDER BY g)
+            WINDOW normw2 AS (PARTITION BY conv_id ORDER BY g)
         ), gtaken AS (
             SELECT conv_id, j,
                    (cand AND (g - max(start_g) OVER (PARTITION BY conv_id ORDER BY g
@@ -2471,6 +2475,220 @@ def _kg_references_sql() -> str:
         SELECT conv_id, kind, value FROM allrefs
         ORDER BY conv_id, kind, value
     """
+
+
+def _kg_triples_sql() -> str:
+    """The WHOLE graph in SQL: every triple family of emit_triples
+    (functions/document.py:141-205) unioned, then the dedup keep-rule of
+    stages/triples.dedup_triples (distinct (subj,pred,obj), min conv_id
+    then max score — ORDER BY conv_id, 100-score ≡ the packed-string min).
+
+    Families and their SQL sources:
+      cites_provision / of_act        — _mentions_parts (seqd + act_seqs)
+      cites_decision / treatment:<T>  — _citations_parts (cits)
+      links_to                        — the full _kg_links_sql, nested
+      has_celex/numac/file_number/
+        eu_url/be_url                 — _norm_docs_ctes + _references_ctes
+      has_keyword                     — extract_keywords (extract.py:309-317)
+        as lowercase [a-z]+ runs, len>=4, non-stopword, top-5 by
+        (count DESC, word ASC)
+      has_teaching / refines /
+        exception_to / conflicts_with — teach fragment (the kg_teachings
+        marker CASE; conflicts pairs emit min-side = the previous teaching)
+      teaching_cites_provision        — per-turn dedup keys joined to the
+        document-global (numkey, lower(name)) map; dict last-wins in
+        _related_provision_ids (teachings.py:127-130) = MAX provision_seq
+      teaching_cites_decision         — cits needles contained in the line
+      has_party / party_role:<R> /
+        party_type:<T>                — _kg_parties_sql, nested
+      has_outcome                     — _kg_outcomes_sql, nested
+    """
+    m = _mentions_parts()
+    c = _citations_parts()
+    teach_pat = _TEACH_MARKER_PAT.replace("'", "''")
+    stop = f"{_EN},{_FR},{_NL}"
+    return (
+        f"WITH RECURSIVE {m['ctes']}, {c['ctes']}, {_norm_docs_ctes()}, {_references_ctes()}, "
+        + f"""
+        m_seqd AS MATERIALIZED (SELECT * FROM seqd),
+        m_cits AS MATERIALIZED (SELECT * FROM cits),
+        act_first AS (
+            SELECT conv_id, lower(name) AS norm_name, min(provision_seq) AS fs
+            FROM m_seqd GROUP BY 1, 2
+        ), act_seqs AS (
+            SELECT conv_id, norm_name,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY fs) AS act_seq
+            FROM act_first
+        ), teach AS MATERIALIZED (
+            SELECT conv_id, turn_idx, text,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq,
+                   CASE WHEN regexp_matches(text,
+                            '(?i)(énonce le principe suivant\\s*:|stelt het volgende beginsel voorop\\s*:)')
+                        THEN NULL
+                        WHEN regexp_matches(text,
+                            '(?i)(en précisant le principe précédent|ter verfijning van het voorgaande beginsel)')
+                        THEN 'refines'
+                        WHEN regexp_matches(text,
+                            '(?i)(par exception au principe précédent|bij wijze van uitzondering op het voorgaande beginsel)')
+                        THEN 'exception'
+                        ELSE 'conflicts' END AS hier_kind
+            FROM t
+            WHERE regexp_matches(text, '{teach_pat}')
+        ), gkeys AS (
+            -- dict last-wins in _related_provision_ids: max seq per key
+            SELECT conv_id, numkey, lower(name) AS name_l,
+                   max(provision_seq) AS ps
+            FROM m_seqd GROUP BY 1, 2, 3
+        ), tprov AS (
+            SELECT DISTINCT te.conv_id, te.seq, g.ps
+            FROM teach te
+            JOIN dedup lp ON lp.conv_id = te.conv_id AND lp.turn_idx = te.turn_idx
+            JOIN gkeys g ON g.conv_id = lp.conv_id AND g.numkey = lp.numkey
+                        AND g.name_l = lower(lp.name)
+        ), tdec AS (
+            SELECT DISTINCT te.conv_id, te.seq, n.decision_seq
+            FROM teach te
+            JOIN (SELECT conv_id, decision_seq,
+                         COALESCE(ecli, case_number) AS needle
+                  FROM m_cits
+                  WHERE COALESCE(ecli, case_number) IS NOT NULL
+                    AND COALESCE(ecli, case_number) <> '') n
+              ON n.conv_id = te.conv_id AND contains(te.text, n.needle)
+        ), kw1 AS (
+            SELECT conv_id, w, count(*) AS n
+            FROM (SELECT conv_id,
+                         unnest(regexp_extract_all(lower(dtext), '[a-z]+')) AS w
+                  FROM docs)
+            WHERE length(w) >= 4 AND w NOT IN ({stop})
+            GROUP BY 1, 2
+        ), kw AS (
+            SELECT conv_id, w FROM (
+                SELECT conv_id, w,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY n DESC, w) AS rn
+                FROM kw1) WHERE rn <= 5
+        ), links_t AS MATERIALIZED ({_kg_links_sql()}
+        ), cedges AS MATERIALIZED (
+            -- canonical_edges (document.py:208-214): mention ↔ ENT:entity
+            SELECT DISTINCT mention_internal_id AS a,
+                            'ENT:' || matched_entity AS b
+            FROM links_t WHERE matched_entity IS NOT NULL
+        ), cund AS MATERIALIZED (
+            SELECT a, b FROM cedges UNION ALL SELECT b, a FROM cedges
+        ), creach(node, r) AS (
+            SELECT DISTINCT a, a FROM cund
+            UNION
+            SELECT creach.node, e.b FROM creach JOIN cund e ON creach.r = e.a
+        ), clabels AS (
+            -- min-label = connected_components' representative
+            SELECT node, min(r) AS label FROM creach GROUP BY node
+        ), parties_t AS MATERIALIZED ({_kg_parties_sql()}
+        ), outcomes_t AS ({_kg_outcomes_sql()}
+        ), rt AS (
+            SELECT conv_id AS subj, 'cites_provision' AS pred,
+                   'ART-' || conv_id || '-' || printf('%03d', provision_seq) AS obj,
+                   conv_id, NULL::INTEGER AS score
+            FROM m_seqd
+            UNION ALL
+            SELECT 'ART-' || s.conv_id || '-' || printf('%03d', s.provision_seq),
+                   'of_act',
+                   'ACT-' || s.conv_id || '-' || printf('%03d', a.act_seq),
+                   s.conv_id, NULL
+            FROM m_seqd s
+            JOIN act_seqs a ON a.conv_id = s.conv_id AND a.norm_name = lower(s.name)
+            UNION ALL
+            SELECT conv_id, 'cites_decision',
+                   'DEC-' || conv_id || '-' || printf('%03d', decision_seq),
+                   conv_id, NULL
+            FROM m_cits
+            UNION ALL
+            SELECT 'DEC-' || conv_id || '-' || printf('%03d', decision_seq),
+                   'treatment:' || treatment,
+                   COALESCE(NULLIF(ecli, ''), 'UNKNOWN'),
+                   conv_id, NULL
+            FROM m_cits
+            UNION ALL
+            SELECT mention_internal_id, 'links_to', matched_entity,
+                   conv_id, score
+            FROM links_t WHERE matched_entity IS NOT NULL
+            UNION ALL
+            SELECT conv_id,
+                   CASE kind WHEN 'eu_verified' THEN 'has_celex'
+                             WHEN 'be_verified_numac' THEN 'has_numac'
+                             WHEN 'be_verified_file_number' THEN 'has_file_number'
+                             WHEN 'url_eu' THEN 'has_eu_url'
+                             WHEN 'url_be' THEN 'has_be_url' END,
+                   value, conv_id, NULL
+            FROM allrefs
+            WHERE kind IN ('eu_verified', 'be_verified_numac',
+                           'be_verified_file_number', 'url_eu', 'url_be')
+            UNION ALL
+            SELECT conv_id, 'has_keyword', w, conv_id, NULL FROM kw
+            UNION ALL
+            SELECT conv_id, 'has_teaching',
+                   'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   conv_id, NULL
+            FROM teach
+            UNION ALL
+            SELECT 'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   'teaching_cites_provision',
+                   'ART-' || conv_id || '-' || printf('%03d', ps),
+                   conv_id, NULL
+            FROM tprov
+            UNION ALL
+            SELECT 'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   'teaching_cites_decision',
+                   'DEC-' || conv_id || '-' || printf('%03d', decision_seq),
+                   conv_id, NULL
+            FROM tdec
+            UNION ALL
+            SELECT 'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   'refines',
+                   'TEACH-' || conv_id || '-' || printf('%03d', seq - 1),
+                   conv_id, NULL
+            FROM teach WHERE hier_kind = 'refines' AND seq > 1
+            UNION ALL
+            SELECT 'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   'exception_to',
+                   'TEACH-' || conv_id || '-' || printf('%03d', seq - 1),
+                   conv_id, NULL
+            FROM teach WHERE hier_kind = 'exception' AND seq > 1
+            UNION ALL
+            -- both sides carry the pair; min side = the previous teaching
+            SELECT 'TEACH-' || conv_id || '-' || printf('%03d', seq - 1),
+                   'conflicts_with',
+                   'TEACH-' || conv_id || '-' || printf('%03d', seq),
+                   conv_id, NULL
+            FROM teach WHERE hier_kind = 'conflicts' AND seq > 1
+            UNION ALL
+            SELECT conv_id, 'has_party', internal_party_id, conv_id, NULL
+            FROM parties_t
+            UNION ALL
+            SELECT internal_party_id, 'party_role:' || procedural_role,
+                   conv_id, conv_id, NULL
+            FROM parties_t
+            UNION ALL
+            SELECT internal_party_id, 'party_type:' || party_type,
+                   name, conv_id, NULL
+            FROM parties_t
+            UNION ALL
+            SELECT conv_id, 'has_outcome', outcome, conv_id, NULL
+            FROM outcomes_t
+            UNION ALL
+            SELECT node, 'canonical_rep', label, '', NULL
+            FROM clabels WHERE node <> label
+        ), picked AS (
+            SELECT subj, pred, obj, conv_id, score,
+                   row_number() OVER (PARTITION BY subj, pred, obj
+                                      ORDER BY conv_id,
+                                               coalesce(100 - score, 101)) AS rn
+            FROM rt
+        )
+        SELECT subj, pred, obj, conv_id, score
+        FROM picked WHERE rn = 1
+        ORDER BY subj, pred, obj
+    """
+    )
 
 
 def _kg_references(sf_dir: str):
@@ -3575,6 +3793,146 @@ _FR = "'le','la','les','de','des','du','et','un','une','que','pour','dans','est'
 _NL = "'de','het','een','van','en','dat','die','in','voor','met','op','is','zijn','niet','aan','te'"
 
 
+def _kg_parties_sql() -> str:
+    return f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), m AS (
+                -- _PARTY_BLOCK_RES (functions/parties.py:65-76); one block
+                -- per turn in the corpus, FR and NL mutually exclusive
+                SELECT conv_id, turn_idx,
+                       regexp_extract(text,
+                           '(?i)En cause\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*contre\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
+                           ['p1', 'r1', 'p2', 'r2']) AS fr,
+                       regexp_extract(text,
+                           '(?i)In zake\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*tegen\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
+                           ['p1', 'r1', 'p2', 'r2']) AS nl
+                FROM t
+            ), blocks AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN fr.p1 <> '' THEN fr ELSE nl END AS g
+                FROM m WHERE fr.p1 <> '' OR nl.p1 <> ''
+            ), expl AS (
+                SELECT conv_id, turn_idx, 1 AS pos, g.p1 AS rawname, g.r1 AS role FROM blocks
+                UNION ALL
+                SELECT conv_id, turn_idx, 2 AS pos, g.p2 AS rawname, g.r2 AS role FROM blocks
+            ), named AS (
+                SELECT conv_id, turn_idx, pos,
+                       trim(regexp_replace(rawname, '\\s+', ' ', 'g')) AS name,
+                       lower(role) AS role
+                FROM expl
+            ), dedup AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, lower(name)
+                                          ORDER BY turn_idx, pos) AS rn
+                FROM named WHERE name <> ''
+            ), seqd AS (
+                SELECT conv_id, name, role,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx, pos) AS seq
+                FROM dedup WHERE rn = 1
+            )
+            SELECT conv_id, seq AS party_seq,
+                   'PARTY-' || conv_id || '-' || printf('%03d', seq) AS internal_party_id,
+                   name,
+                   -- classify_party_type rule order (parties.py:89-99)
+                   CASE WHEN regexp_matches(name, '(?i)(association de fait|feitelijke vereniging)') THEN 'DE_FACTO_ASSOCIATION'
+                        WHEN regexp_matches(name, '(?i)(état belge|belgische staat|la ville de|de stad|la commune|de gemeente|la région|het gewest)') THEN 'PUBLIC_AUTHORITY'
+                        WHEN regexp_matches(name, '(?i)^(la |de |het )?(s\\.?a\\.?|n\\.?v\\.?|s\\.?p\\.?r\\.?l\\.?|b\\.?v\\.?b\\.?a\\.?|b\\.?v\\.?|asbl|vzw)\\b') THEN 'LEGAL_ENTITY'
+                        WHEN regexp_matches(name, '^(m\\.|mme|dhr\\.|mevr\\.|[A-Z]\\.\\s)') THEN 'NATURAL_PERSON'
+                        WHEN len(string_split(name, ' ')) <= 3 THEN 'NATURAL_PERSON'
+                        ELSE 'UNCLEAR' END AS party_type,
+                   -- _ROLE_MAP exact lowercase surface → enum (parties.py:32-62)
+                   CASE role
+                        WHEN 'demanderesse en cassation' THEN 'DEMANDEUR_EN_CASSATION'
+                        WHEN 'demandeur en cassation' THEN 'DEMANDEUR_EN_CASSATION'
+                        WHEN 'défenderesse en cassation' THEN 'DEFENDEUR_EN_CASSATION'
+                        WHEN 'défendeur en cassation' THEN 'DEFENDEUR_EN_CASSATION'
+                        WHEN 'demanderesse' THEN 'DEMANDEUR'
+                        WHEN 'demandeur' THEN 'DEMANDEUR'
+                        WHEN 'défenderesse' THEN 'DEFENDEUR'
+                        WHEN 'défendeur' THEN 'DEFENDEUR'
+                        WHEN 'partie civile' THEN 'PARTIE_CIVILE'
+                        WHEN 'prévenu' THEN 'PREVENU'
+                        WHEN 'appelante' THEN 'APPELANT'
+                        WHEN 'appelant' THEN 'APPELANT'
+                        WHEN 'intimée' THEN 'INTIME'
+                        WHEN 'intimé' THEN 'INTIME'
+                        WHEN 'ministère public' THEN 'MINISTERE_PUBLIC'
+                        WHEN 'eiseres tot cassatie' THEN 'EISER_IN_CASSATIE'
+                        WHEN 'eiser tot cassatie' THEN 'EISER_IN_CASSATIE'
+                        WHEN 'verweerster in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
+                        WHEN 'verweerder in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
+                        WHEN 'eiseres' THEN 'EISER'
+                        WHEN 'eiser' THEN 'EISER'
+                        WHEN 'verweerster' THEN 'VERWEERDER'
+                        WHEN 'verweerder' THEN 'VERWEERDER'
+                        WHEN 'appellante' THEN 'APPELLANT'
+                        WHEN 'appellant' THEN 'APPELLANT'
+                        WHEN 'geïntimeerde' THEN 'GEÏNTIMEERDE'
+                        WHEN 'burgerlijke partij' THEN 'BURGERLIJKE_PARTIJ'
+                        WHEN 'beklaagde' THEN 'BEKLAAGDE'
+                        WHEN 'openbaar ministerie' THEN 'OPENBAAR_MINISTERIE'
+                        ELSE 'AUTRE' END AS procedural_role
+            FROM seqd
+            ORDER BY conv_id, party_seq
+        """
+
+
+def _kg_outcomes_sql() -> str:
+    return f"""
+            WITH d AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+                GROUP BY conv_id
+            ), low AS (
+                SELECT conv_id, text, lower(text) AS lt FROM d
+            ), ph(phrase, label, prio) AS (
+                -- _OUTCOME_PHRASES in list order (parties.py:160-176); the
+                -- LAST occurrence in document order wins, list order breaks
+                -- position ties (classify_outcome, parties.py:181-192)
+                VALUES
+                ('casse partiellement', 'CASSATION_PARTIELLE', 1),
+                ('rejette le pourvoi', 'REJET', 2),
+                ('casse l''arrêt', 'CASSATION', 3),
+                ('renvoie la cause', 'RENVOI', 4),
+                ('confirme le jugement', 'CONFIRMATION', 5),
+                ('déclare le moyen non fondé', 'NON_FONDE', 6),
+                ('déclare le moyen fondé', 'FONDE', 7),
+                ('déclare la demande irrecevable', 'IRRECEVABILITE', 8),
+                ('condamne', 'CONDAMNATION', 9),
+                ('verklaart het middel ongegrond', 'ONGEGROND', 10),
+                ('verklaart het middel gegrond', 'GEGROND', 11),
+                ('vernietigt het bestreden arrest', 'VERNIETIGING', 12),
+                ('wijst de vordering af', 'AFWIJZING', 13),
+                ('verwijst de zaak', 'VERWIJZING', 14),
+                ('bevestigt het vonnis', 'BEVESTIGING', 15)
+            ), pos AS (
+                SELECT conv_id, label, prio,
+                       length(lt) - strpos(reverse(lt), reverse(phrase))
+                         - length(phrase) + 2 AS p
+                FROM low CROSS JOIN ph
+                WHERE strpos(lt, phrase) > 0
+            ), best AS (
+                SELECT conv_id, label,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY p DESC, prio ASC) AS rn
+                FROM pos
+            )
+            SELECT d.conv_id,
+                   coalesce(b.label,
+                            CASE WHEN regexp_matches(d.text, '(?i)\\b(het|wordt|zaak|arrest)\\b')
+                                 THEN 'ANDERE' ELSE 'AUTRE' END) AS outcome,
+                   true AS valid, false AS retried, false AS used_fallback,
+                   'auto_accept' AS review_tier, '' AS errors
+            FROM d LEFT JOIN (SELECT conv_id, label FROM best WHERE rn = 1) b
+                   USING (conv_id)
+            ORDER BY conv_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_agg": """
@@ -4131,140 +4489,8 @@ def oracle_sql() -> dict[str, str]:
             FROM seqd s JOIN lvl USING (conv_id)
             ORDER BY conv_id, teaching_seq
         """,
-        "kg_parties": f"""
-            WITH t AS (
-                SELECT conv_id, turn_idx, text
-                FROM read_parquet('{_sf001_transcripts_path()}')
-            ), m AS (
-                -- _PARTY_BLOCK_RES (functions/parties.py:65-76); one block
-                -- per turn in the corpus, FR and NL mutually exclusive
-                SELECT conv_id, turn_idx,
-                       regexp_extract(text,
-                           '(?i)En cause\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*contre\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
-                           ['p1', 'r1', 'p2', 'r2']) AS fr,
-                       regexp_extract(text,
-                           '(?i)In zake\\s*:\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)\\s*,\\s*tegen\\s*([^,]+),\\s*(demanderesse en cassation|demandeur en cassation|défenderesse en cassation|défendeur en cassation|demanderesse|demandeur|défenderesse|défendeur|partie civile|prévenu|appelante|appelant|intimée|intimé|ministère public|eiseres tot cassatie|eiser tot cassatie|verweerster in cassatie|verweerder in cassatie|eiseres|eiser|verweerster|verweerder|appellante|appellant|geïntimeerde|burgerlijke partij|beklaagde|openbaar ministerie)',
-                           ['p1', 'r1', 'p2', 'r2']) AS nl
-                FROM t
-            ), blocks AS (
-                SELECT conv_id, turn_idx,
-                       CASE WHEN fr.p1 <> '' THEN fr ELSE nl END AS g
-                FROM m WHERE fr.p1 <> '' OR nl.p1 <> ''
-            ), expl AS (
-                SELECT conv_id, turn_idx, 1 AS pos, g.p1 AS rawname, g.r1 AS role FROM blocks
-                UNION ALL
-                SELECT conv_id, turn_idx, 2 AS pos, g.p2 AS rawname, g.r2 AS role FROM blocks
-            ), named AS (
-                SELECT conv_id, turn_idx, pos,
-                       trim(regexp_replace(rawname, '\\s+', ' ', 'g')) AS name,
-                       lower(role) AS role
-                FROM expl
-            ), dedup AS (
-                SELECT *,
-                       row_number() OVER (PARTITION BY conv_id, lower(name)
-                                          ORDER BY turn_idx, pos) AS rn
-                FROM named WHERE name <> ''
-            ), seqd AS (
-                SELECT conv_id, name, role,
-                       row_number() OVER (PARTITION BY conv_id
-                                          ORDER BY turn_idx, pos) AS seq
-                FROM dedup WHERE rn = 1
-            )
-            SELECT conv_id, seq AS party_seq,
-                   'PARTY-' || conv_id || '-' || printf('%03d', seq) AS internal_party_id,
-                   name,
-                   -- classify_party_type rule order (parties.py:89-99)
-                   CASE WHEN regexp_matches(name, '(?i)(association de fait|feitelijke vereniging)') THEN 'DE_FACTO_ASSOCIATION'
-                        WHEN regexp_matches(name, '(?i)(état belge|belgische staat|la ville de|de stad|la commune|de gemeente|la région|het gewest)') THEN 'PUBLIC_AUTHORITY'
-                        WHEN regexp_matches(name, '(?i)^(la |de |het )?(s\\.?a\\.?|n\\.?v\\.?|s\\.?p\\.?r\\.?l\\.?|b\\.?v\\.?b\\.?a\\.?|b\\.?v\\.?|asbl|vzw)\\b') THEN 'LEGAL_ENTITY'
-                        WHEN regexp_matches(name, '^(m\\.|mme|dhr\\.|mevr\\.|[A-Z]\\.\\s)') THEN 'NATURAL_PERSON'
-                        WHEN len(string_split(name, ' ')) <= 3 THEN 'NATURAL_PERSON'
-                        ELSE 'UNCLEAR' END AS party_type,
-                   -- _ROLE_MAP exact lowercase surface → enum (parties.py:32-62)
-                   CASE role
-                        WHEN 'demanderesse en cassation' THEN 'DEMANDEUR_EN_CASSATION'
-                        WHEN 'demandeur en cassation' THEN 'DEMANDEUR_EN_CASSATION'
-                        WHEN 'défenderesse en cassation' THEN 'DEFENDEUR_EN_CASSATION'
-                        WHEN 'défendeur en cassation' THEN 'DEFENDEUR_EN_CASSATION'
-                        WHEN 'demanderesse' THEN 'DEMANDEUR'
-                        WHEN 'demandeur' THEN 'DEMANDEUR'
-                        WHEN 'défenderesse' THEN 'DEFENDEUR'
-                        WHEN 'défendeur' THEN 'DEFENDEUR'
-                        WHEN 'partie civile' THEN 'PARTIE_CIVILE'
-                        WHEN 'prévenu' THEN 'PREVENU'
-                        WHEN 'appelante' THEN 'APPELANT'
-                        WHEN 'appelant' THEN 'APPELANT'
-                        WHEN 'intimée' THEN 'INTIME'
-                        WHEN 'intimé' THEN 'INTIME'
-                        WHEN 'ministère public' THEN 'MINISTERE_PUBLIC'
-                        WHEN 'eiseres tot cassatie' THEN 'EISER_IN_CASSATIE'
-                        WHEN 'eiser tot cassatie' THEN 'EISER_IN_CASSATIE'
-                        WHEN 'verweerster in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
-                        WHEN 'verweerder in cassatie' THEN 'VERWEERDER_IN_CASSATIE'
-                        WHEN 'eiseres' THEN 'EISER'
-                        WHEN 'eiser' THEN 'EISER'
-                        WHEN 'verweerster' THEN 'VERWEERDER'
-                        WHEN 'verweerder' THEN 'VERWEERDER'
-                        WHEN 'appellante' THEN 'APPELLANT'
-                        WHEN 'appellant' THEN 'APPELLANT'
-                        WHEN 'geïntimeerde' THEN 'GEÏNTIMEERDE'
-                        WHEN 'burgerlijke partij' THEN 'BURGERLIJKE_PARTIJ'
-                        WHEN 'beklaagde' THEN 'BEKLAAGDE'
-                        WHEN 'openbaar ministerie' THEN 'OPENBAAR_MINISTERIE'
-                        ELSE 'AUTRE' END AS procedural_role
-            FROM seqd
-            ORDER BY conv_id, party_seq
-        """,
-        "kg_outcomes": f"""
-            WITH d AS (
-                SELECT conv_id,
-                       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
-                FROM read_parquet('{_sf001_transcripts_path()}')
-                GROUP BY conv_id
-            ), low AS (
-                SELECT conv_id, text, lower(text) AS lt FROM d
-            ), ph(phrase, label, prio) AS (
-                -- _OUTCOME_PHRASES in list order (parties.py:160-176); the
-                -- LAST occurrence in document order wins, list order breaks
-                -- position ties (classify_outcome, parties.py:181-192)
-                VALUES
-                ('casse partiellement', 'CASSATION_PARTIELLE', 1),
-                ('rejette le pourvoi', 'REJET', 2),
-                ('casse l''arrêt', 'CASSATION', 3),
-                ('renvoie la cause', 'RENVOI', 4),
-                ('confirme le jugement', 'CONFIRMATION', 5),
-                ('déclare le moyen non fondé', 'NON_FONDE', 6),
-                ('déclare le moyen fondé', 'FONDE', 7),
-                ('déclare la demande irrecevable', 'IRRECEVABILITE', 8),
-                ('condamne', 'CONDAMNATION', 9),
-                ('verklaart het middel ongegrond', 'ONGEGROND', 10),
-                ('verklaart het middel gegrond', 'GEGROND', 11),
-                ('vernietigt het bestreden arrest', 'VERNIETIGING', 12),
-                ('wijst de vordering af', 'AFWIJZING', 13),
-                ('verwijst de zaak', 'VERWIJZING', 14),
-                ('bevestigt het vonnis', 'BEVESTIGING', 15)
-            ), pos AS (
-                SELECT conv_id, label, prio,
-                       length(lt) - strpos(reverse(lt), reverse(phrase))
-                         - length(phrase) + 2 AS p
-                FROM low CROSS JOIN ph
-                WHERE strpos(lt, phrase) > 0
-            ), best AS (
-                SELECT conv_id, label,
-                       row_number() OVER (PARTITION BY conv_id
-                                          ORDER BY p DESC, prio ASC) AS rn
-                FROM pos
-            )
-            SELECT d.conv_id,
-                   coalesce(b.label,
-                            CASE WHEN regexp_matches(d.text, '(?i)\\b(het|wordt|zaak|arrest)\\b')
-                                 THEN 'ANDERE' ELSE 'AUTRE' END) AS outcome,
-                   true AS valid, false AS retried, false AS used_fallback,
-                   'auto_accept' AS review_tier, '' AS errors
-            FROM d LEFT JOIN (SELECT conv_id, label FROM best WHERE rn = 1) b
-                   USING (conv_id)
-            ORDER BY conv_id
-        """,
+        "kg_parties": _kg_parties_sql(),
+        "kg_outcomes": _kg_outcomes_sql(),
         # fake-decode kernel (stages/multimodal.py:_decode_fake): dimensions
         # + feature bytes from sha256 of the payload's lowercase hex — the
         # keying exists precisely so this VARCHAR-only-sha256 oracle can
@@ -4626,4 +4852,8 @@ def oracle_sql() -> dict[str, str]:
         # full SQL port of the reference extractor, INCLUDING normalize_text
         # (see _norm_docs_ctes for the lookahead-free closed form)
         "kg_references": _kg_references_sql(),
+        # the whole graph in SQL: every emit_triples family unioned + the
+        # dedup keep-rule — the LAST query to gain a hash gate (unblocked by
+        # the normalize_text closed form above)
+        "kg_triples": _kg_triples_sql(),
     }
