@@ -225,6 +225,24 @@ def run_bench(headline_only: bool = False) -> dict:
         secondary["events_retention"] = lambda: R.q_events_retention(SF_DIR)
     except Exception:
         pass
+    try:
+        # round-5 third wave: reference extraction (assemble + regex scan +
+        # explode) over the transcript corpus — a pure streaming flat-map
+        from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+        from decisions_knowledge_graph_data_ray.stages.assemble import (
+            assemble_documents_salted,
+        )
+        from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+            reference_table,
+        )
+
+        def _kg_refs():
+            docs = assemble_documents_salted(read_transcripts(SF_DIR))
+            return reference_table(docs.select_columns(["conv_id", "text"])).count()
+
+        secondary["kg_references"] = _kg_refs
+    except Exception:
+        pass
 
     # best-of-2 per secondary: single runs on this box vary 2-3x under the
     # session's own residual load (object-store churn from the headline reps)
