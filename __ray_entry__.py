@@ -2707,6 +2707,56 @@ def _kg_references(sf_dir: str):
     )
 
 
+# Deterministic per-group sampling rates for documents_mixture (the mixture-
+# rebalancing demo: upsample fr, drop zh entirely; unlisted langs fall to the
+# default rate 0.0). Single source for BOTH the Ray stage and the SQL oracle.
+_MIXTURE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.1}
+
+
+def _documents_packed(sf_dir: str):
+    """Sequence packing: 64-token chunks → 256-token-budget training
+    sequences via the distributed prefix-sum (bucketed two-level scan;
+    bucket_span=64 so sf0.01's 500 docs exercise multi-bucket carries)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    packed = pack_sequences(chunk_documents(docs, chunk_tokens=64), capacity=256, bucket_span=64)
+    return (
+        packed.to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_mixture(sf_dir: str):
+    """Deterministic per-language rate sampling (mixture rebalancing)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import mixture_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    kept = mixture_sample(docs, _MIXTURE_RATES, default_rate=0.0, seed="mix")
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _documents_shuffled(sf_dir: str):
+    """Deterministic global shuffle (epoch permutation): first 20 docs in
+    md5('epoch0:'||id) order, with the shuffle rank and key exposed."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import deterministic_shuffle
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    top = deterministic_shuffle(docs, seed="epoch0").limit(20).to_pandas()
+    top["shuffle_rank"] = range(len(top))
+    return top[["shuffle_rank", "doc_id", "lang", "shuffle_key"]]
+
+
 def _kg_mentions(sf_dir: str):
     """Exploded provision mentions (assembly + extraction only)."""
     import pyarrow as pa
@@ -3785,12 +3835,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.q_events_funnel,
         "events_retention": R.q_events_retention,
         "kg_references": _kg_references,
+        "documents_packed": _documents_packed,
+        "documents_mixture": _documents_mixture,
+        "documents_shuffled": _documents_shuffled,
     }
 
 
 _EN = "'the','of','and','to','in','a','is','that','it','for','on','with','as','are','was','be','this'"
 _FR = "'le','la','les','de','des','du','et','un','une','que','pour','dans','est','sont','au','aux','par'"
 _NL = "'de','het','een','van','en','dat','die','in','voor','met','op','is','zijn','niet','aan','te'"
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """First 8 hex chars of md5(expr) as a BIGINT in [0, 2^32) — the SQL
+    twin of prep.mixture_sample's keep-hash (and of prep.split_of's bucket
+    arithmetic, which inlines the same strpos chain)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
 
 
 def _kg_parties_sql() -> str:
@@ -4856,4 +4920,41 @@ def oracle_sql() -> dict[str, str]:
         # dedup keep-rule — the LAST query to gain a hash gate (unblocked by
         # the normalize_text closed form above)
         "kg_triples": _kg_triples_sql(),
+        # sequence packing: the distributed prefix-sum's offset assignment is
+        # one SUM ... OVER window in SQL (chunk CTE shared with documents_chunks)
+        "documents_packed": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ), c AS (
+                SELECT doc_id, i - 1 AS chunk_idx,
+                       CAST(len(ws[(i-1)*64 + 1 : least(i*64, len(ws))]) AS BIGINT) AS n_tokens
+                FROM w, unnest(range(1, greatest((len(ws) + 63) // 64, 1) + 1)) AS r(i)
+            ), o AS (
+                SELECT doc_id, chunk_idx, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+                FROM c
+            )
+            SELECT doc_id, chunk_idx, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 256 AS BIGINT) AS seq_id
+            FROM o ORDER BY doc_id, chunk_idx
+        """,
+        # mixture sampling: integer keep-thresholds floor(rate * 2^32) are
+        # computed from the SAME _MIXTURE_RATES dict the Ray stage uses
+        "documents_mixture": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_md5_u32_sql("'mix:' || CAST(doc_id AS VARCHAR)")} <
+                  CASE lang
+                      {" ".join(f"WHEN '{g}' THEN {min(int(r * 4294967296), 4294967296)}" for g, r in _MIXTURE_RATES.items())}
+                      ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "documents_shuffled": """
+            SELECT CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) AS shuffle_rank,
+                   doc_id, lang,
+                   md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_rank LIMIT 20
+        """,
     }

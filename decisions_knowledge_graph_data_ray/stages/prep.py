@@ -19,6 +19,14 @@ SQL-reproducible, the same rule as sketches/_shingle_hashes):
   vectorized map.
 - chunk_documents: fixed-token-window chunking (flat_map shape: one output
   row per chunk) — the pre-tokenization packing step.
+- pack_sequences: offset packing of chunks into fixed-token-budget training
+  sequences via a DISTRIBUTED PREFIX SUM (bucketed two-level scan) — no
+  global sort, no driver-side corpus.
+- mixture_sample: deterministic per-group rate sampling (domain/language
+  mixture rebalancing) — a pure map, zero shuffle.
+- deterministic_shuffle: content-addressed global permutation (order by
+  md5(seed:id)) — reproducible across runs and cluster sizes, unlike
+  random_shuffle; the stable epoch shuffle a resumable training run needs.
 """
 
 from __future__ import annotations
@@ -262,3 +270,138 @@ def chunk_documents(
         )
 
     return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def pack_sequences(
+    chunks: ray.data.Dataset,
+    capacity: int = 1024,
+    bucket_span: int = 1 << 16,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+) -> ray.data.Dataset:
+    """Pack chunk rows into fixed-token-budget training sequences:
+    ``seq_id = start_offset // capacity`` where ``start_offset`` is the
+    GLOBAL exclusive prefix sum of ``tok_col`` in (id_col, idx_col) order.
+
+    The assignment is a pure function of the corpus — not of block
+    boundaries, partitioning, or cluster size — and SQL-reproducible (one
+    ``SUM ... OVER`` window). A sequence may straddle a chunk boundary: a
+    chunk belongs to the bin containing its START offset, the usual
+    document-packing compromise (no chunk is split; a bin may run slightly
+    over capacity when a chunk straddles its end).
+
+    Distributed-scan shape (no global sort, never the corpus on the driver):
+
+    1. ``bucket = id // bucket_span`` — requires a monotone integer id
+       (the partitioning assumption this operator relies on);
+    2. per-bucket token totals via a per-batch combiner then a small
+       groupby — the shuffle moves one int row per (bucket, batch);
+    3. the bucket-total table (|id range| / bucket_span rows) is collected
+       and exclusive-cumsum'd in bucket order on the driver — THE
+       driver-side bound; size ``bucket_span`` so this stays ~1e5-1e6 rows
+       at 100 TB — then broadcast once via ``ray.put``;
+    4. a per-bucket ``map_groups`` computes the within-bucket running sum
+       and adds the bucket carry. Only the three int columns cross the
+       shuffle (chunk text never moves; join it back on (id, idx) if the
+       packed text itself is needed).
+
+    The input is streamed twice (bucket totals, then assignment) — two
+    cheap int-only passes instead of one materialization.
+
+    Returns one row per chunk: (id, idx, n_tokens, start_offset, seq_id).
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ints = chunks.select_columns([id_col, idx_col, tok_col])
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch[id_col], dtype=np.int64) // bucket_span
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    bucketed = ints.map_batches(_with_bucket, batch_format="pyarrow")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["_bucket", tok_col]).to_pandas()
+        g = df.groupby("_bucket", as_index=False)[tok_col].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        bucketed.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .aggregate(Sum(tok_col, alias_name="_tok"))
+        .to_pandas()
+    )
+    if len(totals):
+        totals = totals.sort_values("_bucket").reset_index(drop=True)
+        offs = totals["_tok"].cumsum().shift(fill_value=0).astype("int64")
+        carry = dict(zip(totals["_bucket"].astype(int), offs))
+    else:
+        carry = {}
+    carry_ref = ray.put(carry)
+
+    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+        from .broadcast import broadcast_cache
+
+        c = broadcast_cache(carry_ref)
+        g = g.sort_values([id_col, idx_col]).reset_index(drop=True)
+        off = int(c.get(int(g["_bucket"].iloc[0]), 0))
+        ends = g[tok_col].astype("int64").cumsum()
+        g["start_offset"] = (ends - g[tok_col] + off).astype("int64")
+        g["seq_id"] = (g["start_offset"] // capacity).astype("int64")
+        return g.drop(columns=["_bucket"])
+
+    return bucketed.groupby("_bucket").map_groups(_assign, batch_format="pandas")
+
+
+def mixture_sample(
+    docs: ray.data.Dataset,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> ray.data.Dataset:
+    """Deterministic per-group rate sampling — the domain/language mixture
+    rebalancing step of a training-data pipeline. A row is kept iff the
+    first 32 bits of ``md5("{seed}:{id}")`` fall below its group's integer
+    threshold ``floor(rate * 2^32)``. Pure map, zero shuffle: the same
+    document keeps/drops at any scale and partitioning, and the integer
+    comparison makes the DuckDB oracle exact (no float thresholds)."""
+    thr = {g: min(int(r * 4294967296), 4294967296) for g, r in rates.items()}
+    dthr = min(int(default_rate * 4294967296), 4294967296)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            < thr.get(g, dthr)
+            for i, g in zip(batch[id_col].to_pylist(), batch[group_col].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    key_col: str = "shuffle_key",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle: order by ``md5("{seed}:{id}")`` — a
+    content-addressed permutation that is reproducible across runs, block
+    layouts and cluster sizes (``random_shuffle`` is not), which is what a
+    resumable multi-epoch training run needs (vary ``seed`` per epoch).
+    One distributed range-partition sort over a 32-char key column; the
+    lowercase-hex string order matches SQL's byte collation exactly."""
+
+    def _key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            for i in batch[id_col].to_pylist()
+        ]
+        return batch.append_column(key_col, pa.array(keys, pa.string()))
+
+    return ds.map_batches(_key, batch_format="pyarrow").sort(key_col)

@@ -131,3 +131,88 @@ def test_semantic_contamination_flags(ray_session):
     )
     df2 = semantic_contamination_flags(corpus, empty, threshold=0.5).to_pandas()
     assert not df2["contaminated"].any() and (df2["max_cosine"] == 0.0).all()
+
+
+def test_pack_sequences_matches_serial_and_partition_invariant(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.prep import pack_sequences
+
+    chunks = chunk_documents(_docs(50), chunk_tokens=16)
+    # bucket_span=8 → 7 buckets at 50 docs: multi-bucket carries exercised
+    out = (
+        pack_sequences(chunks, capacity=48, bucket_span=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    # serial reference: global exclusive prefix sum in (doc_id, chunk_idx) order
+    ref = (
+        chunks.select_columns(["doc_id", "chunk_idx", "n_tokens"])
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    ref["start_offset"] = ref["n_tokens"].cumsum().shift(fill_value=0).astype("int64")
+    ref["seq_id"] = (ref["start_offset"] // 48).astype("int64")
+    pd.testing.assert_frame_equal(out[ref.columns.tolist()], ref)
+
+    # seq ids are contiguous from 0 and every bin except possibly the last
+    # reaches capacity once its straddling chunk lands
+    assert out["seq_id"].min() == 0
+    assert sorted(out["seq_id"].unique()) == list(range(out["seq_id"].max() + 1))
+
+    # partitioning must not change the assignment (pure function of corpus)
+    out2 = (
+        pack_sequences(chunks.repartition(7), capacity=48, bucket_span=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.prep import mixture_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "fr", "zh"][i % 3]} for i in range(300)
+    ]
+    docs = rd.from_items(rows)
+    out = (
+        mixture_sample(docs, {"fr": 1.0, "en": 0.5}, default_rate=0.0, seed="mix")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # rate 1.0 keeps every fr row; default 0.0 drops every zh row
+    assert (out["lang"] != "zh").all()
+    assert (out["lang"] == "fr").sum() == 100
+    # en kept iff md5-u32 below floor(0.5 * 2^32) — exact per-row recompute
+    kept_en = set(out.loc[out["lang"] == "en", "doc_id"])
+    for i in range(0, 300, 3):
+        u = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16)
+        assert (i in kept_en) == (u < 2147483648)
+    # deterministic across runs
+    again = (
+        mixture_sample(docs, {"fr": 1.0, "en": 0.5}, default_rate=0.0, seed="mix")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_deterministic_shuffle_is_md5_order(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.prep import deterministic_shuffle
+
+    docs = rd.from_items([{"doc_id": i} for i in range(100)])
+    got = deterministic_shuffle(docs, seed="e1").to_pandas()["doc_id"].tolist()
+    want = sorted(range(100), key=lambda i: hashlib.md5(f"e1:{i}".encode()).hexdigest())
+    assert got == want
+    # a different seed yields a different permutation of the same ids
+    got2 = deterministic_shuffle(docs, seed="e2").to_pandas()["doc_id"].tolist()
+    assert sorted(got2) == list(range(100)) and got2 != got
