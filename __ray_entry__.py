@@ -2744,6 +2744,40 @@ def _documents_mixture(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _documents_sample_bottomk(sf_dir: str):
+    """Uniform 15-sample via the bottom-k (KMV) combiner — no global sort:
+    each batch keeps its k smallest md5 keys; the driver merges k × blocks
+    rows. Same result as ORDER BY md5 LIMIT k, one streaming pass."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import uniform_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return (
+        uniform_sample(docs, k=15, seed="s0")
+        .to_pandas()
+        .sort_values("sample_key")
+        .reset_index(drop=True)
+    )
+
+
+def _events_hll_users(sf_dir: str):
+    """HLL count-distinct register table: per event_type, the 64-register
+    sketch of distinct user_ids (one row per touched register). Integer-
+    exact oracle surface; the estimator over it is pytest-gated."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import hll_registers
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return (
+        hll_registers(ev, key_col="user_id", group_col="event_type", b=6)
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
 def _documents_shuffled(sf_dir: str):
     """Deterministic global shuffle (epoch permutation): first 20 docs in
     md5('epoch0:'||id) order, with the shuffle rank and key exposed."""
@@ -3838,6 +3872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_packed": _documents_packed,
         "documents_mixture": _documents_mixture,
         "documents_shuffled": _documents_shuffled,
+        "documents_sample_bottomk": _documents_sample_bottomk,
+        "events_hll_users": _events_hll_users,
     }
 
 
@@ -4956,5 +4992,32 @@ def oracle_sql() -> dict[str, str]:
                    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
             ORDER BY shuffle_rank LIMIT 20
+        """,
+        # bottom-k (KMV) uniform sample == ORDER BY md5 LIMIT k
+        "documents_sample_bottomk": """
+            SELECT doc_id, lang, md5('s0:' || CAST(doc_id AS VARCHAR)) AS sample_key
+            FROM documents
+            ORDER BY sample_key LIMIT 15
+        """,
+        # HLL register table (stages/cardinality.py): md5-u32 of the key,
+        # top 6 bits -> bucket, rho = 26 - bit_length(remaining) + 1
+        # (bit_length via length(bin(x)); the all-zero remainder scores 27)
+        "events_hll_users": f"""
+            WITH h AS (
+                SELECT event_type,
+                       {_md5_u32_sql("CAST(user_id AS VARCHAR)")} AS u32
+                FROM events
+            ), hr AS (
+                SELECT event_type,
+                       u32 // 67108864 AS bucket,
+                       u32 % 67108864 AS rem
+                FROM h
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN rem = 0 THEN 27
+                                 ELSE 27 - length(bin(rem)) END) AS BIGINT) AS rho
+            FROM hr
+            GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
         """,
     }

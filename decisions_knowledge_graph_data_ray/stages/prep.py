@@ -405,3 +405,40 @@ def deterministic_shuffle(
         return batch.append_column(key_col, pa.array(keys, pa.string()))
 
     return ds.map_batches(_key, batch_format="pyarrow").sort(key_col)
+
+
+def uniform_sample(
+    ds: ray.data.Dataset,
+    k: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    key_col: str = "sample_key",
+) -> ray.data.Dataset:
+    """Deterministic uniform k-sample WITHOUT a global sort: bottom-k by
+    ``md5("{seed}:{id}")`` (the bottom-k / KMV sketch). Each batch keeps
+    only its own k smallest rows — the partial-top-k combiner discipline of
+    ``brute_force_topk``/``vocabulary`` — so the driver merges at most
+    k × blocks rows, never the corpus. Equivalent to ``ORDER BY md5(...)
+    LIMIT k`` (which is what :func:`deterministic_shuffle` + ``limit``
+    computes via a full range-partition sort; use THIS when only a sample
+    is needed — one streaming pass, no shuffle). Rows come back in key
+    order with all input columns plus ``key_col``."""
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df[key_col] = [
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in df[id_col]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values(key_col).head(k), preserve_index=False
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(key_col)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(pd.DataFrame(merged))

@@ -204,6 +204,69 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_uniform_sample_bottomk_equals_sorted_limit(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.prep import uniform_sample
+
+    docs = rd.from_items([{"doc_id": i, "lang": "en"} for i in range(200)])
+    out = uniform_sample(docs, k=7, seed="s").to_pandas()
+    want = sorted(range(200), key=lambda i: hashlib.md5(f"s:{i}".encode()).hexdigest())[:7]
+    assert out["doc_id"].tolist() == want
+    assert out["sample_key"].is_monotonic_increasing
+    # partition-invariant (combiner merge must not depend on block layout)
+    out2 = uniform_sample(docs.repartition(13), k=7, seed="s").to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hll_registers_and_estimate(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    rows = [
+        {"k": f"user{i % 700}", "g": "a" if i % 2 else "b"} for i in range(5000)
+    ]
+    ds = rd.from_items(rows)
+    regs = (
+        hll_registers(ds, key_col="k", group_col="g", b=6)
+        .to_pandas()
+        .sort_values(["g", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    # serial recompute over the distinct key set
+    want: dict[tuple, int] = {}
+    for r in rows:
+        u = int(hashlib.md5(r["k"].encode()).hexdigest()[:8], 16)
+        rem = u & ((1 << 26) - 1)
+        rho = 26 - rem.bit_length() + 1
+        key = (r["g"], u >> 26)
+        want[key] = max(want.get(key, 0), rho)
+    got = {(g, b): r for g, b, r in zip(regs["g"], regs["bucket"], regs["rho"])}
+    assert got == want
+
+    # registers merge by max: block layout must not matter
+    regs2 = (
+        hll_registers(ds.repartition(11), key_col="k", group_col="g", b=6)
+        .to_pandas()
+        .sort_values(["g", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(regs, regs2)
+
+    # estimator: both groups see 350 distinct users (i%2 fixes user parity);
+    # standard-HLL error at m=64 is ~13%, gate at 3 sigma
+    est = hll_distinct(ds, key_col="k", group_col="g", b=6).to_pandas().set_index("g")
+    for g in ("a", "b"):
+        assert abs(est.loc[g, "hll_estimate"] - 350) / 350 < 0.4
+        assert est.loc[g, "m"] == 64
+        assert 0 < est.loc[g, "n_nonzero"] <= 64
+
+
 def test_deterministic_shuffle_is_md5_order(ray_session):
     import hashlib
 
