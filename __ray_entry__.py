@@ -2778,6 +2778,34 @@ def _events_hll_users(sf_dir: str):
     )
 
 
+def _documents_profile(sf_dir: str):
+    """Column profiler: per-column rows/nulls/min/max + HLL distinct
+    digests over every documents column — the pre-job profiling pass."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import profile_columns
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars", "text"])
+
+
+def _events_user_fof(sf_dir: str):
+    """Key-skew diagnostic: frequency-of-frequencies of events.user_id
+    (how many users produced exactly N events) — the histogram whose heavy
+    tail justifies hot-key salting before a groupby/join."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import key_skew_histogram
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return (
+        key_skew_histogram(ev, "user_id")
+        .to_pandas()
+        .sort_values("key_count")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_shuffled(sf_dir: str):
     """Deterministic global shuffle (epoch permutation): first 20 docs in
     md5('epoch0:'||id) order, with the shuffle rank and key exposed."""
@@ -3874,12 +3902,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_shuffled": _documents_shuffled,
         "documents_sample_bottomk": _documents_sample_bottomk,
         "events_hll_users": _events_hll_users,
+        "documents_profile": _documents_profile,
+        "events_user_fof": _events_user_fof,
     }
 
 
 _EN = "'the','of','and','to','in','a','is','that','it','for','on','with','as','are','was','be','this'"
 _FR = "'le','la','les','de','des','du','et','un','une','que','pour','dans','est','sont','au','aux','par'"
 _NL = "'de','het','een','van','en','dat','die','in','voor','met','op','is','zijn','niet','aan','te'"
+
+
+def _documents_profile_sql() -> str:
+    """Per-column profile rows (stages/diagnostics.profile_columns): exact
+    stats in the column's native type rendered to VARCHAR after the
+    aggregate, plus the HLL register digests (one register CTE per column,
+    same bucket/rho arithmetic as events_hll_users)."""
+    cols = [("doc_id", False), ("lang", True), ("source", True), ("n_chars", False), ("text", True)]
+    ctes, selects = [], []
+    for col, is_str in cols:
+        val = col if is_str else f"CAST({col} AS VARCHAR)"
+        ctes.append(
+            f"""reg_{col} AS (
+                SELECT u32 // 67108864 AS bucket,
+                       MAX(CASE WHEN u32 % 67108864 = 0 THEN 27
+                                ELSE 27 - length(bin(u32 % 67108864)) END) AS rho
+                FROM (SELECT {_md5_u32_sql(val)} AS u32 FROM documents WHERE {col} IS NOT NULL)
+                GROUP BY 1)"""
+        )
+        selects.append(
+            f"""SELECT '{col}' AS "column", count(*) AS n_rows,
+                       count(*) - count({col}) AS n_nulls,
+                       CAST(min({col}) AS VARCHAR) AS min_value,
+                       CAST(max({col}) AS VARCHAR) AS max_value,
+                       (SELECT CAST(count(*) AS BIGINT) FROM reg_{col}) AS hll_nonzero,
+                       (SELECT CAST(sum(rho) AS BIGINT) FROM reg_{col}) AS hll_sum_rho,
+                       (SELECT CAST(max(rho) AS BIGINT) FROM reg_{col}) AS hll_max_rho
+                FROM documents"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + '\nORDER BY "column"'
+    )
 
 
 def _md5_u32_sql(expr: str) -> str:
@@ -5019,5 +5083,14 @@ def oracle_sql() -> dict[str, str]:
             FROM hr
             GROUP BY event_type, bucket
             ORDER BY event_type, bucket
+        """,
+        # per-column profile: native-type min/max rendered after the
+        # aggregate + HLL register digests per column
+        "documents_profile": _documents_profile_sql(),
+        # frequency-of-frequencies: the key-skew diagnostic
+        "events_user_fof": """
+            SELECT key_count, count(*) AS n_keys
+            FROM (SELECT user_id, count(*) AS key_count FROM events GROUP BY user_id)
+            GROUP BY key_count ORDER BY key_count
         """,
     }

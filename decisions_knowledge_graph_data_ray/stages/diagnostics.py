@@ -1,0 +1,197 @@
+"""Data-profiling and skew diagnostics over arbitrary tables.
+
+The operators an engineer runs BEFORE sizing a 100-TB job:
+
+- profile_columns: per-column row/null counts, min/max, and an HLL
+  register digest for approximate distinct — the schema-profiling pass
+  that decides partitioning keys and broadcast-vs-shuffle joins.
+- key_skew_histogram: frequency-of-frequencies of a key column — the skew
+  diagnostic that justifies (or rules out) hot-key salting before a
+  groupby/join (the engine's salted assembly path exists precisely for the
+  heavy tail this histogram exposes).
+
+Scale shapes: every pass is a per-batch combiner whose partial output is
+bounded by columns × batches (profile) or distinct-keys-per-batch (skew),
+never by row count; merges are tiny groupbys or a driver-side reduce over
+the bounded partials.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    b: int = 6,
+) -> "pandas.DataFrame":  # noqa: F821 — annotation only
+    """Profile ``columns`` (integer or string typed): one output row per
+    column with ``(column, n_rows, n_nulls, min_value, max_value,
+    hll_nonzero, hll_sum_rho, hll_max_rho)``. min/max are computed in the
+    column's NATIVE type (so 9 < 10 for ints) and rendered to strings only
+    after the merge; the HLL digests summarize the distinct-value sketch of
+    ``str(value)`` (see stages/cardinality.py — int-exact, the estimator is
+    a pure function of the registers).
+
+    Two streaming passes, each with a bounded partial:
+      1. stats — one partial row per (column, batch); the driver reduces
+         columns × batches rows (min/max merged natively per dtype);
+      2. distinct — cells explode to (column, str(value)) rows (a pure
+         map) feeding ``hll_registers``; the shuffle moves at most
+         columns × 2^b int rows per batch.
+
+    Returns a small pandas frame (one row per column) — a diagnostic
+    result, bounded by definition.
+    """
+    import pandas as pd
+
+    from .cardinality import hll_registers
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "column": [], "n_rows": [], "n_nulls": [],
+            "int_min": [], "int_max": [], "str_min": [], "str_max": [],
+        }
+        for col in columns:
+            arr = batch[col]
+            vals = [v for v in arr.to_pylist() if v is not None]
+            is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            out["column"].append(col)
+            out["n_rows"].append(len(arr))
+            out["n_nulls"].append(len(arr) - len(vals))
+            out["int_min"].append(None if (is_str or not vals) else min(vals))
+            out["int_max"].append(None if (is_str or not vals) else max(vals))
+            out["str_min"].append(min(vals) if (is_str and vals) else None)
+            out["str_max"].append(max(vals) if (is_str and vals) else None)
+        return pa.table(
+            {
+                "column": pa.array(out["column"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+                "int_min": pa.array(out["int_min"], pa.int64()),
+                "int_max": pa.array(out["int_max"], pa.int64()),
+                "str_min": pa.array(out["str_min"], pa.string()),
+                "str_max": pa.array(out["str_max"], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.select_columns(columns)
+        .map_batches(_stats, batch_format="pyarrow")
+        .to_pandas()  # columns × batches rows — bounded
+    )
+    # a (column, batch) partial may be all-null for the str/int twin of the
+    # other dtype (or for an empty block), so the merge must drop NaN before
+    # comparing — pandas' object-dtype min would otherwise compare str vs NaN
+    def _nullsafe(how):
+        return lambda s: (s.dropna().agg(how) if s.notna().any() else None)
+
+    agg = parts.groupby("column", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        n_nulls=("n_nulls", "sum"),
+        int_min=("int_min", _nullsafe("min")),
+        int_max=("int_max", _nullsafe("max")),
+        str_min=("str_min", _nullsafe("min")),
+        str_max=("str_max", _nullsafe("max")),
+    )
+
+    def _render(row, lo_hi):
+        iv, sv = row[f"int_{lo_hi}"], row[f"str_{lo_hi}"]
+        if pd.notna(iv):
+            return str(int(iv))
+        return sv if pd.notna(sv) else None
+
+    agg["min_value"] = agg.apply(lambda r: _render(r, "min"), axis=1)
+    agg["max_value"] = agg.apply(lambda r: _render(r, "max"), axis=1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        cols_out, vals_out = [], []
+        for col in columns:
+            for v in batch[col].to_pylist():
+                if v is not None:
+                    cols_out.append(col)
+                    vals_out.append(str(v))
+        return pa.table(
+            {
+                "column": pa.array(cols_out, pa.string()),
+                "value": pa.array(vals_out, pa.string()),
+            }
+        )
+
+    kv = ds.select_columns(columns).map_batches(_explode, batch_format="pyarrow")
+    regs = hll_registers(kv, key_col="value", group_col="column", b=b).to_pandas()
+    dig = regs.groupby("column", as_index=False).agg(
+        hll_nonzero=("rho", "size"),
+        hll_sum_rho=("rho", "sum"),
+        hll_max_rho=("rho", "max"),
+    )
+
+    out = agg.merge(dig, on="column", how="left")
+    for c in ("hll_nonzero", "hll_sum_rho", "hll_max_rho"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (
+        out[
+            [
+                "column", "n_rows", "n_nulls", "min_value", "max_value",
+                "hll_nonzero", "hll_sum_rho", "hll_max_rho",
+            ]
+        ]
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+
+
+def key_skew_histogram(
+    ds: ray.data.Dataset,
+    key_col: str,
+) -> ray.data.Dataset:
+    """Frequency-of-frequencies of ``key_col``: one row per observed
+    per-key count ``(key_count, n_keys)``, ordered by key_count. A heavy
+    tail here is the signal to salt before grouping/joining on the key.
+
+    Two bounded shuffles: per-batch partial key counts (combiner — one int
+    row per distinct key per batch) → groupby Sum for exact per-key
+    counts, then the same combiner shape over the counts themselves (one
+    row per distinct count per block, bounded by ~log of the max count in
+    practice)."""
+    from ray.data.aggregate import Sum
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(batch[key_col].to_pylist())
+        ks = list(c)
+        return pa.table(
+            {
+                key_col: pa.array(ks),
+                "key_count": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    per_key = (
+        ds.select_columns([key_col])
+        .map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("key_count", alias_name="key_count"))
+    )
+
+    def _partial_fof(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(batch["key_count"].to_pylist())
+        ks = sorted(c)
+        return pa.table(
+            {
+                "key_count": pa.array(ks, pa.int64()),
+                "n_keys": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        per_key.map_batches(_partial_fof, batch_format="pyarrow")
+        .groupby("key_count")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )

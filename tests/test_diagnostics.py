@@ -1,0 +1,73 @@
+"""Profiling + skew diagnostics (stages/diagnostics.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import ray.data as rd
+
+from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+    key_skew_histogram,
+    profile_columns,
+)
+
+
+def _hll_digest(values) -> tuple[int, int, int]:
+    regs: dict[int, int] = {}
+    for v in values:
+        u = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        rem = u & ((1 << 26) - 1)
+        rho = 26 - rem.bit_length() + 1
+        b = u >> 26
+        regs[b] = max(regs.get(b, 0), rho)
+    return len(regs), sum(regs.values()), max(regs.values()) if regs else 0
+
+
+def test_profile_columns_stats_and_hll(ray_session):
+    rows = [
+        {"id": i, "name": None if i % 5 == 0 else f"n{i % 7:02d}"}
+        for i in range(200)
+    ]
+    out = profile_columns(rd.from_items(rows), ["id", "name"]).set_index("column")
+
+    assert out.loc["id", "n_rows"] == 200 and out.loc["id", "n_nulls"] == 0
+    # native int ordering: min is "0", max is "199" (string min would be "0"/"99")
+    assert out.loc["id", "min_value"] == "0" and out.loc["id", "max_value"] == "199"
+    assert out.loc["name", "n_nulls"] == 40
+    assert out.loc["name", "min_value"] == "n00" and out.loc["name", "max_value"] == "n06"
+
+    nz, sr, mx = _hll_digest(range(200))
+    assert (
+        out.loc["id", ["hll_nonzero", "hll_sum_rho", "hll_max_rho"]].tolist()
+        == [nz, sr, mx]
+    )
+    names = [r["name"] for r in rows if r["name"] is not None]
+    nz, sr, mx = _hll_digest(names)
+    assert (
+        out.loc["name", ["hll_nonzero", "hll_sum_rho", "hll_max_rho"]].tolist()
+        == [nz, sr, mx]
+    )
+
+
+def test_key_skew_histogram_matches_pandas(ray_session):
+    # user u appears u+1 times for u in 0..19 → every count 1..20 once
+    rows = [{"u": u} for u in range(20) for _ in range(u + 1)]
+    ds = rd.from_items(rows)
+    out = (
+        key_skew_histogram(ds, "u")
+        .to_pandas()
+        .sort_values("key_count")
+        .reset_index(drop=True)
+    )
+    assert out["key_count"].tolist() == list(range(1, 21))
+    assert (out["n_keys"] == 1).all()
+
+    # partition-invariant (combiner totals must be exact, not per-block)
+    out2 = (
+        key_skew_histogram(ds.repartition(9), "u")
+        .to_pandas()
+        .sort_values("key_count")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
