@@ -2806,6 +2806,23 @@ def _events_user_fof(sf_dir: str):
     )
 
 
+def _documents_length_rank(sf_dir: str):
+    """Global rank numerators by document length WITHOUT a global sort
+    (broadcast value-CDF): rank_lt = docs strictly shorter, rank_eq = docs
+    tied — integer-exact percentile inputs."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import rank_transform
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return (
+        rank_transform(docs, "n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_shuffled(sf_dir: str):
     """Deterministic global shuffle (epoch permutation): first 20 docs in
     md5('epoch0:'||id) order, with the shuffle rank and key exposed."""
@@ -3904,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": _events_hll_users,
         "documents_profile": _documents_profile,
         "events_user_fof": _events_user_fof,
+        "documents_length_rank": _documents_length_rank,
     }
 
 
@@ -5092,5 +5110,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT key_count, count(*) AS n_keys
             FROM (SELECT user_id, count(*) AS key_count FROM events GROUP BY user_id)
             GROUP BY key_count ORDER BY key_count
+        """,
+        # global rank numerators via broadcast CDF == rank()/count() windows
+        "documents_length_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt,
+                   CAST(count(*) OVER (PARTITION BY n_chars) AS BIGINT) AS rank_eq
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -144,6 +144,66 @@ def profile_columns(
     )
 
 
+def rank_transform(
+    ds: ray.data.Dataset,
+    value_col: str,
+    out_prefix: str = "rank",
+) -> ray.data.Dataset:
+    """Global rank of every row by an integer ``value_col`` WITHOUT a
+    global sort: adds ``{out_prefix}_lt`` (rows with a strictly smaller
+    value) and ``{out_prefix}_eq`` (rows tied at the value, inclusive) —
+    the exact numerators of min-rank / max-rank / percentile, kept integer
+    so the oracle is exact (divide by n_rows downstream for the float
+    percentile).
+
+    Shape: a per-batch value-count combiner → one small groupby → the
+    value-count table collected and turned into a CDF on the driver —
+    bounded by |distinct values|, which for the lengths/scores this is
+    meant for is orders below row count (the partitioning assumption;
+    don't use it on near-unique keys, that's ``deterministic_shuffle``'s
+    sort) — then broadcast once and a pure map adds the two columns."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(batch[value_col].to_pylist())
+        ks = sorted(c)
+        return pa.table(
+            {
+                value_col: pa.array(ks, pa.int64()),
+                "n": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    vc = (
+        ds.select_columns([value_col])
+        .map_batches(_vc, batch_format="pyarrow")
+        .groupby(value_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(value_col)
+        .reset_index(drop=True)
+    )
+    vals = vc[value_col].to_numpy(dtype="int64")
+    counts = vc["n"].to_numpy(dtype="int64")
+    less = np.concatenate(([0], counts.cumsum()[:-1]))
+    cdf_ref = ray.put({"vals": vals, "less": less, "counts": counts})
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        cdf = broadcast_cache(cdf_ref)
+        x = np.asarray(batch[value_col], dtype=np.int64)
+        idx = np.searchsorted(cdf["vals"], x)
+        return batch.append_column(
+            f"{out_prefix}_lt", pa.array(cdf["less"][idx], pa.int64())
+        ).append_column(f"{out_prefix}_eq", pa.array(cdf["counts"][idx], pa.int64()))
+
+    return ds.map_batches(_rank, batch_format="pyarrow")
+
+
 def key_skew_histogram(
     ds: ray.data.Dataset,
     key_col: str,

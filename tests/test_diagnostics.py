@@ -50,6 +50,32 @@ def test_profile_columns_stats_and_hll(ray_session):
     )
 
 
+def test_rank_transform_matches_pandas_rank(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import rank_transform
+
+    rows = [{"doc_id": i, "v": (i * 13) % 17} for i in range(150)]  # heavy ties
+    ds = rd.from_items(rows)
+    out = (
+        rank_transform(ds, "v")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows)
+    want_lt = df["v"].rank(method="min").astype("int64") - 1
+    want_eq = df.groupby("v")["v"].transform("size").astype("int64")
+    assert out["rank_lt"].tolist() == want_lt.tolist()
+    assert out["rank_eq"].tolist() == want_eq.tolist()
+    # partition-invariant
+    out2 = (
+        rank_transform(ds.repartition(8), "v")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_key_skew_histogram_matches_pandas(ray_session):
     # user u appears u+1 times for u in 0..19 → every count 1..20 once
     rows = [{"u": u} for u in range(20) for _ in range(u + 1)]
