@@ -2806,6 +2806,22 @@ def _events_user_fof(sf_dir: str):
     )
 
 
+def _documents_balanced(sf_dir: str):
+    """Equal-representation sampling: every language downsampled toward
+    the smallest group via exact rational thresholds floor(2^32·c_min/c_g)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import balanced_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return (
+        balanced_sample(docs, group_col="lang", seed="bal")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_length_rank(sf_dir: str):
     """Global rank numerators by document length WITHOUT a global sort
     (broadcast value-CDF): rank_lt = docs strictly shorter, rank_eq = docs
@@ -3922,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_profile": _documents_profile,
         "events_user_fof": _events_user_fof,
         "documents_length_rank": _documents_length_rank,
+        "documents_balanced": _documents_balanced,
     }
 
 
@@ -5117,5 +5134,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt,
                    CAST(count(*) OVER (PARTITION BY n_chars) AS BIGINT) AS rank_eq
             FROM documents ORDER BY doc_id
+        """,
+        # equal-representation sampling: exact rational thresholds in
+        # HUGEINT (floor(2^32 * c_min / c_group)) — no float pow/div
+        "documents_balanced": f"""
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT lang,
+                         (CAST(4294967296 AS HUGEINT) * (SELECT min(n) FROM c)) // n AS thr
+                  FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN t USING (lang)
+            WHERE {_md5_u32_sql("'bal:' || CAST(doc_id AS VARCHAR)")} < t.thr
+            ORDER BY d.doc_id
         """,
     }

@@ -384,6 +384,50 @@ def mixture_sample(
     return docs.map_batches(_keep, batch_format="pyarrow")
 
 
+def balanced_sample(
+    docs: ray.data.Dataset,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "bal",
+) -> ray.data.Dataset:
+    """Deterministically downsample every group toward the SMALLEST
+    group's size (the equal-representation mixture: each group's keep rate
+    is ``c_min / c_group``). Thresholds are the exact rational
+    ``floor(2^32 * c_min / c_group)`` — pure integer arithmetic, so the
+    SQL oracle reproduces the keep set bit-for-bit (no float pow/div).
+
+    Two passes: a tiny per-group count (combiner-first groupby, one int
+    row per group per batch), thresholds broadcast via the closure, then
+    the same zero-shuffle hash-filter map as :func:`mixture_sample`.
+    The smallest group is kept whole (threshold 2^32); others come out at
+    ≈ c_min in expectation (hash-Bernoulli, not exact-k — no shuffle)."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        docs.select_columns([group_col])
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if not len(counts):
+        return docs
+    c_min = int(counts["n"].min())
+    thr = {
+        g: (4294967296 * c_min) // int(n)
+        for g, n in zip(counts[group_col], counts["n"])
+    }
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            < thr.get(g, 0)
+            for i, g in zip(batch[id_col].to_pylist(), batch[group_col].to_pylist())
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
 def deterministic_shuffle(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

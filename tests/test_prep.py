@@ -267,6 +267,36 @@ def test_hll_registers_and_estimate(ray_session):
         assert 0 < est.loc[g, "n_nonzero"] <= 64
 
 
+def test_balanced_sample_equalizes_groups(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.prep import balanced_sample
+
+    # groups of size 600 / 300 / 60 — keep rates 0.1 / 0.2 / 1.0
+    rows = (
+        [{"doc_id": i, "lang": "a"} for i in range(600)]
+        + [{"doc_id": 1000 + i, "lang": "b"} for i in range(300)]
+        + [{"doc_id": 2000 + i, "lang": "c"} for i in range(60)]
+    )
+    out = (
+        balanced_sample(rd.from_items(rows), group_col="lang", seed="bal")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sizes = out["lang"].value_counts()
+    # smallest group kept whole; others land near 60 (hash-Bernoulli)
+    assert sizes["c"] == 60
+    assert 30 <= sizes["a"] <= 100 and 30 <= sizes["b"] <= 100
+    # exact keep rule: u32 < floor(2^32 * 60 / c_g)
+    kept = set(out["doc_id"])
+    for r in rows:
+        g = r["lang"]
+        thr = (4294967296 * 60) // {"a": 600, "b": 300, "c": 60}[g]
+        u = int(hashlib.md5(f"bal:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        assert (r["doc_id"] in kept) == (u < thr)
+
+
 def test_deterministic_shuffle_is_md5_order(ray_session):
     import hashlib
 
