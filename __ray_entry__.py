@@ -2806,6 +2806,49 @@ def _events_user_fof(sf_dir: str):
     )
 
 
+def _customer_order_counts(sf_dir: str):
+    """Zero-inclusive per-customer order counts: combiner-first count on
+    the orders side, then a LEFT OUTER hash-bucket join back to every
+    customer (the join type the built-in hash join mishandles on sparse
+    keys — stages/joins.py fixes the output schema per bucket)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.joins import hash_bucket_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    counts = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = hash_bucket_join(
+        cust,
+        counts,
+        on="c_custkey",
+        right_on="o_custkey",
+        how="left_outer",
+        output_columns=["c_custkey", "c_mktsegment", "n_orders"],
+    )
+
+    def _fill(batch):
+        return batch.set_column(
+            batch.schema.get_field_index("n_orders"),
+            "n_orders",
+            pc.fill_null(batch["n_orders"], 0),
+        )
+
+    return (
+        joined.map_batches(_fill, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_balanced(sf_dir: str):
     """Equal-representation sampling: every language downsampled toward
     the smallest group via exact rational thresholds floor(2^32·c_min/c_g)."""
@@ -3939,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_fof": _events_user_fof,
         "documents_length_rank": _documents_length_rank,
         "documents_balanced": _documents_balanced,
+        "customer_order_counts": _customer_order_counts,
     }
 
 
@@ -5146,5 +5190,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN t USING (lang)
             WHERE {_md5_u32_sql("'bal:' || CAST(doc_id AS VARCHAR)")} < t.thr
             ORDER BY d.doc_id
+        """,
+        # zero-inclusive left outer join (combiner-first counts)
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
         """,
     }
