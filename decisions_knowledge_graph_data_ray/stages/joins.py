@@ -76,8 +76,11 @@ def hash_bucket_join(
     ``output_columns`` fixes the output schema (every emitted block is
     built to it — including empty buckets), which is precisely what Ray's
     built-in hash join fails to do for sparse keys.
-    ``how`` ∈ {inner, left_outer, left_anti, left_semi}; row order
-    unspecified. Pass ``left_schema``/``right_schema`` (Arrow) to skip the
+    ``how`` ∈ {inner, left_outer, left_anti, left_semi, right_outer,
+    right_anti, right_semi, full_outer}; row order unspecified. For
+    ``full_outer`` the key lands in the LEFT key's column name (Arrow
+    coalesces the right key into it); for the right_* types the key keeps
+    ``right_on``'s name. Pass ``left_schema``/``right_schema`` (Arrow) to skip the
     schema-inference pass — hot loops (CC label propagation) should.
     """
     right_on = right_on or on
@@ -105,6 +108,10 @@ def hash_bucket_join(
         "left_outer": "left outer",
         "left_anti": "left anti",
         "left_semi": "left semi",
+        "right_outer": "right outer",
+        "right_anti": "right anti",
+        "right_semi": "right semi",
+        "full_outer": "full outer",
     }[how]
     lnames = [f.name for f in lsch]
     rnames = [f.name for f in rsch]
@@ -115,7 +122,13 @@ def hash_bucket_join(
         rtab = (
             group.filter(pc.invert(lmask)).select(["r:" + n for n in rnames]).rename_columns(rnames)
         )
-        if ltab.num_rows == 0 or (rtab.num_rows == 0 and join_type == "inner"):
+        # short-circuit only provably-empty results; full outer never is
+        # (a group exists only if at least one side contributed rows)
+        if join_type == "inner" and (ltab.num_rows == 0 or rtab.num_rows == 0):
+            return out_schema.empty_table()
+        if join_type.startswith("left") and ltab.num_rows == 0:
+            return out_schema.empty_table()
+        if join_type.startswith("right") and rtab.num_rows == 0:
             return out_schema.empty_table()
         joined = ltab.join(rtab, keys=[on], right_keys=[right_on], join_type=join_type)
         cols = {

@@ -30,6 +30,35 @@ def test_left_outer_pads_missing(ray_session):
     assert row_b["y"] is None or row_b["y"] != row_b["y"]  # None or NaN
 
 
+def test_full_outer_keeps_both_sides(ray_session):
+    left = _ds([{"k": "a", "x": 1}, {"k": "b", "x": 2}])
+    right = _ds([{"k": "b", "y": 20}, {"k": "z", "y": 99}])
+    out = hash_bucket_join(
+        left, right, on="k", output_columns=["k", "x", "y"], how="full_outer"
+    ).to_pandas()
+    # Arrow coalesces the right key into the left key's column
+    got = {(r.k, None if r.x != r.x else r.x, None if r.y != r.y else r.y)
+           for r in out.itertuples()}
+    assert got == {("a", 1, None), ("b", 2, 20), ("z", None, 99)}
+
+
+def test_right_outer_and_right_anti(ray_session):
+    left = _ds([{"k": "a", "x": 1}])
+    right = _ds([{"rk": "a", "y": 10}, {"rk": "z", "y": 99}])
+    out = hash_bucket_join(
+        left, right, on="k", right_on="rk",
+        output_columns=["rk", "x", "y"], how="right_outer",
+    ).to_pandas()
+    got = {(r.rk, None if r.x != r.x else r.x, r.y) for r in out.itertuples()}
+    assert got == {("a", 1, 10), ("z", None, 99)}
+
+    anti = hash_bucket_join(
+        left, right, on="k", right_on="rk",
+        output_columns=["rk", "y"], how="right_anti",
+    ).to_pandas()
+    assert {(r.rk, r.y) for r in anti.itertuples()} == {("z", 99)}
+
+
 def test_different_key_names(ray_session):
     left = _ds([{"src_id": 1, "v": "l1"}])
     right = _ds([{"doc_id": 1, "t": "r1"}])
