@@ -2849,6 +2849,33 @@ def _customer_order_counts(sf_dir: str):
     )
 
 
+def _events_value_stats(sf_dir: str):
+    """Per-event-type algebraic stats via the reusable combiner-first
+    aggregate (stages/skew.combiner_aggregate): each batch collapses to at
+    most one partial row per event_type BEFORE the shuffle, so the exchange
+    moves O(types × batches) narrow rows — a hot type costs one row per
+    batch (for algebraic aggregates the combiner IS the skew fix)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.skew import combiner_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    df = combiner_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", None),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "mean_value": ("mean", "value"),
+        },
+    ).to_pandas()
+    for c in ("sum_value", "min_value", "max_value", "mean_value"):
+        df[c] = df[c].round(2)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _documents_balanced(sf_dir: str):
     """Equal-representation sampling: every language downsampled toward
     the smallest group via exact rational thresholds floor(2^32·c_min/c_g)."""
@@ -3983,6 +4010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_length_rank": _documents_length_rank,
         "documents_balanced": _documents_balanced,
         "customer_order_counts": _customer_order_counts,
+        "events_value_stats": _events_value_stats,
     }
 
 
@@ -5199,5 +5227,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
               ON c.c_custkey = o.o_custkey
             ORDER BY c.c_custkey
+        """,
+        # combiner-first algebraic aggregate (stages/skew.combiner_aggregate)
+        "events_value_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value,
+                   round(avg(value), 2) AS mean_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

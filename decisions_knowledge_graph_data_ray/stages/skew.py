@@ -1,0 +1,175 @@
+"""Skew-safe grouped-aggregation primitives.
+
+The engine's flagship pipeline already defuses hot-key skew bespoke
+(``stages/assemble.py``: salted two-phase assembly, hot-aware routing).
+This module names the two underlying patterns as reusable primitives so
+any new grouped stage gets the 100-TB shape for free:
+
+- ``combiner_aggregate``: algebraic grouped aggregates (count / sum /
+  min / max / mean) with a per-batch Arrow combiner BEFORE the shuffle.
+  Each batch collapses to at most one partial row per distinct key in
+  that batch, so the all-to-all exchange moves ``O(distinct keys x
+  batches)`` narrow rows instead of every input row — and a hot key
+  contributes ONE row per batch, which is exactly why combiner-first
+  aggregation is also the skew fix for algebraic aggregates (no salt
+  needed; the combiner IS the salt).
+
+- ``salted_map_groups``: the generic two-phase plan for HOLISTIC
+  per-group kernels (ones Ray's ``AggregateFn`` can't express) that
+  still decompose into ``partial_fn`` + ``merge_fn``. Rows are salted by
+  a caller-named column (hash % n_salts — deterministic across
+  partitionings, so results are layout-invariant), phase 1 runs
+  ``partial_fn`` per (key, salt) group, phase 2 merges the partials per
+  key. A key with 10M rows becomes ``n_salts`` phase-1 groups that land
+  on different partitions; only its (small) partial rows re-shuffle.
+
+Contract for ``salted_map_groups``: the final result must not depend on
+HOW rows were split across salts — ``merge_fn`` must be insensitive to
+partial boundaries (true for associative/commutative reductions and for
+kernels that re-sort internally, like document assembly's turn order).
+
+Reference parity: the reference's run-summary and mapping-stats
+aggregations (SURVEY.md §2.5) are single-process reduces; these
+primitives are their distributed generalization.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions.hashing import bucket_ids
+
+_OPS = ("count", "sum", "min", "max", "mean")
+
+
+def combiner_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> ray.data.Dataset:
+    """Grouped algebraic aggregates with a per-batch combiner.
+
+    ``specs`` maps output column name -> ``(op, column)`` with op in
+    ``{"count","sum","min","max","mean"}`` (``count`` ignores the column
+    and counts rows, matching ``ray.data.aggregate.Count`` and SQL
+    ``count(*)``; sum/min/max/mean skip nulls, matching Arrow and SQL).
+
+    Plan: map_batches(Arrow ``TableGroupBy`` partials, zero-copy) →
+    one small ``groupby(keys)`` over partial rows (Sum of sums/counts,
+    Min of mins, Max of maxs) → vectorized finalize (mean = sum/count).
+    Output columns: ``keys + list(specs)``.
+    """
+    for out, (op, _col) in specs.items():
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r} for {out!r} (want one of {_OPS})")
+
+    # partial columns needed, deduplicated: count-rows partial, and per
+    # source column the (sum, valid-count, min, max) partials actually used
+    need_rowcount = any(op == "count" for op, _ in specs.values())
+    per_col: dict[str, set] = {}
+    for _out, (op, col) in specs.items():
+        if op == "count":
+            continue
+        per_col.setdefault(col, set()).add(op)
+        if op == "mean":
+            per_col[col].update(("sum", "valid"))
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cols = list(keys)
+        aggs: list[tuple[str, str]] = []
+        renames: list[str] = list(keys)
+        if need_rowcount:
+            # count(*) == count over any key column (keys are non-null
+            # group labels by construction of the groupby semantics; use
+            # a dedicated all-ones column to count rows null-safely)
+            batch = batch.append_column("__one", pa.array([1] * batch.num_rows, pa.int8()))
+            aggs.append(("__one", "sum"))
+            renames.append("__n_rows")
+        for col, ops in sorted(per_col.items()):
+            for op in sorted(ops & {"sum", "min", "max"}):
+                aggs.append((col, op))
+                renames.append(f"__{op}_{col}")
+            if "valid" in ops:
+                aggs.append((col, "count"))  # arrow count mode: only_valid
+                renames.append(f"__valid_{col}")
+        needed = list(dict.fromkeys(cols + [a for a, _ in aggs]))
+        grouped = pa.TableGroupBy(batch.select(needed), keys).aggregate(aggs)
+        # arrow names results "<col>_<op>" and puts keys LAST; restore order
+        out_cols = {}
+        for k in keys:
+            out_cols[k] = grouped[k]
+        i = len(keys)
+        for col, op in aggs:
+            out_cols[renames[i]] = grouped[f"{col}_{op}"]
+            i += 1
+        return pa.table(out_cols)
+
+    partials = ds.map_batches(_partials, batch_format="pyarrow")
+
+    merge_aggs = []
+    if need_rowcount:
+        merge_aggs.append(Sum("__n_rows", alias_name="__n_rows"))
+    for col, ops in sorted(per_col.items()):
+        for op in sorted(ops):
+            pcol = f"__{op}_{col}"
+            if op == "sum" or op == "valid":
+                merge_aggs.append(Sum(pcol, alias_name=pcol))
+            elif op == "min":
+                merge_aggs.append(Min(pcol, alias_name=pcol))
+            elif op == "max":
+                merge_aggs.append(Max(pcol, alias_name=pcol))
+    merged = partials.groupby(keys).aggregate(*merge_aggs)
+
+    out_names = list(specs)
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in keys}
+        for out, (op, col) in specs.items():
+            if op == "count":
+                cols[out] = batch["__n_rows"].cast(pa.int64())
+            elif op == "mean":
+                import pyarrow.compute as pc
+
+                cols[out] = pc.divide(
+                    batch[f"__sum_{col}"].cast(pa.float64()),
+                    batch[f"__valid_{col}"].cast(pa.float64()),
+                )
+            else:
+                cols[out] = batch[f"__{op}_{col}"]
+        return pa.table(cols)
+
+    out = merged.map_batches(_finalize, batch_format="pyarrow")
+    return out.select_columns(keys + out_names)
+
+
+def salted_map_groups(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    partial_fn,
+    merge_fn,
+    salt_col: str,
+    n_salts: int = 16,
+) -> ray.data.Dataset:
+    """Two-phase ``map_groups`` for holistic kernels under key skew.
+
+    - phase 1: rows gain ``_salt = hash(salt_col) % n_salts`` (seeded,
+      deterministic across partitionings → layout-invariant results),
+      then ``groupby(keys + [_salt]).map_groups(partial_fn)``;
+    - phase 2: ``groupby(keys).map_groups(merge_fn)`` over the partials.
+
+    ``partial_fn`` receives a pandas frame of ONE (key, salt) group
+    (including the ``_salt`` column) and must return rows carrying the
+    key columns; ``merge_fn`` receives one key's partial rows. The final
+    result must not depend on how rows were split across salts.
+    """
+
+    def _add_salt(batch: pa.Table) -> pa.Table:
+        salts = bucket_ids(batch[salt_col], n_salts, seed=7)
+        return batch.append_column("_salt", salts)
+
+    salted = ds.map_batches(_add_salt, batch_format="pyarrow")
+    partials = salted.groupby(keys + ["_salt"]).map_groups(partial_fn, batch_format="pandas")
+    return partials.groupby(keys).map_groups(merge_fn, batch_format="pandas")
