@@ -2876,6 +2876,56 @@ def _events_value_stats(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _documents_weighted_sample(sf_dir: str):
+    """Length-proportional (tokens-proportional) document sampling via
+    stages/prep.weighted_sample: expected-50 Bernoulli with integer-exact
+    per-row thresholds min(2^32, ((50<<32)//sum_w)·w) — no float pow/ln,
+    so the keep set is bit-reproducible in DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def _wcol(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "text_len": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    ds = docs.map_batches(_wcol, batch_format="pyarrow")
+    return (
+        weighted_sample(ds, k=50, weight_col="text_len", id_col="doc_id", seed="ws")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _events_heavy_hitters(sf_dir: str):
+    """Count-Min-sketch heavy hitters over event user_ids
+    (stages/cardinality.cms_heavy_hitters, d=4 × w=256 integer counters):
+    users whose CMS estimate reaches total_rows // 150, with exact count
+    alongside (n_est ≥ n_exact — the one-sided CMS guarantee)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import cms_heavy_hitters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    threshold = max(5, ev.count() // 150)
+    return (
+        cms_heavy_hitters(ev, "user_id", threshold=threshold, d=4, w=256, seed="cms")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_balanced(sf_dir: str):
     """Equal-representation sampling: every language downsampled toward
     the smallest group via exact rational thresholds floor(2^32·c_min/c_g)."""
@@ -4011,6 +4061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_balanced": _documents_balanced,
         "customer_order_counts": _customer_order_counts,
         "events_value_stats": _events_value_stats,
+        "documents_weighted_sample": _documents_weighted_sample,
+        "events_heavy_hitters": _events_heavy_hitters,
     }
 
 
@@ -5236,5 +5288,37 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS max_value,
                    round(avg(value), 2) AS mean_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # tokens-proportional Bernoulli sample: integer thresholds
+        # min(2^32, ((k<<32)//sum_w)·w) — no float pow/ln (prep.weighted_sample)
+        "documents_weighted_sample": f"""
+            WITH w AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+                       FROM documents),
+            s AS (SELECT sum(text_len) AS sw FROM w),
+            c AS (SELECT (CAST(50 AS HUGEINT) * 4294967296) // sw AS cc FROM s)
+            SELECT doc_id, lang, text_len FROM w, c
+            WHERE {_md5_u32_sql("'ws:' || CAST(doc_id AS VARCHAR)")}
+                  < least(CAST(4294967296 AS HUGEINT), cc * text_len)
+            ORDER BY doc_id
+        """,
+        # Count-Min sketch replicated cell-for-cell: d=4 md5 rows x w=256,
+        # counters additive so building from per-key exact counts equals
+        # building from raw rows (stages/cardinality.cms_heavy_hitters)
+        "events_heavy_hitters": f"""
+            WITH ks AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+            hh AS (
+                SELECT ks.user_id, ks.n_exact, t.j,
+                       {_md5_u32_sql("'cms:' || CAST(t.j AS VARCHAR) || ':' || CAST(ks.user_id AS VARCHAR)")} % 256 AS cell
+                FROM ks, range(4) t(j)
+            ),
+            sk AS (SELECT j, cell, sum(n_exact) AS n FROM hh GROUP BY 1, 2),
+            est AS (
+                SELECT hh.user_id, hh.n_exact, min(sk.n) AS n_est
+                FROM hh JOIN sk ON sk.j = hh.j AND sk.cell = hh.cell
+                GROUP BY 1, 2
+            ),
+            thr AS (SELECT greatest(5, count(*) // 150) AS t FROM events)
+            SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est
+            FROM est, thr WHERE n_est >= t ORDER BY user_id
         """,
     }

@@ -1,4 +1,4 @@
-"""Distributed cardinality sketches: HyperLogLog count-distinct.
+"""Distributed stream sketches: HyperLogLog count-distinct + Count-Min frequency.
 
 HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with a deterministic,
 SQL-reproducible hash — the same reproducibility rule as
@@ -117,3 +117,100 @@ def hll_distinct(
     return hll_registers(ds, key_col, group_col, b=b).groupby(group_col).map_groups(
         _estimate, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimation / heavy hitters (Cormode &
+# Muthukrishnan 2005). Same SQL-reproducibility rule as HLL above: every
+# counter is an integer keyed by md5-u32 cells, so the sketch — and any
+# estimate read from it — is an exact-match oracle surface.
+# ---------------------------------------------------------------------------
+
+
+def cms_table(
+    ds: ray.data.Dataset,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "cms",
+) -> ray.data.Dataset:
+    """Count-Min sketch counter table: one row per touched ``(j, cell)``
+    with the total count of keys hashing there (``cell =
+    md5_u32("{seed}:{j}:{key}") % w`` for each of the ``d`` hash rows).
+
+    Scale shape: the per-batch combiner counts keys WITHIN the batch first
+    (one md5 per distinct key per batch per row j), emits ≤ d × distinct
+    partial rows, and a ``groupby Sum`` merges batches — counters are
+    additive, so the sketch is a pure function of the multiset of keys,
+    independent of partitioning and batch boundaries. Total state ≤ d·w
+    int rows no matter the input size: THE bounded-memory frequency
+    structure for a 100-TB stream."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt = Counter(batch[key_col].to_pylist())
+        js: list[int] = []
+        cells: list[int] = []
+        ns: list[int] = []
+        for key, n in cnt.items():
+            for j in range(d):
+                js.append(j)
+                cells.append(_u32(f"{seed}:{j}:{key}") % w)
+                ns.append(n)
+        return pa.table(
+            {
+                "j": pa.array(js, pa.int64()),
+                "cell": pa.array(cells, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["j", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    key_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "cms",
+) -> ray.data.Dataset:
+    """Keys whose Count-Min ESTIMATE reaches ``threshold``, with both the
+    estimate and the exact count: ``(key, n_exact, n_est)``, where
+    ``n_est = min over j of sketch[j][cell_j(key)]`` — the one-sided CMS
+    guarantee means ``n_est >= n_exact``, so no true heavy hitter is
+    missed (false positives possible, bounded by sum(n)/w per row).
+
+    The sketch (≤ d·w int rows) collects on the driver and broadcasts
+    into a zero-shuffle probe map. Candidate keys here come from an exact
+    per-key count (this is the demo/oracle surface — it also yields
+    ``n_exact`` for comparison); a true streaming deployment would probe
+    its candidate set (e.g. per-batch distinct keys) the same way."""
+    from ray.data.aggregate import Count
+
+    sketch_rows = cms_table(ds, key_col, d=d, w=w, seed=seed).take_all()
+    sketch: dict[tuple, int] = {(r["j"], r["cell"]): r["n"] for r in sketch_rows}
+
+    keys = ds.select_columns([key_col]).groupby(key_col).aggregate(
+        Count(alias_name="n_exact")
+    )
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        ests = [
+            min(sketch.get((j, _u32(f"{seed}:{j}:{key}") % w), 0) for j in range(d))
+            for key in batch[key_col].to_pylist()
+        ]
+        out = batch.append_column("n_est", pa.array(ests, pa.int64()))
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["n_est"], threshold))
+
+    return keys.map_batches(_probe, batch_format="pyarrow")

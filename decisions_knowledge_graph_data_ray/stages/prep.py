@@ -486,3 +486,47 @@ def uniform_sample(
         .reset_index(drop=True)
     )
     return ray.data.from_pandas(pd.DataFrame(merged))
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> ray.data.Dataset:
+    """Weight-proportional Bernoulli sample with EXPECTED ``k`` rows — the
+    tokens-proportional document sampling step of a training-data mixture
+    (long documents are proportionally more likely to be kept, so the
+    SAMPLED TOKEN mass, not the document count, tracks the corpus).
+
+    Integer-exact end to end (the md5/integer-threshold reproducibility
+    rule of :func:`mixture_sample`): with integer weights ``w`` and
+    ``c = (k << 32) // sum(w)``, a row is kept iff ``md5_u32("{seed}:{id}")
+    < min(2^32, c * w)``. No float pow/ln (the classic A-Res key
+    ``u^(1/w)`` is libm-dependent and would break the SQL oracle); IEEE
+    products never enter — the keep set is bit-reproducible at any scale,
+    partitioning, and in DuckDB.
+
+    Two passes: an integer weight sum (per-block aggregate → one driver
+    scalar), then a zero-shuffle hash-filter map. Weights must be a
+    non-negative integer column (token counts, byte lengths)."""
+    if not k > 0:
+        raise ValueError("k must be positive")
+    sw = ds.sum(weight_col)
+    if sw is None or sw <= 0:
+        return ds.limit(0)
+    c = (int(k) << 32) // int(sw)
+    full = 1 << 32
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ws = batch[weight_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        mask = [
+            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            < min(full, c * int(w))
+            for i, w in zip(ids, ws)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

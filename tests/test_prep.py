@@ -309,3 +309,88 @@ def test_deterministic_shuffle_is_md5_order(ray_session):
     # a different seed yields a different permutation of the same ids
     got2 = deterministic_shuffle(docs, seed="e2").to_pandas()["doc_id"].tolist()
     assert sorted(got2) == list(range(100)) and got2 != got
+
+
+def test_weighted_sample_thresholds_and_expectation(ray_session):
+    import hashlib
+
+    from decisions_knowledge_graph_data_ray.stages.prep import weighted_sample
+
+    rows = [{"doc_id": i, "w": (i % 10) + 1} for i in range(500)]
+    docs = rd.from_items(rows)
+    out = weighted_sample(docs, k=60, weight_col="w", seed="ws").to_pandas()
+    # exact per-row recompute of the integer threshold rule
+    sw = sum(r["w"] for r in rows)
+    c = (60 << 32) // sw
+    kept = set(out["doc_id"])
+    for r in rows:
+        u = int(hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        assert (r["doc_id"] in kept) == (u < min(1 << 32, c * r["w"]))
+    # expectation lands near k (Bernoulli, not exact-k)
+    assert 30 <= len(out) <= 100
+    # heavier rows are proportionally likelier: mean kept weight > corpus mean
+    assert out["w"].mean() > 5.5
+    # partition-invariant
+    out2 = (
+        weighted_sample(docs.repartition(11), k=60, weight_col="w", seed="ws")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2
+    )
+
+
+def test_weighted_sample_guards(ray_session):
+    import pytest
+
+    from decisions_knowledge_graph_data_ray.stages.prep import weighted_sample
+
+    docs = rd.from_items([{"doc_id": 1, "w": 0}])
+    with pytest.raises(ValueError):
+        weighted_sample(docs, k=0, weight_col="w")
+    # all-zero weights → empty sample, not a crash
+    assert weighted_sample(docs, k=5, weight_col="w").count() == 0
+
+
+def test_cms_sketch_and_heavy_hitters(ray_session):
+    import hashlib
+    from collections import Counter
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import (
+        cms_heavy_hitters,
+        cms_table,
+    )
+
+    # zipf-ish: key i appears 201-2i times
+    rows = [{"k": f"u{i}"} for i in range(100) for _ in range(201 - 2 * i)]
+    ds = rd.from_items(rows).repartition(9)
+    d, w = 4, 64
+
+    sketch = cms_table(ds, "k", d=d, w=w, seed="t").to_pandas()
+    # additivity: every counter equals the sum of exact counts hashing there
+    exact = Counter(r["k"] for r in rows)
+    want: dict = {}
+    for key, n in exact.items():
+        for j in range(d):
+            u = int(hashlib.md5(f"t:{j}:{key}".encode()).hexdigest()[:8], 16)
+            cell = u % w
+            want[(j, cell)] = want.get((j, cell), 0) + n
+    got = {(r.j, r.cell): r.n for r in sketch.itertuples()}
+    assert got == want
+    # total mass per hash row equals the stream length
+    assert sketch.groupby("j")["n"].sum().eq(len(rows)).all()
+
+    hh = (
+        cms_heavy_hitters(ds, "k", threshold=150, d=d, w=w, seed="t")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # one-sided: estimates never undercount, so every true >=150 key is present
+    assert (hh["n_est"] >= hh["n_exact"]).all()
+    true_heavy = {k for k, n in exact.items() if n >= 150}
+    assert true_heavy <= set(hh["k"])
+    for r in hh.itertuples():
+        assert r.n_exact == exact[r.k]
