@@ -2876,6 +2876,26 @@ def _events_value_stats(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _documents_bloom_contaminated(sf_dir: str):
+    """Bloom-filter decontamination (stages/prep.bloom_contamination_flags):
+    the broadcast state is a FIXED 2^16-bit array (8 KB) regardless of
+    benchmark size — the bounded-memory variant of documents_contamination.
+    One-sided: supersets the exact contaminated set; bit positions
+    md5_u32('bloom:{j}:{gram}') % 65536 are replicated cell-for-cell in SQL."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import bloom_contamination_flags
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 10")
+    return (
+        bloom_contamination_flags(docs, bench, n=8, m_bits=65536, k_hashes=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_weighted_sample(sf_dir: str):
     """Length-proportional (tokens-proportional) document sampling via
     stages/prep.weighted_sample: expected-50 Bernoulli with integer-exact
@@ -4063,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _events_value_stats,
         "documents_weighted_sample": _documents_weighted_sample,
         "events_heavy_hitters": _events_heavy_hitters,
+        "documents_bloom_contaminated": _documents_bloom_contaminated,
     }
 
 
@@ -5320,5 +5341,37 @@ def oracle_sql() -> dict[str, str]:
             thr AS (SELECT greatest(5, count(*) // 150) AS t FROM events)
             SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est
             FROM est, thr WHERE n_est >= t ORDER BY user_id
+        """,
+        # Bloom filter replicated bit-for-bit: k=4 md5 positions mod 2^16 per
+        # 8-gram; a gram is flagged iff ALL 4 bits are set (HAVING count = 4)
+        "documents_bloom_contaminated": f"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                       ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+                FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS r(i)
+                WHERE len(ws) >= 8
+            ), gb AS MATERIALIZED (
+                SELECT doc_id, g,
+                       {_md5_u32_sql("'bloom:' || CAST(t.j AS VARCHAR) || ':' || g")} % 65536 AS bit
+                FROM grams, range(4) t(j)
+            ), bits AS (
+                SELECT DISTINCT bit FROM gb WHERE doc_id < 10
+            ), flagged AS (
+                SELECT gb.doc_id, gb.g
+                FROM gb JOIN bits USING (bit)
+                GROUP BY gb.doc_id, gb.g
+                HAVING count(*) = 4
+            ), hits AS (
+                SELECT doc_id, count(*) AS n FROM flagged GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_flagged_ngrams,
+                   COALESCE(h.n, 0) > 0 AS maybe_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

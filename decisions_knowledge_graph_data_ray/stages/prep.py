@@ -530,3 +530,64 @@ def weighted_sample(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def bloom_contamination_flags(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    n: int = 8,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "bloom",
+) -> ray.data.Dataset:
+    """Bloom-filter variant of :func:`contamination_flags` — the
+    bounded-memory scale path. The broadcast state is a FIXED ``m_bits``
+    bit array (8 KB at the default 2^16) instead of the benchmark's full
+    n-gram set, so it stays constant no matter how large the eval suite
+    grows; membership is one-sided (never misses a truly contaminated
+    document; false positives per gram bounded by fill_ratio^k).
+
+    Determinism rule as everywhere: bit positions are
+    ``md5_u32("{seed}:{j}:{gram}") % m_bits`` for ``j < k_hashes`` — pure
+    integer arithmetic, reproduced cell-for-cell by the DuckDB oracle.
+    A gram is flagged iff ALL ``k_hashes`` of its bits are set. Output:
+    ``(id_col, n_flagged_ngrams, maybe_contaminated)``, one row per doc."""
+    import numpy as np
+
+    def _u32(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    bits = np.zeros(m_bits, dtype=bool)
+    for blk in benchmark.select_columns([text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for t in blk[text_col].to_pylist():
+            for g in _word_ngrams(t, n):
+                for j in range(k_hashes):
+                    bits[_u32(f"{seed}:{j}:{g}") % m_bits] = True
+    bits_ref = ray.put(bits)
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        b = broadcast_cache(bits_ref)
+        counts = []
+        for t in batch[text_col].to_pylist():
+            c = 0
+            for g in _word_ngrams(t, n):
+                if all(
+                    b[_u32(f"{seed}:{j}:{g}") % m_bits] for j in range(k_hashes)
+                ):
+                    c += 1
+            counts.append(c)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_flagged_ngrams": pa.array(counts, pa.int64()),
+                "maybe_contaminated": pa.array([c > 0 for c in counts], pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(_flags, batch_format="pyarrow")

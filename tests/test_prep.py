@@ -394,3 +394,49 @@ def test_cms_sketch_and_heavy_hitters(ray_session):
     assert true_heavy <= set(hh["k"])
     for r in hh.itertuples():
         assert r.n_exact == exact[r.k]
+
+
+def test_bloom_contamination_supersets_exact(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.prep import (
+        bloom_contamination_flags,
+        contamination_flags,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        {"doc_id": i, "text": f"{base} doc{i} " + " ".join(f"w{i}x{j}" for j in range(10))}
+        for i in range(40)
+    ]
+    docs = rd.from_items(rows)
+    bench = docs.filter(expr="doc_id < 4")
+
+    exact = (
+        contamination_flags(docs, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        bloom_contamination_flags(docs, bench, n=8, m_bits=4096, k_hashes=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # one-sided guarantee: everything exactly contaminated is flagged, and
+    # per-doc the bloom count never undercounts the exact overlap
+    assert (bloom["n_flagged_ngrams"] >= exact["n_contaminated_ngrams"]).all()
+    assert set(exact.loc[exact["contaminated"], "doc_id"]) <= set(
+        bloom.loc[bloom["maybe_contaminated"], "doc_id"]
+    )
+    # the shared 12-word prefix really contaminates every doc (non-trivial)
+    assert exact["contaminated"].all()
+    # partition-invariant
+    bloom2 = (
+        bloom_contamination_flags(docs.repartition(7), bench, n=8, m_bits=4096, k_hashes=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bloom, bloom2)
