@@ -3972,6 +3972,43 @@ def _documents_repetition(sf_dir: str):
     )
 
 
+def _documents_group_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (stages/diagnostics.group_quantiles):
+    percentile_disc semantics — the ceil(q·n)-th sorted value, computed on
+    exact rationals, so integer columns stay integer-exact against DuckDB's
+    quantile_disc. Shuffle bounded by distinct lengths per batch (value-CDF
+    combiner), never the corpus."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import group_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return (
+        group_quantiles(docs, value_col="n_chars", group_col="lang")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+def _documents_group_sample(sf_dir: str):
+    """Balanced eval-set draw (stages/prep.group_bottomk_sample): the exact
+    k=5 smallest md5('gbk:'||doc_id) keys PER LANGUAGE — per-group ORDER BY
+    md5 LIMIT k without a global sort (per-batch per-group bottom-k
+    combiner, then a per-group merge over ≤ k×blocks rows)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import group_bottomk_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return (
+        group_bottomk_sample(docs, k=5, group_col="lang", id_col="doc_id", seed="gbk")
+        .to_pandas()
+        .sort_values(["lang", "sample_key"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4084,6 +4121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_weighted_sample": _documents_weighted_sample,
         "events_heavy_hitters": _events_heavy_hitters,
         "documents_bloom_contaminated": _documents_bloom_contaminated,
+        "documents_group_quantiles": _documents_group_quantiles,
+        "documents_group_sample": _documents_group_sample,
     }
 
 
@@ -5373,5 +5412,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0) > 0 AS maybe_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # quantile_disc == the 1-indexed ceil(q*n)-th sorted value — the
+        # same rule group_quantiles computes on exact rationals
+        "documents_group_quantiles": """
+            SELECT lang, count(*) AS n,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75,
+                   quantile_disc(n_chars, 0.90) AS q90
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "documents_group_sample": """
+            WITH keyed AS (
+                SELECT doc_id, lang,
+                       md5('gbk:' || CAST(doc_id AS VARCHAR)) AS sample_key,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('gbk:' || CAST(doc_id AS VARCHAR))
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang, sample_key
+            FROM keyed WHERE rn <= 5
+            ORDER BY lang, sample_key
         """,
     }

@@ -255,3 +255,62 @@ def key_skew_histogram(
         .groupby("key_count")
         .aggregate(Sum("n_keys", alias_name="n_keys"))
     )
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantiles (``percentile_disc`` semantics:
+    the 1-indexed ``ceil(q·n)``-th value in sorted order — an actual data
+    element, so integer columns stay integer-exact for the SQL oracle;
+    the ceil is computed on EXACT RATIONALS, never float).
+
+    No global sort: a (group, value) count combiner bounds the shuffle by
+    distinct values per batch, a small ``groupby Sum`` merges, and each
+    group's quantiles come from one CDF scan over its ≤ |distinct| rows
+    (``map_groups``). The documented assumption of the value-CDF family
+    (see :func:`rank_transform`): distinct values per group must fit a
+    worker — true for lengths/scores/counts; near-unique values belong to
+    a sort-based path.
+
+    Output: one row per group — ``(group_col, n, q25, q50, ...)`` with
+    column names ``q{100·q:g}``."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    fracs = [Fraction(q).limit_denominator(10_000) for q in qs]
+    names = [f"q{round(q * 100):d}" for q in qs]
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select([group_col, value_col]), [group_col, value_col]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    counts = (
+        ds.map_batches(_vc, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _scan(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(value_col)
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {group_col: [g[group_col].iloc[0]], "n": [n]}
+        vals = g[value_col].to_numpy()
+        for name, f in zip(names, fracs):
+            # 1-indexed ceil(q*n) on exact rationals
+            idx = -((-f.numerator * n) // f.denominator)
+            pos = int(np.searchsorted(cum, idx, side="left"))
+            row[name] = [vals[pos]]
+        return pd.DataFrame(row)
+
+    return counts.groupby(group_col).map_groups(_scan, batch_format="pandas")

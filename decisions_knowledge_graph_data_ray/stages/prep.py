@@ -591,3 +591,44 @@ def bloom_contamination_flags(
         )
 
     return docs.map_batches(_flags, batch_format="pyarrow")
+
+
+def group_bottomk_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "gbk",
+    key_col: str = "sample_key",
+) -> ray.data.Dataset:
+    """EXACT-k deterministic sample PER GROUP (the balanced eval-set draw):
+    within each group, the k smallest ``md5("{seed}:{id}")`` keys — the
+    per-group generalization of :func:`uniform_sample`'s bottom-k/KMV
+    pattern, equal to per-group ``ORDER BY md5 LIMIT k`` without a global
+    sort.
+
+    Scale shape: a per-batch PER-GROUP bottom-k combiner (≤ k × groups
+    rows per batch cross the shuffle, never the corpus), then a per-group
+    merge (``groupby().map_groups`` over ≤ k × blocks rows per group)."""
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df[key_col] = [
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in df[id_col]
+        ]
+        out = (
+            df.sort_values(key_col)
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values(key_col).head(k)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_merge, batch_format="pandas")
+    )

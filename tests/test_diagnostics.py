@@ -97,3 +97,38 @@ def test_key_skew_histogram_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import numpy as np
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import group_quantiles
+
+    rows = [
+        {"g": f"g{i % 3}", "v": (i * 7) % 23}  # ties + uneven group sizes
+        for i in range(101)
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        group_quantiles(ds, value_col="v", group_col="g", qs=(0.25, 0.5, 0.75, 0.9))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows)
+    for _, r in out.iterrows():
+        vals = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+        n = len(vals)
+        assert r["n"] == n
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")]:
+            # percentile_disc: 1-indexed ceil(q*n)-th sorted value
+            idx = -((-int(q * 100) * n) // 100)
+            assert r[col] == vals[idx - 1], (r["g"], col)
+    # partition-invariant
+    out2 = (
+        group_quantiles(ds.repartition(8), value_col="v", group_col="g")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -440,3 +440,41 @@ def test_bloom_contamination_supersets_exact(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(bloom, bloom2)
+
+
+def test_group_bottomk_sample_exact_per_group(ray_session):
+    import hashlib
+
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import group_bottomk_sample
+
+    rows = [{"doc_id": i, "lang": f"L{i % 4}"} for i in range(120)]
+    ds = rd.from_items(rows)
+    out = (
+        group_bottomk_sample(ds, k=3, group_col="lang", id_col="doc_id", seed="t")
+        .to_pandas()
+        .sort_values(["lang", "sample_key"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows)
+    df["sample_key"] = [
+        hashlib.md5(f"t:{i}".encode()).hexdigest() for i in df["doc_id"]
+    ]
+    want = (
+        df.sort_values("sample_key").groupby("lang", sort=False).head(3)
+        .sort_values(["lang", "sample_key"])
+        .reset_index(drop=True)[out.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(out, want)
+    assert (out.groupby("lang").size() == 3).all()
+    # partition-invariant
+    out2 = (
+        group_bottomk_sample(
+            ds.repartition(9), k=3, group_col="lang", id_col="doc_id", seed="t"
+        )
+        .to_pandas()
+        .sort_values(["lang", "sample_key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
