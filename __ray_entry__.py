@@ -1981,6 +1981,43 @@ def _embedding_dup_pairs_sql(threshold: float = 0.3, n_planes: int = 10) -> str:
     )
 
 
+def _embeddings_dedup_keep_sql(threshold: float = 0.3, n_planes: int = 10) -> str:
+    """SemDeDup keep-set: the embeddings_dup_pairs edge set (same
+    threshold/planes — membership SQL-consistency is already pinned by that
+    query's hash gate) → recursive-CTE connected components → keep the
+    string-min root (the same min-by-string rule keep_ids_from_pairs
+    inherits from canonicalize.connected_components) plus singletons."""
+    return (
+        "WITH RECURSIVE " + _embeddings_norm_cte(n_planes) + """
+        , pairs AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+            FROM enorm a JOIN enorm b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm)
+                  >= """ + str(threshold) + """
+        ), edges AS (
+            SELECT src_id AS a, dst_id AS b FROM pairs
+            UNION ALL
+            SELECT dst_id, src_id FROM pairs
+        ), reach(node, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ), roots AS (
+            SELECT node, min(CAST(r AS VARCHAR)) AS root_str
+            FROM reach GROUP BY node
+        )
+        SELECT e.vec_id FROM embeddings e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM roots
+            WHERE roots.node = e.vec_id
+              AND CAST(e.vec_id AS VARCHAR) <> roots.root_str
+        )
+        ORDER BY e.vec_id
+    """
+    )
+
+
 def _lsh_topk_sql(k: int = 5, n_planes: int = 8) -> str:
     """LSH ANN top-k: queries are the vec_id < 3 rows; only vectors sharing
     the query's bucket are scored; ties break by vec_id ascending (the Ray
@@ -4009,6 +4046,28 @@ def _documents_group_sample(sf_dir: str):
     )
 
 
+def _embeddings_dedup_keep(sf_dir: str):
+    """SemDeDup keep-set (stages/similarity.semantic_dedup_keep_ids):
+    embedding-cosine near-dup pairs (LSH buckets + in-bucket matmul) →
+    distributed connected components → keep the component-min vec_id plus
+    all never-paired vectors, via the shared dedup.keep_ids_from_pairs
+    anti-join. Same threshold/planes as embeddings_dup_pairs, whose
+    membership is proven SQL-consistent by its own hash gate."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        semantic_dedup_keep_ids,
+    )
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        semantic_dedup_keep_ids(emb, threshold=0.3, n_planes=10)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4123,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bloom_contaminated": _documents_bloom_contaminated,
         "documents_group_quantiles": _documents_group_quantiles,
         "documents_group_sample": _documents_group_sample,
+        "embeddings_dedup_keep": _embeddings_dedup_keep,
     }
 
 
@@ -5439,4 +5499,5 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed WHERE rn <= 5
             ORDER BY lang, sample_key
         """,
+        "embeddings_dedup_keep": _embeddings_dedup_keep_sql(threshold=0.3, n_planes=10),
     }

@@ -567,28 +567,20 @@ def jaccard_similarity_join(
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
-def near_dedup_keep_ids(
-    docs: ray.data.Dataset, threshold: float = 0.8, exact: bool = False
+def keep_ids_from_pairs(
+    ids: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Full near-dedup: near-dup pairs → connected components → keep min
-    doc_id per component (plus all never-paired docs).
-
-    ``exact=False`` (default, the 100-TB path) pairs via MinHash-LSH sketch
-    estimate; ``exact=True`` pairs via the prefix-filtered exact
-    n-gram-Jaccard self-join (guaranteed recall — the mode the DuckDB
-    keep-set oracle checks against, since sketch estimates are not SQL).
+    """Shared near-dedup keep rule: duplicate pairs ``(src_id, dst_id)`` →
+    connected components → keep the component minimum (plus every
+    never-paired id). Used by the text family (:func:`near_dedup_keep_ids`)
+    and the embedding family (``similarity.semantic_dedup_keep_ids``).
 
     The drop set never lands on the driver: non-root component members are
     removed by a distributed bucketed LEFT ANTI join (a web-scale corpus
-    with a 40%+ dup rate keeps streaming)."""
+    with a 40%+ dup rate keeps streaming). ``ids`` must be a single-column
+    int64 dataset named ``id_col``."""
     from .canonicalize import connected_components
     from .joins import hash_bucket_join
-
-    pairs = (
-        jaccard_similarity_join(docs, threshold)
-        if exact
-        else minhash_lsh_pairs(docs, threshold)
-    )
 
     def _to_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -614,15 +606,33 @@ def near_dedup_keep_ids(
 
     drops = labels.map_batches(_drops, batch_format="pyarrow")
     return hash_bucket_join(
-        docs.select_columns(["doc_id"]),
+        ids,
         drops,
-        on="doc_id",
+        on=id_col,
         right_on="drop_id",
-        output_columns=["doc_id"],
+        output_columns=[id_col],
         how="left_anti",
-        left_schema=pa.schema([("doc_id", pa.int64())]),
+        left_schema=pa.schema([(id_col, pa.int64())]),
         right_schema=pa.schema([("drop_id", pa.int64())]),
     )
+
+
+def near_dedup_keep_ids(
+    docs: ray.data.Dataset, threshold: float = 0.8, exact: bool = False
+) -> ray.data.Dataset:
+    """Full near-dedup: near-dup pairs → connected components → keep min
+    doc_id per component (plus all never-paired docs).
+
+    ``exact=False`` (default, the 100-TB path) pairs via MinHash-LSH sketch
+    estimate; ``exact=True`` pairs via the prefix-filtered exact
+    n-gram-Jaccard self-join (guaranteed recall — the mode the DuckDB
+    keep-set oracle checks against, since sketch estimates are not SQL)."""
+    pairs = (
+        jaccard_similarity_join(docs, threshold)
+        if exact
+        else minhash_lsh_pairs(docs, threshold)
+    )
+    return keep_ids_from_pairs(docs.select_columns(["doc_id"]), pairs, "doc_id")
 
 
 def duplicate_spans(

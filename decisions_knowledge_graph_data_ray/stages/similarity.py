@@ -490,6 +490,26 @@ def embedding_dup_pairs(
     return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
 
 
+def semantic_dedup_keep_ids(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (:func:`embedding_dup_pairs` — LSH buckets + in-bucket matmul, never
+    all-pairs) → connected components → keep the component-minimum id plus
+    every never-paired vector. The embedding twin of
+    ``dedup.near_dedup_keep_ids`` — both share ``dedup.keep_ids_from_pairs``
+    (distributed CC + bucketed LEFT ANTI join; no driver-side drop set)."""
+    from .dedup import keep_ids_from_pairs
+
+    pairs = embedding_dup_pairs(embeddings, threshold=threshold, n_planes=n_planes)
+    return keep_ids_from_pairs(
+        embeddings.select_columns([id_col]), pairs, id_col=id_col
+    )
+
+
 def _infer_dim(embeddings: ray.data.Dataset) -> int:
     first = embeddings.take(1)[0]
     return len(first["embedding"])

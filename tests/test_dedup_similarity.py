@@ -311,3 +311,30 @@ def test_duplicate_spans(ray_session):
     # layout independence: same result under a different block layout
     out2 = duplicate_spans(docs.repartition(3), window=8, top_k=10).to_pandas()
     assert out.equals(out2)
+
+
+def test_semantic_dedup_keep_ids(ray_session):
+    """_emb_ds vectors repeat with period 13 in vec_id (exact duplicate
+    classes; vec 1 is a scaled copy of vec 0 → same direction class), so
+    the keep-set is exactly one survivor per direction class — the
+    component STRING-min id (the keep_ids_from_pairs/connected_components
+    label rule)."""
+    import numpy as np
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        semantic_dedup_keep_ids,
+    )
+
+    df = _emb_ds().to_pandas()
+    classes: dict[tuple, list[int]] = {}
+    for _, r in df.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        key = tuple(np.round(v / np.linalg.norm(v), 9))
+        classes.setdefault(key, []).append(int(r["vec_id"]))
+    expected = {min(ids, key=str) for ids in classes.values()}
+
+    kept = set(
+        semantic_dedup_keep_ids(_emb_ds(), threshold=0.999).to_pandas()["vec_id"]
+    )
+    assert kept == expected
+    assert 0 in kept and 1 not in kept
