@@ -4068,6 +4068,25 @@ def _embeddings_dedup_keep(sf_dir: str):
     )
 
 
+def _documents_gopher_filter(sf_dir: str):
+    """Gopher-style composed quality filter
+    (stages/text_analysis.gopher_filter): word-count / mean-word-length /
+    type-token-ratio / duplicate-2-gram rules in fixed order, per-doc keep
+    decision + first-failed-rule reason. Pure vectorized map; every signal
+    is an exact int/int division so the keep bit is SQL-reproducible."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import gopher_filter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        gopher_filter(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4183,6 +4202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_group_quantiles": _documents_group_quantiles,
         "documents_group_sample": _documents_group_sample,
         "embeddings_dedup_keep": _embeddings_dedup_keep,
+        "documents_gopher_filter": _documents_gopher_filter,
     }
 
 
@@ -5500,4 +5520,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, sample_key
         """,
         "embeddings_dedup_keep": _embeddings_dedup_keep_sql(threshold=0.3, n_planes=10),
+        # gopher_filter thresholds inline: word_count 30..100000, mean word
+        # length 3..10, ttr >= 0.35, dup-2-gram <= 0.05 — first failed rule
+        # in that order is the drop_reason (text_analysis.gopher_filter)
+        "documents_gopher_filter": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id, len(w) AS n,
+                       CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(w, x -> length(x)))
+                                      AS DOUBLE) / len(w) END AS mwl,
+                       CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       END AS ttr,
+                       CASE WHEN len(w) < 2 THEN 0.0
+                            ELSE 1.0 - CAST(len(list_distinct(
+                                     list_transform(range(1, len(w)),
+                                                    i -> w[i] || ' ' || w[i+1])))
+                                 AS DOUBLE) / (len(w) - 1) END AS dup2
+                FROM ws
+            ), r AS (
+                SELECT doc_id, n, mwl, ttr, dup2,
+                       CASE WHEN n < 30 OR n > 100000 THEN 'word_count'
+                            WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                            WHEN ttr < 0.35 THEN 'low_ttr'
+                            WHEN dup2 > 0.05 THEN 'repetitive_2grams'
+                            ELSE 'ok' END AS drop_reason
+                FROM m
+            )
+            SELECT doc_id, n AS n_words, mwl AS mean_word_len, ttr,
+                   dup2 AS dup_2gram_frac,
+                   drop_reason = 'ok' AS keep, drop_reason
+            FROM r ORDER BY doc_id
+        """,
     }

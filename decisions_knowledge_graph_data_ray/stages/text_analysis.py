@@ -228,6 +228,73 @@ def repetition_stats(
     return docs.map_batches(_stats, batch_format="pyarrow")
 
 
+def gopher_filter(
+    docs: ray.data.Dataset,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_ttr: float = 0.35,
+    max_dup_2gram: float = 0.05,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style document quality filter (Rae et al. 2021 §A1.1, adapted
+    to the signals this engine computes): per document, the repetition and
+    shape signals plus a keep decision and the FIRST failed rule in a fixed
+    order — the composed pre-training filter that sits between dedup and
+    tokenization. Pure vectorized map, no shuffle at any scale.
+
+    Every signal is an exact int/int double division (same IEEE result in
+    Python and DuckDB), so the keep decision is bit-reproducible in SQL.
+    Rule order: word count → mean word length → type-token ratio →
+    duplicate-2-gram fraction.
+    """
+    from collections import Counter
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "n_words": [], "mean_word_len": [], "ttr": [],
+            "dup_2gram_frac": [], "keep": [], "drop_reason": [],
+        }
+        for text in batch[text_col].to_pylist():
+            words = _WORD_RE.findall(text.lower())
+            n = len(words)
+            mwl = sum(map(len, words)) / n if n else 0.0
+            ttr = len(Counter(words)) / n if n else 0.0
+            grams = [f"{words[i]} {words[i + 1]}" for i in range(n - 1)]
+            dup2 = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+            if n < min_words or n > max_words:
+                reason = "word_count"
+            elif mwl < min_word_len or mwl > max_word_len:
+                reason = "word_length"
+            elif ttr < min_ttr:
+                reason = "low_ttr"
+            elif dup2 > max_dup_2gram:
+                reason = "repetitive_2grams"
+            else:
+                reason = "ok"
+            cols["n_words"].append(n)
+            cols["mean_word_len"].append(mwl)
+            cols["ttr"].append(ttr)
+            cols["dup_2gram_frac"].append(dup2)
+            cols["keep"].append(reason == "ok")
+            cols["drop_reason"].append(reason)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(cols["n_words"], pa.int64()),
+                "mean_word_len": pa.array(cols["mean_word_len"], pa.float64()),
+                "ttr": pa.array(cols["ttr"], pa.float64()),
+                "dup_2gram_frac": pa.array(cols["dup_2gram_frac"], pa.float64()),
+                "keep": pa.array(cols["keep"], pa.bool_()),
+                "drop_reason": pa.array(cols["drop_reason"], pa.string()),
+            }
+        )
+
+    return docs.map_batches(_filt, batch_format="pyarrow")
+
+
 def event_type_histogram(events: ray.data.Dataset) -> ray.data.Dataset:
     """groupby(event_type).count() with per-batch pre-aggregation (A2/A4)."""
     from ray.data.aggregate import Sum

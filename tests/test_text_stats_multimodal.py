@@ -228,3 +228,38 @@ def test_repetition_stats(ray_session):
     assert df.loc[2, "ttr"] == 1.0 and df.loc[2, "dup_2gram_frac"] == 0.0
     assert df.loc[3, "n_words"] == 0 and df.loc[3, "ttr"] == 0.0
     assert df.loc[4, "dup_2gram_frac"] == 0.0
+
+
+def test_gopher_filter_rules_and_order(ray_session):
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import gopher_filter
+
+    long_ok = " ".join(f"word{i}" for i in range(60))           # distinct, clean
+    short = "too few words here"                                 # word_count
+    repetitive = " ".join(["alpha beta"] * 40)                   # low ttr AND dup2
+    rows = [
+        {"doc_id": 0, "text": long_ok},
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": repetitive},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (
+        gopher_filter(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "keep"] and out.loc[0, "drop_reason"] == "ok"
+    assert not out.loc[1, "keep"] and out.loc[1, "drop_reason"] == "word_count"
+    # rule ORDER: repetitive doc fails ttr before dup2 (fixed first-fail order)
+    assert not out.loc[2, "keep"] and out.loc[2, "drop_reason"] == "low_ttr"
+    assert out.loc[3, "drop_reason"] == "word_count" and out.loc[3, "n_words"] == 0
+    # partition-invariant (pure map)
+    out2 = (
+        gopher_filter(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
