@@ -4087,6 +4087,28 @@ def _documents_gopher_filter(sf_dir: str):
     )
 
 
+def _events_debounce(sf_dir: str):
+    """Stateful per-user debounce (stages/windows.debounce_events): keep an
+    event iff >= 180 min after the last KEPT event of the same user — the
+    sequential-state semantics lag() can't express (oracle: per-row
+    recursive CTE). One shuffle on user_id; per-group kernel loops once per
+    kept event via searchsorted jumps."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import debounce_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return (
+        debounce_events(ev, min_gap_s=10800, keys=("user_id",))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4203,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_group_sample": _documents_group_sample,
         "embeddings_dedup_keep": _embeddings_dedup_keep,
         "documents_gopher_filter": _documents_gopher_filter,
+        "events_debounce": _events_debounce,
     }
 
 
@@ -5554,5 +5577,30 @@ def oracle_sql() -> dict[str, str]:
                    dup2 AS dup_2gram_frac,
                    drop_reason = 'ok' AS keep, drop_reason
             FROM r ORDER BY doc_id
+        """,
+        # greedy debounce: keep iff >= gap after the last KEPT event — the
+        # kept-state recursion steps one row per user at a time (depth =
+        # max events per user), integer-microsecond gap arithmetic
+        "events_debounce": """
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT event_id, ts, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), scan(user_id, rn, kept_ts, keep) AS (
+                SELECT user_id, rn, ts, true FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn,
+                       CASE WHEN epoch_us(e.ts) - epoch_us(s.kept_ts)
+                                 >= 10800000000
+                            THEN e.ts ELSE s.kept_ts END,
+                       epoch_us(e.ts) - epoch_us(s.kept_ts) >= 10800000000
+                FROM scan s JOIN e ON e.user_id = s.user_id
+                                  AND e.rn = s.rn + 1
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+            FROM scan s JOIN e USING (user_id, rn)
+            WHERE s.keep
+            ORDER BY e.event_id
         """,
     }

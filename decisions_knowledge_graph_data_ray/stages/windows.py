@@ -379,3 +379,41 @@ def interval_join(
         return _restore(m[out_names].reset_index(drop=True))
 
     return ptag.union(itag).groupby(_IBUCKET).map_groups(_merge, batch_format="pandas")
+
+
+def debounce_events(
+    events: ray.data.Dataset,
+    min_gap_s: int,
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Stateful per-key debounce: keep an event iff it is >= ``min_gap_s``
+    after the last KEPT event of the same key (greedy earliest-first scan in
+    ``(ts, order_col)`` order). This depends on the previously *kept* event,
+    not the previous row, so no ``lag()``/window function expresses it — the
+    classic sequential-state stream operator (duplicate-click suppression,
+    alert throttling, sensor thinning).
+
+    Scale shape: ONE shuffle on the key (``groupby().map_groups``); the
+    per-group kernel jumps via ``searchsorted`` so the Python loop runs once
+    per KEPT event, not per row. Partitioning assumption: one key's history
+    fits a worker (same contract as asof_join/sessionize). Gap arithmetic is
+    integer microseconds — exact in both numpy and the DuckDB oracle.
+    """
+    gap_us = int(min_gap_s) * 1_000_000
+    key_list = list(keys)
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+        n = len(ts_us)
+        keep_idx = []
+        i = 0
+        while i < n:
+            keep_idx.append(i)
+            j = int(np.searchsorted(ts_us, ts_us[i] + gap_us, side="left"))
+            i = max(j, i + 1)
+        return g.iloc[keep_idx].reset_index(drop=True)
+
+    return events.groupby(key_list).map_groups(_scan, batch_format="pandas")

@@ -402,3 +402,51 @@ def test_events_retention_cohorts(ray_session, tmp_path):
         ("2026-01-01 11:00:00", 0): 1,
         ("2026-01-01 11:00:00", 1): 1,
     }
+
+
+class TestDebounce:
+    def test_greedy_kept_state_not_lag(self, rd):
+        """Events at t=0,5,9,12 with gap 10: greedy keeps 0 and 12 (9 is
+        <10 after KEPT 0; 12 is >=10 after 0). A lag()-based rule would
+        instead drop 12 (only 3s after 9) — pinning the kept-state
+        semantics."""
+        from decisions_knowledge_graph_data_ray.stages.windows import debounce_events
+
+        rows = [
+            {"event_id": i, "user_id": 1, "ts": _ts(t)}
+            for i, t in enumerate([0, 5, 9, 12])
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = (
+            debounce_events(ds, min_gap_s=10, keys=("user_id",))
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert out["event_id"].tolist() == [0, 3]
+
+    def test_per_key_isolation_and_partition_invariance(self, rd):
+        from decisions_knowledge_graph_data_ray.stages.windows import debounce_events
+
+        rows = []
+        eid = 0
+        for u in range(6):
+            for t in range(0, 100, 7):  # 7s cadence per user
+                rows.append({"event_id": eid, "user_id": u, "ts": _ts(t)})
+                eid += 1
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = (
+            debounce_events(ds, min_gap_s=20, keys=("user_id",))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # greedy with 7s cadence and 20s gap keeps t=0,21,42,63,84 per user
+        per_user = out.groupby("user_id").size()
+        assert (per_user == 5).all()
+        out2 = (
+            debounce_events(ds.repartition(7), min_gap_s=20, keys=("user_id",))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
