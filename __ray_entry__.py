@@ -4109,6 +4109,26 @@ def _events_debounce(sf_dir: str):
     )
 
 
+def _documents_span_removed(sf_dir: str):
+    """Boilerplate REMOVAL (stages/dedup.remove_duplicate_spans): the top-50
+    cross-document 8-word spans (documents_dup_spans' detector) stripped
+    from each document's normalized text, replacements in (occurrences
+    desc, span asc) order. Span list bounded by top_k → ray.put broadcast;
+    the corpus streams through a pure map. Oracle replays the same fold
+    with list_reduce(list_prepend(norm, spans), replace)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import remove_duplicate_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        remove_duplicate_spans(docs, window=8, top_k=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4226,6 +4246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dedup_keep": _embeddings_dedup_keep,
         "documents_gopher_filter": _documents_gopher_filter,
         "events_debounce": _events_debounce,
+        "documents_span_removed": _documents_span_removed,
     }
 
 
@@ -5602,5 +5623,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scan s JOIN e USING (user_id, rn)
             WHERE s.keep
             ORDER BY e.event_id
+        """,
+        # span REMOVAL: the documents_dup_spans detector chain, then a
+        # list_reduce fold replaying Python's chained str.replace in the
+        # same (occurrences desc, span asc) order over the normalized text
+        "documents_span_removed": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), sp AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 8 + 2),
+                              i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS span
+                FROM ws
+            ), ag AS (
+                SELECT span, count(*) AS n_occurrences,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM sp GROUP BY span
+            ), top AS (
+                SELECT span, n_occurrences FROM ag
+                WHERE n_docs >= 2
+                ORDER BY n_occurrences DESC, span
+                LIMIT 50
+            ), sl AS (
+                SELECT coalesce(list(span ORDER BY n_occurrences DESC, span),
+                                []::VARCHAR[]) AS spans
+                FROM top
+            ), cleaned AS (
+                SELECT ws.doc_id,
+                       array_to_string(ws.w, ' ') AS norm_text,
+                       list_reduce(
+                           list_prepend(array_to_string(ws.w, ' '), sl.spans),
+                           (a, b) -> replace(a, b, '')) AS clean_text
+                FROM ws CROSS JOIN sl
+            )
+            SELECT doc_id, clean_text,
+                   length(norm_text) - length(clean_text) AS n_removed_chars
+            FROM cleaned ORDER BY doc_id
         """,
     }

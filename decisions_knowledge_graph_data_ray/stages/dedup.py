@@ -714,3 +714,53 @@ def duplicate_spans(
         .reset_index(drop=True)
     )
     return ray.data.from_pandas(pd.DataFrame(out[["span", "n_docs", "n_occurrences"]]))
+
+
+def remove_duplicate_spans(
+    docs: ray.data.Dataset,
+    window: int = 8,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """The REMOVE step of span-level dedup (Lee et al.): detect the top-k
+    cross-document boilerplate spans (:func:`duplicate_spans`) and strip
+    every occurrence from each document's normalized text (lowercase word
+    tokens joined by single spaces — the same view the detector counts on,
+    so every detected span literally matches). Replacements apply in the
+    detector's (occurrences desc, span asc) order, left-to-right
+    non-overlapping — the fold a DuckDB ``list_reduce`` replays exactly.
+
+    Scale shape: the span list is bounded by ``top_k`` (a driver-side pick
+    by contract of duplicate_spans), broadcast once via ``ray.put``; the
+    corpus streams through a pure map. Output:
+    ``(id_col, clean_text, n_removed_chars)``.
+    """
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    spans_df = duplicate_spans(
+        docs, window=window, top_k=top_k, text_col=text_col, id_col=id_col
+    ).to_pandas()
+    spans_ref = ray.put(list(spans_df["span"]))
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        spans = ray.get(spans_ref)
+        ids, cleans, removed = [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            norm = " ".join(word_re.findall(text.lower()))
+            clean = norm
+            for s in spans:
+                clean = clean.replace(s, "")
+            ids.append(i)
+            cleans.append(clean)
+            removed.append(len(norm) - len(clean))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "clean_text": pa.array(cleans, pa.string()),
+                "n_removed_chars": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_strip, batch_format="pyarrow")

@@ -338,3 +338,36 @@ def test_semantic_dedup_keep_ids(ray_session):
     )
     assert kept == expected
     assert 0 in kept and 1 not in kept
+
+
+def test_remove_duplicate_spans(ray_session):
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import remove_duplicate_spans
+
+    boiler = "this license text is shared by every document here ok"  # 10 words
+    rows = [
+        {"doc_id": i, "text": f"unique{i} opening words. {boiler} And unique{i} tail."}
+        for i in range(6)
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        remove_duplicate_spans(ds, window=8, top_k=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the shared block is gone from every clean_text
+    assert not out["clean_text"].str.contains("license text is shared").any()
+    assert (out["n_removed_chars"] > 0).all()
+    # unique content survives
+    for i in range(6):
+        assert f"unique{i} opening words" in out.loc[i, "clean_text"]
+    # partition-invariant
+    out2 = (
+        remove_duplicate_spans(ds.repartition(4), window=8, top_k=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
