@@ -4129,6 +4129,26 @@ def _documents_span_removed(sf_dir: str):
     )
 
 
+def _events_transitions(sf_dir: str):
+    """Per-user event-type transition matrix
+    (stages/windows.event_transitions): consecutive (src,dst) bigram counts
+    over each user's time-ordered stream, summed globally. One shuffle on
+    user_id; per-group combiner emits at most |types|^2 rows."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return (
+        event_transitions(ev)
+        .to_pandas()
+        .sort_values(["src_type", "dst_type"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4247,6 +4267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_gopher_filter": _documents_gopher_filter,
         "events_debounce": _events_debounce,
         "documents_span_removed": _documents_span_removed,
+        "events_transitions": _events_transitions,
     }
 
 
@@ -5660,5 +5681,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clean_text,
                    length(norm_text) - length(clean_text) AS n_removed_chars
             FROM cleaned ORDER BY doc_id
+        """,
+        "events_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            )
+            SELECT event_type AS src_type, next_type AS dst_type,
+                   count(*) AS n
+            FROM o WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
     }

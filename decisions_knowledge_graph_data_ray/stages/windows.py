@@ -417,3 +417,43 @@ def debounce_events(
         return g.iloc[keep_idx].reset_index(drop=True)
 
     return events.groupby(key_list).map_groups(_scan, batch_format="pandas")
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    keys: tuple = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key event-sequence transition counts (the Markov bigram matrix a
+    next-event model or funnel-anomaly detector trains on): within each
+    key's ``(ts, order_col)``-ordered stream, count consecutive
+    ``(src_type, dst_type)`` pairs, then sum globally.
+
+    Scale shape: ONE shuffle on the key; each group emits at most
+    ``|types|^2`` partial rows (combiner inside ``map_groups``), so the
+    final groupby moves transition-matrix cells, never events."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    key_list = list(keys)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values([ts_col, order_col])[type_col].to_numpy()
+        c = Counter(zip(t[:-1], t[1:]))
+        return pd.DataFrame(
+            {
+                "src_type": [k[0] for k in c],
+                "dst_type": [k[1] for k in c],
+                "n": list(c.values()),
+            }
+        )
+
+    return (
+        events.groupby(key_list)
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["src_type", "dst_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -450,3 +450,48 @@ class TestDebounce:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestEventTransitions:
+    def test_counts_match_serial(self, rd):
+        from collections import Counter
+
+        from decisions_knowledge_graph_data_ray.stages.windows import event_transitions
+
+        types = ["a", "b", "c"]
+        rows = []
+        eid = 0
+        for u in range(5):
+            for t in range(12):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "user_id": u,
+                        "ts": _ts(t * 10 + u),
+                        "event_type": types[(u + t * t) % 3],
+                    }
+                )
+                eid += 1
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = (
+            event_transitions(ds)
+            .to_pandas()
+            .sort_values(["src_type", "dst_type"])
+            .reset_index(drop=True)
+        )
+        # serial truth
+        want: Counter = Counter()
+        df = pd.DataFrame(rows).sort_values(["ts", "event_id"])
+        for _, g in df.groupby("user_id"):
+            t = g["event_type"].tolist()
+            want.update(zip(t[:-1], t[1:]))
+        got = {(r.src_type, r.dst_type): r.n for r in out.itertuples()}
+        assert got == dict(want)
+        # partition-invariant
+        out2 = (
+            event_transitions(ds.repartition(7))
+            .to_pandas()
+            .sort_values(["src_type", "dst_type"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
