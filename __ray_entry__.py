@@ -4149,6 +4149,29 @@ def _events_transitions(sf_dir: str):
     )
 
 
+def _documents_length_bucket(sf_dir: str):
+    """Per-language quartile binning
+    (stages/diagnostics.bucket_by_group_quantiles): each document labeled
+    q1..q4 against ITS language's exact q25/q50/q75 cutoffs. Quantile table
+    bounded by |groups|, broadcast once; the corpus streams through a pure
+    map."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        bucket_by_group_quantiles,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return (
+        bucket_by_group_quantiles(docs, value_col="n_chars", group_col="lang", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4268,6 +4291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _events_debounce,
         "documents_span_removed": _documents_span_removed,
         "events_transitions": _events_transitions,
+        "documents_length_bucket": _documents_length_bucket,
     }
 
 
@@ -5695,5 +5719,21 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE next_type IS NOT NULL
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "documents_length_bucket": """
+            WITH q AS (
+                SELECT lang,
+                       quantile_disc(n_chars, 0.25) AS q25,
+                       quantile_disc(n_chars, 0.50) AS q50,
+                       quantile_disc(n_chars, 0.75) AS q75
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CASE WHEN d.n_chars <= q.q25 THEN 'q1'
+                        WHEN d.n_chars <= q.q50 THEN 'q2'
+                        WHEN d.n_chars <= q.q75 THEN 'q3'
+                        ELSE 'q4' END AS bucket
+            FROM documents d JOIN q USING (lang)
+            ORDER BY d.doc_id
         """,
     }

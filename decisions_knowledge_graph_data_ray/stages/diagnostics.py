@@ -314,3 +314,48 @@ def group_quantiles(
         return pd.DataFrame(row)
 
     return counts.groupby(group_col).map_groups(_scan, batch_format="pandas")
+
+
+def bucket_by_group_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per-group quartile binning (feature bucketing / curriculum tiers):
+    each row is labeled q1..q4 by comparing its value to ITS GROUP's exact
+    q25/q50/q75 (:func:`group_quantiles` — percentile_disc semantics, so
+    the cutoffs are actual data values and the comparison is integer-exact).
+
+    Scale shape: the quantile table is one row per group (bounded by
+    |groups|, collected + ``ray.put`` broadcast); the corpus streams
+    through a pure map. ``q1``: value <= q25, ``q2``: <= q50, ``q3``:
+    <= q75, ``q4``: above."""
+    import numpy as np
+
+    import ray as _ray
+
+    q = group_quantiles(ds, value_col=value_col, group_col=group_col).to_pandas()
+    cuts_ref = _ray.put(
+        {r[group_col]: (r["q25"], r["q50"], r["q75"]) for _, r in q.iterrows()}
+    )
+
+    def _label(batch: pa.Table) -> pa.Table:
+        cuts = _ray.get(cuts_ref)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        labels = []
+        for g, v in zip(batch[group_col].to_pylist(), vals):
+            q25, q50, q75 = cuts[g]
+            labels.append(
+                "q1" if v <= q25 else "q2" if v <= q50 else "q3" if v <= q75 else "q4"
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                value_col: batch[value_col],
+                "bucket": pa.array(labels, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_label, batch_format="pyarrow")

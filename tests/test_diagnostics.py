@@ -132,3 +132,34 @@ def test_group_quantiles_matches_numpy(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_bucket_by_group_quantiles(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        bucket_by_group_quantiles,
+    )
+
+    # group g0: values 1..8 -> q25=2, q50=4, q75=6 (percentile_disc)
+    rows = [{"id": i, "g": "g0", "v": i + 1} for i in range(8)]
+    rows += [{"id": 100 + i, "g": "g1", "v": 10 * (i + 1)} for i in range(4)]
+    ds = rd.from_items(rows)
+    out = (
+        bucket_by_group_quantiles(ds, value_col="v", group_col="g", id_col="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g0 = out[out["g"] == "g0"]
+    assert g0["bucket"].tolist() == ["q1", "q1", "q2", "q2", "q3", "q3", "q4", "q4"]
+    g1 = out[out["g"] == "g1"]  # 10,20,30,40 -> q25=10,q50=20,q75=30
+    assert g1["bucket"].tolist() == ["q1", "q2", "q3", "q4"]
+    # partition-invariant
+    out2 = (
+        bucket_by_group_quantiles(
+            ds.repartition(5), value_col="v", group_col="g", id_col="id"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
