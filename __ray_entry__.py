@@ -4172,6 +4172,25 @@ def _documents_length_bucket(sf_dir: str):
     )
 
 
+def _documents_bm25(sf_dir: str):
+    """BM25 per-term relevance scores (stages/text_analysis.bm25_scores)
+    for the fixed query {join, filter, scan} — the lexical ranking twin of
+    the embedding ANN family. Two bounded stat passes (N+Σdl, per-term df)
+    broadcast once; scoring streams. Per-(doc,term) rows so every float is
+    one deterministic expression (no cross-term sum order)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import bm25_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        bm25_scores(docs, query_terms=["join", "filter", "scan"])
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4292,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_span_removed": _documents_span_removed,
         "events_transitions": _events_transitions,
         "documents_length_bucket": _documents_length_bucket,
+        "documents_bm25": _documents_bm25,
     }
 
 
@@ -5735,5 +5755,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'q4' END AS bucket
             FROM documents d JOIN q USING (lang)
             ORDER BY d.doc_id
+        """,
+        # BM25 (Lucene +1 idf): every constant cast ::DOUBLE so the whole
+        # expression tree is IEEE-double arithmetic in the exact order the
+        # Python twin (bm25_scores) evaluates — scores are bit-exact
+        "documents_bm25": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+                FROM ws
+            ), terms(term) AS (
+                VALUES ('join'), ('filter'), ('scan')
+            ), dfq AS (
+                SELECT t.term, count(*) AS df
+                FROM terms t JOIN ws ON list_contains(ws.w, t.term)
+                GROUP BY t.term
+            ), scored AS (
+                SELECT ws.doc_id, t.term,
+                       len(list_filter(ws.w, x -> x = t.term)) AS tf,
+                       len(ws.w) AS dl
+                FROM ws CROSS JOIN terms t
+            )
+            SELECT s.doc_id, s.term, s.tf,
+                   ln((st.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)
+                      + 1.0::DOUBLE)
+                   * (s.tf * (1.2::DOUBLE + 1))
+                   / (s.tf + 1.2::DOUBLE
+                        * (1 - 0.75::DOUBLE
+                           + 0.75::DOUBLE * s.dl / st.avgdl)) AS score
+            FROM scored s JOIN dfq d USING (term) CROSS JOIN stats st
+            WHERE s.tf > 0
+            ORDER BY s.doc_id, s.term
         """,
     }

@@ -346,3 +346,103 @@ def reference_table(docs: ray.data.Dataset, id_col: str = "conv_id") -> ray.data
         )
 
     return docs.map_batches(_refs, batch_format="pyarrow")
+
+
+def bm25_scores(
+    docs: ray.data.Dataset,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """BM25 (Okapi, Lucene ``+1`` idf variant) per-term relevance scores
+    against a fixed query — the lexical ranking twin of the embedding ANN
+    family (fuse the two downstream for hybrid search). Output: one row per
+    ``(doc, term)`` with ``tf > 0`` — per-TERM contributions, deliberately
+    NOT summed across terms, so every float is a single deterministic
+    expression (a cross-term sum's addition order would not be
+    SQL-reproducible).
+
+    Two bounded passes, then a stream:
+      1. corpus stats — per-batch partials for N and Σdl (two ints);
+      2. per-term document frequencies — |terms| rows, broadcast;
+      3. scoring — a pure vectorized map over the corpus.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1); the expression tree is written
+    identically in the DuckDB oracle, so scores are bit-exact doubles.
+    """
+    import math
+    from ray.data.aggregate import Sum
+
+    word_re = _WORD_RE
+    terms = list(query_terms)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        rows_n, rows_dl = [], []
+        dfc = {t: 0 for t in terms}
+        for text in batch[text_col].to_pylist():
+            words = word_re.findall(text.lower())
+            rows_n.append(1)
+            rows_dl.append(len(words))
+            wset = set(words)
+            for t in terms:
+                if t in wset:
+                    dfc[t] += 1
+        return pa.table(
+            {
+                "n_docs": pa.array([len(rows_n)], pa.int64()),
+                "sum_dl": pa.array([sum(rows_dl)], pa.int64()),
+                **{f"df_{i}": pa.array([dfc[t]], pa.int64()) for i, t in enumerate(terms)},
+            }
+        )
+
+    agg = (
+        docs.map_batches(_stats, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl"),
+            *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
+        )
+    )
+    n_docs = int(agg["sum(n_docs)"] if "sum(n_docs)" in agg else agg["n_docs"])
+    sum_dl = int(agg["sum(sum_dl)"] if "sum(sum_dl)" in agg else agg["sum_dl"])
+    dfs = {
+        t: int(agg.get(f"df_{i}", agg.get(f"sum(df_{i})", 0)))
+        for i, t in enumerate(terms)
+    }
+    avgdl = sum_dl / n_docs
+    idf = {
+        t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in terms
+    }
+    stats_ref = ray.put((terms, idf, avgdl, k1, b))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        q_terms, q_idf, q_avgdl, q_k1, q_b = ray.get(stats_ref)
+        ids, t_out, tf_out, sc_out = [], [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            words = word_re.findall(text.lower())
+            dl = len(words)
+            for t in q_terms:
+                tf = words.count(t)
+                if tf == 0:
+                    continue
+                score = (
+                    q_idf[t]
+                    * (tf * (q_k1 + 1))
+                    / (tf + q_k1 * (1 - q_b + q_b * dl / q_avgdl))
+                )
+                ids.append(i)
+                t_out.append(t)
+                tf_out.append(tf)
+                sc_out.append(score)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "term": pa.array(t_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "score": pa.array(sc_out, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

@@ -263,3 +263,48 @@ def test_gopher_filter_rules_and_order(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_bm25_scores_match_serial(ray_session):
+    import math
+    import re
+
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import bm25_scores
+
+    word_re = re.compile(r"[a-z0-9]+")
+    rows = [
+        {"doc_id": 0, "text": "join join filter scan extra words here"},
+        {"doc_id": 1, "text": "filter only appears once in this longer doc " * 3},
+        {"doc_id": 2, "text": "nothing relevant at all whatsoever"},
+        {"doc_id": 3, "text": "scan scan scan"},
+    ]
+    terms = ["join", "filter", "scan"]
+    out = (
+        bm25_scores(rd.from_items(rows), query_terms=terms)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    # serial BM25 truth
+    toks = {r["doc_id"]: word_re.findall(r["text"].lower()) for r in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    want = []
+    for d in sorted(toks):
+        for t in sorted(terms):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            want.append(
+                {
+                    "doc_id": d, "term": t, "tf": tf,
+                    "score": idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) / avgdl)),
+                }
+            )
+    pd.testing.assert_frame_equal(out, pd.DataFrame(want), check_exact=True)
+    # doc 2 never scores; per-doc tf ordering sane
+    assert 2 not in set(out["doc_id"])
