@@ -4191,6 +4191,63 @@ def _documents_bm25(sf_dir: str):
     )
 
 
+def _hybrid_search(sf_dir: str):
+    """Hybrid search (stages/similarity.rrf_fuse): reciprocal-rank fusion
+    of the BM25('join') lexical top-20 and the cosine-to-vec-0 semantic
+    top-20 (brute_force_topk float64 + round-6, the embeddings_topk
+    recipe). Both inputs are bounded top-k tables — the lexical side via a
+    per-batch partial-top-k combiner, never a driver-side corpus sort; the
+    fusion is a bucketed full-outer join + pure map. Missing ranks
+    coalesce to 0; rrf = 1/(60+lex) + 1/(60+sem) in that fixed order."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import bm25_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scores = bm25_scores(docs, query_terms=["join"])
+
+    def _partial_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+
+    lex = (
+        scores.map_batches(_partial_top, batch_format="pandas")
+        .to_pandas()  # <= 20 x blocks rows — bounded
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    lex["rank"] = range(1, len(lex) + 1)
+    lex_ds = rd.from_pandas(lex[["doc_id", "rank"]])
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q0 = emb.filter(expr="vec_id == 0").to_pandas()
+    q_ref = _ray.put(
+        {"query_id": [0], "matrix": np.asarray(q0["embedding"].tolist(), dtype=np.float64)}
+    )
+    sem = (
+        brute_force_topk(emb, q_ref, k=20, dtype=np.float64, round_to=6)
+        .to_pandas()
+        .rename(columns={"vec_id": "doc_id"})
+    )
+    sem_ds = rd.from_pandas(sem[["doc_id", "rank"]])
+
+    out = rrf_fuse(lex_ds, sem_ds, id_col="doc_id", k=60).to_pandas()
+    for c in ("lex_rank", "sem_rank"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (
+        out[["doc_id", "lex_rank", "sem_rank", "rrf"]]
+        .sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4312,6 +4369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _events_transitions,
         "documents_length_bucket": _documents_length_bucket,
         "documents_bm25": _documents_bm25,
+        "hybrid_search": _hybrid_search,
     }
 
 
@@ -5789,5 +5847,61 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN dfq d USING (term) CROSS JOIN stats st
             WHERE s.tf > 0
             ORDER BY s.doc_id, s.term
+        """,
+        # RRF hybrid search: BM25('join') lexical top-20 ⊕ cosine-to-vec-0
+        # semantic top-20 (the embeddings_topk float64+round-6 recipe);
+        # rrf = 1/(60+lex) + 1/(60+sem), fixed order, missing side 0.0
+        "hybrid_search": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+                FROM ws
+            ), dfq AS (
+                SELECT count(*) AS df FROM ws WHERE list_contains(w, 'join')
+            ), lexs AS (
+                SELECT ws.doc_id,
+                       len(list_filter(ws.w, x -> x = 'join')) AS tf,
+                       len(ws.w) AS dl
+                FROM ws
+            ), lexsc AS (
+                SELECT doc_id,
+                       ln((st.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)
+                          + 1.0::DOUBLE)
+                       * (tf * (1.2::DOUBLE + 1))
+                       / (tf + 1.2::DOUBLE
+                            * (1 - 0.75::DOUBLE
+                               + 0.75::DOUBLE * dl / st.avgdl)) AS score
+                FROM lexs CROSS JOIN stats st CROSS JOIN dfq d
+                WHERE tf > 0
+            ), lexr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+                FROM lexsc
+            ), lext AS (
+                SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 20
+            ), q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), sems AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.qe::DOUBLE[]), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ), semr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+                FROM sems
+            ), semt AS (
+                SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= 20
+            )
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   coalesce(l.lex_rank, 0) AS lex_rank,
+                   coalesce(s.sem_rank, 0) AS sem_rank,
+                   coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (60 + s.sem_rank), 0.0::DOUBLE) AS rrf
+            FROM lext l FULL OUTER JOIN semt s ON l.doc_id = s.doc_id
+            ORDER BY rrf DESC, doc_id
         """,
     }

@@ -601,3 +601,60 @@ def cosine_pairs_exact(
         return _PAIR_CACHE[key](batch)
 
     return embeddings.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+
+
+def rrf_fuse(
+    lexical: ray.data.Dataset,
+    semantic: ray.data.Dataset,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two rankings (hybrid search: a BM25-style
+    lexical ranking ⊕ an embedding ANN ranking):
+    ``rrf = 1/(k + lex_rank) + 1/(k + sem_rank)`` with a missing side
+    contributing 0.0 — the standard parameter-free fusion (Cormack et al.,
+    k=60). The two contributions are added in a FIXED order (lexical then
+    semantic), so the double is one deterministic expression the SQL oracle
+    reproduces bit-exact.
+
+    Scale shape: a bucketed FULL OUTER join on the id (both inputs are
+    top-k tables — already bounded), then a pure map. Output:
+    ``(id_col, lex_rank, sem_rank, rrf)`` with null ranks where a side is
+    missing."""
+    from .joins import hash_bucket_join
+
+    def _rn(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    name: batch[rank_col].cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    lex = lexical.map_batches(_rn("lex_rank"), batch_format="pyarrow")
+    sem = semantic.map_batches(_rn("sem_rank"), batch_format="pyarrow")
+    sch_l = pa.schema([(id_col, pa.int64()), ("lex_rank", pa.int64())])
+    sch_r = pa.schema([(id_col, pa.int64()), ("sem_rank", pa.int64())])
+    joined = hash_bucket_join(
+        lex,
+        sem,
+        on=id_col,
+        output_columns=[id_col, "lex_rank", "sem_rank"],
+        how="full_outer",
+        left_schema=sch_l,
+        right_schema=sch_r,
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        rrf = [
+            (1.0 / (k + lr) if lr is not None else 0.0)
+            + (1.0 / (k + sr) if sr is not None else 0.0)
+            for lr, sr in zip(batch["lex_rank"].to_pylist(), batch["sem_rank"].to_pylist())
+        ]
+        return batch.append_column("rrf", pa.array(rrf, pa.float64()))
+
+    return joined.map_batches(_score, batch_format="pyarrow")

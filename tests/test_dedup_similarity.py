@@ -371,3 +371,26 @@ def test_remove_duplicate_spans(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_rrf_fuse(ray_session):
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import rrf_fuse
+
+    lex = rd.from_items([{"doc_id": d, "rank": r} for r, d in enumerate([5, 3, 9], 1)])
+    sem = rd.from_items([{"doc_id": d, "rank": r} for r, d in enumerate([3, 7], 1)])
+    out = (
+        rrf_fuse(lex, sem, id_col="doc_id", k=60)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {int(r.doc_id): r.rrf for r in out.itertuples()}
+    assert got[3] == 1.0 / 62 + 1.0 / 61  # both sides
+    assert got[5] == 1.0 / 61             # lexical only
+    assert got[7] == 1.0 / 62             # semantic only
+    assert got[9] == 1.0 / 63
+    # null ranks survive on the missing side
+    row7 = out[out["doc_id"] == 7].iloc[0]
+    assert pd.isna(row7["lex_rank"]) and row7["sem_rank"] == 2
