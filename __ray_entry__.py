@@ -4248,6 +4248,27 @@ def _hybrid_search(sf_dir: str):
     )
 
 
+def _documents_surprisal(sf_dir: str):
+    """Self-trained unigram-LM surprisal
+    (stages/text_analysis.unigram_surprisal) — the CCNet-style perplexity
+    quality signal. Vocabulary combiner pass broadcast once; scoring
+    streams. The per-doc sum is a left fold in token order, so the double
+    matches the oracle's list_reduce bit-exact."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        unigram_surprisal,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        unigram_surprisal(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4370,6 +4391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_length_bucket": _documents_length_bucket,
         "documents_bm25": _documents_bm25,
         "hybrid_search": _hybrid_search,
+        "documents_surprisal": _documents_surprisal,
     }
 
 
@@ -5903,5 +5925,34 @@ def oracle_sql() -> dict[str, str]:
                      + coalesce(1.0::DOUBLE / (60 + s.sem_rank), 0.0::DOUBLE) AS rrf
             FROM lext l FULL OUTER JOIN semt s ON l.doc_id = s.doc_id
             ORDER BY rrf DESC, doc_id
+        """,
+        # unigram surprisal: ln(count/total) summed as a LEFT FOLD in token
+        # order (list_reduce over list(lnp ORDER BY position)) — the same
+        # sequential sum Python's sum() performs, so doubles are bit-exact
+        "documents_surprisal": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), tokpos AS (
+                SELECT doc_id, i, w[i] AS token
+                FROM ws, unnest(range(1, len(w) + 1)) r(i)
+            ), vocab AS (
+                SELECT token, count(*) AS c FROM tokpos GROUP BY token
+            ), tot AS (
+                SELECT count(*) AS total FROM tokpos
+            ), j AS (
+                SELECT t.doc_id, t.i,
+                       ln(CAST(v.c AS DOUBLE) / tot.total) AS lnp
+                FROM tokpos t JOIN vocab v USING (token) CROSS JOIN tot
+            ), l AS (
+                SELECT doc_id, list(lnp ORDER BY i) AS lnps
+                FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(len(l.lnps), 0) AS n_tokens,
+                   coalesce(-(list_reduce(l.lnps, (a, b) -> a + b)
+                              / len(l.lnps)), 0.0::DOUBLE) AS avg_surprisal
+            FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id
+            ORDER BY d.doc_id
         """,
     }

@@ -446,3 +446,71 @@ def bm25_scores(
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def unigram_surprisal(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Self-trained unigram-LM surprisal per document — the CCNet-style
+    "perplexity" quality signal (documents whose tokens are corpus-atypical
+    score high): ``avg_surprisal = -(1/n) Σ ln(count(tok)/total)`` with the
+    sum taken as a LEFT FOLD in document token order, so the double is
+    bit-reproducible (the DuckDB oracle replays it with
+    ``list_reduce(list(lnp ORDER BY position))``).
+
+    Scale shape: corpus token counts via the ``vocabulary`` combiner
+    discipline (one partial row per distinct token per batch → groupby
+    Sum), collected once and broadcast via ``ray.put`` (O(|vocab|) — same
+    assumption as tfidf_top_terms); scoring streams."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _tc_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(_WORD_RE.findall(t.lower()))
+        toks = list(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(_tc_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cmap: dict = {}
+    for blk in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        cmap.update(zip(blk["token"].to_pylist(), blk["n"].to_pylist()))
+    total = sum(cmap.values())
+    state_ref = ray.put((cmap, total))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        cm, tot = broadcast_cache(state_ref)
+        ids, ns, avgs = [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            words = _WORD_RE.findall(text.lower())
+            n = len(words)
+            # sum() is a sequential left fold — the oracle's list_reduce twin
+            s = sum(math.log(cm[t] / tot) for t in words)
+            ids.append(i)
+            ns.append(n)
+            avgs.append(-(s / n) if n else 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "avg_surprisal": pa.array(avgs, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

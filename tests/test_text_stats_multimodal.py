@@ -308,3 +308,47 @@ def test_bm25_scores_match_serial(ray_session):
     pd.testing.assert_frame_equal(out, pd.DataFrame(want), check_exact=True)
     # doc 2 never scores; per-doc tf ordering sane
     assert 2 not in set(out["doc_id"])
+
+
+def test_unigram_surprisal_matches_serial(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        unigram_surprisal,
+    )
+
+    word_re = re.compile(r"[a-z0-9]+")
+    rows = [
+        {"doc_id": 0, "text": "common common common words words here"},
+        {"doc_id": 1, "text": "rare singleton tokens zxqj wvmb common"},
+        {"doc_id": 2, "text": "words here common"},
+    ]
+    out = (
+        unigram_surprisal(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    toks = {r["doc_id"]: word_re.findall(r["text"].lower()) for r in rows}
+    c: Counter = Counter()
+    for w in toks.values():
+        c.update(w)
+    total = sum(c.values())
+    for d, words in toks.items():
+        want = -(sum(math.log(c[t] / total) for t in words) / len(words))
+        assert out.loc[d, "avg_surprisal"] == want  # bit-exact left fold
+        assert out.loc[d, "n_tokens"] == len(words)
+    # rare-token doc scores strictly higher than the common-token doc
+    assert out.loc[1, "avg_surprisal"] > out.loc[0, "avg_surprisal"]
+    # partition-invariant
+    out2 = (
+        unigram_surprisal(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
