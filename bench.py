@@ -322,6 +322,13 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": thr_lo,
         "turns_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        # per-leg raw reps + calibration probes: the efficiency RATIO mixes
+        # two sessions' co-tenancy draws — these make a skewed pairing
+        # diagnosable (a fast-lo/slow-hi pairing reads low, and vice versa)
+        "reps_lo_sec": r_lo.get("headline_reps_sec"),
+        "reps_hi_sec": r_hi.get("headline_reps_sec"),
+        "probes_lo_sec": r_lo.get("calibration_probe_sec"),
+        "probes_hi_sec": r_hi.get("calibration_probe_sec"),
     }
 
 
