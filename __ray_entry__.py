@@ -4269,6 +4269,200 @@ def _documents_surprisal(sf_dir: str):
     )
 
 
+def _orders_rollup(sf_dir: str):
+    """Multi-level aggregate in one operator (stages/skew.
+    grouping_sets_aggregate — SQL ROLLUP, which Ray Data has no native
+    analogue for): order counts + revenue by (year, priority), by (year),
+    and grand total, each level combiner-collapsed before its shuffle.
+    Revenue is integer cents via floor(p*100 + 0.5) — the identical double
+    expression on both sides, so the sum is integer-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.skew import grouping_sets_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "year": pc.year(batch["o_orderdate"]).cast(pa.int64()),
+                "priority": batch["o_orderpriority"],
+                "cents": pc.floor(
+                    pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)
+                ).cast(pa.int64()),
+            }
+        )
+
+    out = grouping_sets_aggregate(
+        orders.map_batches(_prep, batch_format="pyarrow"),
+        sets=[["year", "priority"], ["year"], []],
+        specs={"n_orders": ("count", None), "revenue_cents": ("sum", "cents")},
+        sentinels={"year": -1, "priority": "ALL"},
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["grouping_level", "year", "priority"])
+        .reset_index(drop=True)
+    )
+
+
+def _events_kmv_jaccard(sf_dir: str):
+    """Estimated audience overlap between event types from KMV sketches
+    (stages/cardinality.kmv_registers / kmv_group_jaccard): per-type
+    k-minimum md5-u32 hashes of user_id (combiner-first, groups×k int
+    rows total state), pairwise union-sketch membership on the driver.
+    est_jaccard = n_common / n_union_sketch — a ratio of two small ints,
+    bit-exact vs SQL."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import kmv_group_jaccard
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    out = kmv_group_jaccard(ev, key_col="user_id", group_col="event_type", k=128)
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+def _orders_constraints(sf_dir: str):
+    """Declarative data-quality gate (stages/diagnostics.
+    validate_constraints — the Deequ/Great-Expectations surface): five
+    rules over orders; row rules run in ONE vectorized zero-shuffle pass,
+    the uniqueness rule via a distinct-combiner groupby whose values
+    never reach the driver."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        validate_constraints,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    rules = [
+        {"name": "custkey_not_null", "column": "o_custkey", "kind": "not_null"},
+        {"name": "status_in_set", "column": "o_orderstatus", "kind": "in_set",
+         "values": ["O", "F"]},
+        {"name": "price_in_range", "column": "o_totalprice", "kind": "range",
+         "lo": 0.0, "hi": 300000.0},
+        {"name": "priority_format", "column": "o_orderpriority", "kind": "regex",
+         "pattern": "[1-5]-[A-Z ]+"},
+        {"name": "orderkey_unique", "column": "o_orderkey", "kind": "unique"},
+    ]
+    return (
+        validate_constraints(orders, rules)
+        .to_pandas()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+
+
+def _orders_snapshot_diff(sf_dir: str):
+    """Change-data-capture between two deterministic snapshot views of
+    orders (stages/joins.snapshot_diff): old = orders before 1997; new =
+    orders before 1998, minus keys ≡ 0 (mod 97) (deletes), with priority
+    forced to '1-URGENT' on keys ≡ 0 (mod 31) (updates). One bucketed
+    full-outer join; output is only the delta rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.joins import snapshot_diff
+
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    import datetime
+
+    _t97 = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+    _t98 = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    old = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], _t97)), batch_format="pyarrow"
+    )
+    def _new_filter(b: pa.Table) -> pa.Table:
+        # no modulo kernel in this pyarrow — numpy on the zero-copy ints
+        keep97 = pa.array(b["o_orderkey"].to_numpy(zero_copy_only=False) % 97 != 0)
+        return b.filter(pc.and_(pc.less(b["o_orderdate"], _t98), keep97))
+
+    new = orders.map_batches(_new_filter, batch_format="pyarrow")
+
+    def _update(batch: pa.Table) -> pa.Table:
+        upd = pa.array(batch["o_orderkey"].to_numpy(zero_copy_only=False) % 31 == 0)
+        prio = pc.if_else(upd, pa.scalar("1-URGENT"), batch["o_orderpriority"])
+        return batch.set_column(
+            batch.schema.get_field_index("o_orderpriority"), "o_orderpriority", prio
+        )
+
+    new = new.map_batches(_update, batch_format="pyarrow")
+    out = snapshot_diff(
+        old, new, key_col="o_orderkey",
+        value_cols=["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _events_rolling(sf_dir: str):
+    """Per-user ROWS-frame rolling sum (stages/windows.rolling_window_sum):
+    each event's trailing-3 sum of integer cents (floor(value*100+0.5),
+    the identical double expression both sides) over its user's
+    (ts, event_id)-ordered stream — one shuffle, O(n) cumsum frames."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import rolling_window_sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cents",
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)).cast(pa.int64()),
+        )
+
+    out = rolling_window_sum(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        value_col="cents",
+        keys=("user_id",),
+        window=3,
+    )
+    return (
+        out.to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["user_id", "event_id", "rolling_sum"]]
+    )
+
+
+_FUZZY_GAZETTEER = "tabl valu hask scen window"  # distance-1 variants of corpus terms
+
+
+def _documents_fuzzy_terms(sf_dir: str):
+    """Approximate string self-join (stages/text_analysis.fuzzy_term_pairs,
+    SymSpell delete-neighborhood candidates + exact Levenshtein verify)
+    over the corpus vocabulary UNIONed with a noisy gazetteer row — the
+    OCR-token → reference-vocabulary reconciliation shape. Linear
+    candidate fan-out (len+1 variants/term), vocabulary-sized shuffles."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import fuzzy_term_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    gaz = rd.from_items([{"text": _FUZZY_GAZETTEER}])
+    return (
+        fuzzy_term_pairs(docs.union(gaz), min_len=4)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4392,6 +4586,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bm25": _documents_bm25,
         "hybrid_search": _hybrid_search,
         "documents_surprisal": _documents_surprisal,
+        "orders_rollup": _orders_rollup,
+        "events_kmv_jaccard": _events_kmv_jaccard,
+        "orders_constraints": _orders_constraints,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "events_rolling": _events_rolling,
+        "documents_fuzzy_terms": _documents_fuzzy_terms,
     }
 
 
@@ -5954,5 +6154,154 @@ def oracle_sql() -> dict[str, str]:
                               / len(l.lnps)), 0.0::DOUBLE) AS avg_surprisal
             FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id
             ORDER BY d.doc_id
+        """,
+        "orders_rollup": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                       o_orderpriority AS priority,
+                       CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT * FROM (
+                SELECT year, priority, CAST(0 AS BIGINT) AS grouping_level,
+                       count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS revenue_cents
+                FROM base GROUP BY year, priority
+                UNION ALL
+                SELECT year, 'ALL', CAST(1 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+                FROM base GROUP BY year
+                UNION ALL
+                SELECT CAST(-1 AS BIGINT), 'ALL', CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+                FROM base
+            ) ORDER BY grouping_level, year, priority
+        """,
+        "events_kmv_jaccard": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type AS g,
+                       {_md5_u32_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events
+            ), ranked AS (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+            ), sk AS MATERIALIZED (
+                SELECT g, h FROM ranked WHERE rn <= 128
+            ), gs AS (SELECT DISTINCT g FROM sk),
+            pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+            pooled AS (
+                SELECT DISTINCT p.ga, p.gb, s.h
+                FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+            ), uranked AS (
+                SELECT ga, gb, h,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                FROM pooled
+            ), us AS (SELECT ga, gb, h FROM uranked WHERE rn <= 128),
+            counts AS (
+                SELECT u.ga, u.gb,
+                       count(*) AS n_union_sketch,
+                       sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                                THEN 1 ELSE 0 END) AS n_common
+                FROM us u
+                LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+                LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h
+                GROUP BY u.ga, u.gb
+            ), sizes AS (SELECT g, count(*) AS n FROM sk GROUP BY g)
+            SELECT c.ga AS group_a, c.gb AS group_b,
+                   CAST(za.n AS BIGINT) AS n_sketch_a,
+                   CAST(zb.n AS BIGINT) AS n_sketch_b,
+                   CAST(c.n_union_sketch AS BIGINT) AS n_union_sketch,
+                   CAST(c.n_common AS BIGINT) AS n_common,
+                   CAST(c.n_common AS DOUBLE) / CAST(c.n_union_sketch AS DOUBLE) AS est_jaccard
+            FROM counts c
+            JOIN sizes za ON za.g = c.ga
+            JOIN sizes zb ON zb.g = c.gb
+            ORDER BY group_a, group_b
+        """,
+        "orders_constraints": """
+            SELECT * FROM (
+                SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+                       'o_custkey' AS "column", count(*) AS n_checked,
+                       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                FROM orders
+                UNION ALL
+                SELECT 'status_in_set', 'in_set', 'o_orderstatus', count(*),
+                       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                      AND o_orderstatus NOT IN ('O', 'F')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'price_in_range', 'range', 'o_totalprice', count(*),
+                       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                      AND NOT (o_totalprice >= 0.0::DOUBLE
+                                               AND o_totalprice <= 300000.0::DOUBLE)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'priority_format', 'regex', 'o_orderpriority', count(*),
+                       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                      AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+                       count(o_orderkey),
+                       count(o_orderkey) - count(DISTINCT o_orderkey)
+                FROM orders
+            ) ORDER BY rule
+        """,
+        "orders_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey
+                FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            ), new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 31 = 0 THEN '1-URGENT'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_custkey
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 != 0
+            )
+            SELECT * FROM (
+                SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                              OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                              OR (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                                 THEN 'changed'
+                            ELSE NULL END AS status
+                FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            ) WHERE status IS NOT NULL
+            ORDER BY o_orderkey
+        """,
+        "events_rolling": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(value * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_sum
+            FROM e ORDER BY event_id
+        """,
+        "documents_fuzzy_terms": f"""
+            WITH alltext AS (
+                SELECT text FROM documents
+                UNION ALL SELECT '{_FUZZY_GAZETTEER}'
+            ), tok AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                FROM alltext
+            ), terms AS (SELECT DISTINCT t AS term FROM tok WHERE length(t) >= 4),
+            vars AS (
+                SELECT term, term AS variant FROM terms
+                UNION ALL
+                SELECT term, substr(term, 1, i - 1) || substr(term, i + 1, length(term))
+                FROM terms, LATERAL (SELECT unnest(generate_series(1, length(term))) AS i)
+            ), cand AS (
+                SELECT DISTINCT a.term AS term_a, b.term AS term_b
+                FROM vars a JOIN vars b ON a.variant = b.variant AND a.term < b.term
+            )
+            SELECT term_a, term_b, CAST(1 AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(term_a, term_b) = 1
+            ORDER BY term_a, term_b
         """,
     }

@@ -1,4 +1,5 @@
-"""Distributed stream sketches: HyperLogLog count-distinct + Count-Min frequency.
+"""Distributed stream sketches: HyperLogLog count-distinct, Count-Min
+frequency, KMV distinct-value sampling with set-operation estimates.
 
 HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with a deterministic,
 SQL-reproducible hash — the same reproducibility rule as
@@ -173,6 +174,102 @@ def cms_table(
         .groupby(["j", "cell"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def kmv_registers(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+) -> ray.data.Dataset:
+    """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest DISTINCT
+    md5-u32 hashes of the key column, one row per (group, h) — at most
+    ``k`` rows per group (Bar-Yossef et al. 2002; Beyer et al. 2007 for
+    the multi-set/Jaccard use).
+
+    Scale shape (same discipline as :func:`hll_registers`): the per-batch
+    combiner emits ≤ k distinct-hash ints per group per batch, a
+    ``groupby(group).map_groups`` merge keeps the k smallest distinct —
+    the result is a pure function of the key SET, independent of
+    partitioning, duplication, and cluster size. Unlike HLL, a KMV sketch
+    supports SET OPERATIONS: merging two groups' sketches estimates their
+    union, and membership overlap inside the merged sketch estimates
+    Jaccard (see :func:`kmv_group_jaccard`). Integer-exact oracle surface.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        by_group: dict = {}
+        for g, key in zip(batch[group_col].to_pylist(), batch[key_col].to_pylist()):
+            by_group.setdefault(g, set()).add(_u32(key))
+        gs: list = []
+        hs: list[int] = []
+        for g, hset in by_group.items():
+            smallest = sorted(hset)[:k]
+            gs.extend([g] * len(smallest))
+            hs.extend(smallest)
+        return pa.table({group_col: pa.array(gs), "h": pa.array(hs, pa.int64())})
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(g["h"].unique())[:k]
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]] * len(hs), "h": hs})
+
+    return (
+        ds.select_columns([group_col, key_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def kmv_group_jaccard(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+) -> "object":
+    """Estimated key-set overlap between every pair of groups from their
+    KMV sketches (audience-overlap at stream scale: the sketches are the
+    only state, ``groups × k`` int rows total).
+
+    For groups A, B: merge the two sketches, keep the k smallest distinct
+    hashes (the union sketch), count how many of those appear in BOTH —
+    ``est_jaccard = n_common / n_union_sketch`` (the standard KMV Jaccard
+    estimator). Returns a pandas frame (bounded by ``|groups|²`` rows):
+    ``(group_a, group_b, n_sketch_a, n_sketch_b, n_union_sketch,
+    n_common, est_jaccard)``. ``est_jaccard`` is a ratio of two small
+    ints computed identically on the SQL side — bit-exact.
+
+    The pairwise combine runs on the driver over the collected sketch
+    table — bounded by construction (sketches, not data), the same
+    driver-contract shape as :func:`cms_heavy_hitters`.
+    """
+    import pandas as pd
+
+    sk = kmv_registers(ds, key_col, group_col, k=k).to_pandas()
+    sketches = {g: set(sub["h"]) for g, sub in sk.groupby(group_col)}
+    rows = []
+    for ga in sorted(sketches):
+        for gb in sorted(sketches):
+            if ga >= gb:
+                continue
+            a, b = sketches[ga], sketches[gb]
+            union_sketch = sorted(a | b)[:k]
+            n_union = len(union_sketch)
+            n_common = sum(1 for h in union_sketch if h in a and h in b)
+            rows.append(
+                {
+                    "group_a": ga,
+                    "group_b": gb,
+                    "n_sketch_a": len(a),
+                    "n_sketch_b": len(b),
+                    "n_union_sketch": n_union,
+                    "n_common": n_common,
+                    "est_jaccard": n_common / n_union if n_union else 0.0,
+                }
+            )
+    return pd.DataFrame(rows)
 
 
 def cms_heavy_hitters(

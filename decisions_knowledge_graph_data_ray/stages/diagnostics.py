@@ -359,3 +359,173 @@ def bucket_by_group_quantiles(
         )
 
     return ds.map_batches(_label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint validation (the Deequ/Great-Expectations surface):
+# the acceptance gate a training-data pipeline runs on every ingested
+# partition before letting it into the corpus.
+# ---------------------------------------------------------------------------
+
+_ROW_RULES = ("not_null", "in_set", "range", "regex")
+
+
+def validate_constraints(
+    ds: ray.data.Dataset,
+    rules: list[dict],
+) -> ray.data.Dataset:
+    """Per-rule violation counts over a declarative rule list.
+
+    Each rule is a dict with ``name``, ``column``, ``kind`` and
+    kind-specific params:
+
+    - ``{"kind": "not_null"}`` — value must be non-null;
+    - ``{"kind": "in_set", "values": [...]}`` — closed vocabulary;
+    - ``{"kind": "range", "lo": x, "hi": y}`` — inclusive numeric bounds
+      (nulls don't violate range — compose with not_null to forbid them);
+    - ``{"kind": "regex", "pattern": p}`` — full-match RE2-safe pattern
+      (nulls don't violate);
+    - ``{"kind": "unique"}`` — no duplicate values in the column.
+
+    Output: one row per rule — ``(rule, kind, column, n_checked,
+    n_violations)``.
+
+    Scale shape: all row-level rules evaluate in ONE vectorized
+    ``map_batches`` pass (pyarrow.compute kernels, partial counts per
+    batch) merged by a tiny groupby — zero data shuffle. ``unique`` is
+    the one rule that needs key co-location: a per-batch distinct-count
+    combiner feeds a groupby over values, and ``n_violations = n_rows -
+    n_distinct`` — the shuffle moves one narrow row per distinct value
+    per batch (the exact-dedup shape, skew-safe because the combiner
+    collapses in-batch duplicates first).
+    """
+    import re
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    row_rules = [r for r in rules if r["kind"] in _ROW_RULES]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+    unknown = [r for r in rules if r["kind"] not in _ROW_RULES + ("unique",)]
+    if unknown:
+        raise ValueError(f"unknown constraint kinds: {[r['kind'] for r in unknown]}")
+
+    parts: list[ray.data.Dataset] = []
+
+    if row_rules:
+        compiled = {
+            r["name"]: re.compile(r["pattern"]) for r in row_rules if r["kind"] == "regex"
+        }
+
+        def _check(batch: pa.Table) -> pa.Table:
+            names, kinds, cols, checked, viol = [], [], [], [], []
+            for r in row_rules:
+                col = batch[r["column"]]
+                n = len(col)
+                if r["kind"] == "not_null":
+                    bad = col.null_count
+                elif r["kind"] == "in_set":
+                    ok = pc.is_in(col, value_set=pa.array(r["values"], col.type))
+                    bad = n - col.null_count - (
+                        pc.sum(ok.cast(pa.int64())).as_py() or 0
+                    )
+                elif r["kind"] == "range":
+                    in_rng = pc.and_(
+                        pc.greater_equal(col, r["lo"]), pc.less_equal(col, r["hi"])
+                    )
+                    bad = n - col.null_count - (
+                        pc.sum(in_rng.cast(pa.int64())).as_py() or 0
+                    )
+                else:  # regex — python re on the decoded strings (compiled once
+                    # per actor via the module-level closure; full-match)
+                    pat = compiled[r["name"]]
+                    bad = sum(
+                        1
+                        for v in col.to_pylist()
+                        if v is not None and pat.fullmatch(v) is None
+                    )
+                names.append(r["name"])
+                kinds.append(r["kind"])
+                cols.append(r["column"])
+                checked.append(n)
+                viol.append(int(bad))
+            return pa.table(
+                {
+                    "rule": pa.array(names, pa.string()),
+                    "kind": pa.array(kinds, pa.string()),
+                    "column": pa.array(cols, pa.string()),
+                    "n_checked": pa.array(checked, pa.int64()),
+                    "n_violations": pa.array(viol, pa.int64()),
+                }
+            )
+
+        merged = (
+            ds.map_batches(_check, batch_format="pyarrow")
+            .groupby(["rule", "kind", "column"])
+            .aggregate(
+                Sum("n_checked", alias_name="n_checked"),
+                Sum("n_violations", alias_name="n_violations"),
+            )
+        )
+        parts.append(merged)
+
+    for r in uniq_rules:
+        col = r["column"]
+
+        def _batch_distinct(batch: pa.Table, _col=col) -> pa.Table:
+            vals = pc.drop_null(batch[_col]).unique()
+            nn = len(batch[_col]) - batch[_col].null_count
+            t = pa.table({"v": vals})
+            t = t.append_column("__rows", pa.array([0] * len(vals), pa.int64()))
+            # ride the row count on one extra row (v=null) so ONE pass
+            # yields both n_distinct and n_checked
+            extra = pa.table(
+                {"v": pa.array([None], vals.type), "__rows": pa.array([nn], pa.int64())}
+            )
+            return pa.concat_tables([t, extra])
+
+        dist = (
+            ds.select_columns([col])
+            .map_batches(_batch_distinct, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Count(alias_name="__n"), Sum("__rows", alias_name="__rows"))
+        )
+
+        def _flags(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__is_val": pc.is_valid(batch["v"]).cast(pa.int64()),
+                    "__rows": batch["__rows"],
+                }
+            )
+
+        # streaming scalar aggregate over the distinct table — the distinct
+        # values themselves never reach the driver
+        tot = dist.map_batches(_flags, batch_format="pyarrow").sum(
+            on=["__is_val", "__rows"]
+        )
+        n_distinct = int(tot["sum(__is_val)"])
+        n_checked = int(tot["sum(__rows)"])
+
+        import pandas as pd
+
+        parts.append(
+            ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "rule": [r["name"]],
+                        "kind": ["unique"],
+                        "column": [r["column"]],
+                        "n_checked": pd.array([n_checked], dtype="int64"),
+                        "n_violations": pd.array(
+                            [n_checked - n_distinct], dtype="int64"
+                        ),
+                    }
+                )
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

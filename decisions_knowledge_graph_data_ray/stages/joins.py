@@ -142,3 +142,93 @@ def hash_bucket_join(
     # the returned Dataset has no schema (to_pandas() → zero columns).
     # Callers needing a typed empty frame should reindex to output_columns.
     return ltag.union(rtag).groupby(_BUCKET).map_groups(_merge, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Change-data-capture diff of two table snapshots keyed by ``key_col``:
+    one row per key whose state changed — ``(key, status)`` with status in
+    ``{'added','removed','changed'}``. Unchanged keys are dropped (the
+    point of CDC: output is proportional to the delta, not the table).
+
+    Scale shape: one bucketed full-outer join (``hash_bucket_join`` — both
+    snapshots shuffle ONCE by key hash), then a vectorized per-bucket
+    classification. Side presence comes from constant flag columns (the
+    full-outer join coalesces the key itself), and value comparison is
+    native-type and null-aware (``IS DISTINCT FROM`` semantics) — no row
+    fingerprints, no string casts, so floats/timestamps diff exactly like
+    SQL.
+    """
+    import numpy as np
+
+    def _pack_side(prefix: str, flag_name: str):
+        # one Arrow map: project, side-prefix the value columns, add the
+        # presence flag (Dataset.rename_columns breaks on pandas blocks)
+        def _do(batch: pa.Table, _p=prefix, _f=flag_name) -> pa.Table:
+            cols = {key_col: batch[key_col]}
+            for c in value_cols:
+                cols[f"{_p}{c}"] = batch[c]
+            cols[_f] = pa.array([1] * batch.num_rows, pa.int8())
+            return pa.table(cols)
+
+        return _do
+
+    o = old.select_columns([key_col] + value_cols).map_batches(
+        _pack_side("o_", "__in_old"), batch_format="pyarrow"
+    )
+    n = new.select_columns([key_col] + value_cols).map_batches(
+        _pack_side("n_", "__in_new"), batch_format="pyarrow"
+    )
+
+    joined = hash_bucket_join(
+        o,
+        n,
+        on=key_col,
+        how="full_outer",
+        num_buckets=num_buckets,
+        output_columns=[key_col, "__in_old", "__in_new"]
+        + [f"o_{c}" for c in value_cols]
+        + [f"n_{c}" for c in value_cols],
+    )
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], batch.schema.field(key_col).type
+                                   if batch.num_columns else pa.int64()),
+                "status": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        added = pc.is_null(batch["__in_old"]).to_numpy(zero_copy_only=False)
+        removed = pc.is_null(batch["__in_new"]).to_numpy(zero_copy_only=False)
+        diff = None
+        for c in value_cols:
+            a, b = batch[f"o_{c}"], batch[f"n_{c}"]
+            ne = pc.fill_null(pc.not_equal(a, b), False)
+            null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
+            d = pc.or_(ne, null_mismatch).to_numpy(zero_copy_only=False)
+            diff = d if diff is None else (diff | d)
+        if diff is None:
+            diff = np.zeros(batch.num_rows, dtype=bool)
+        changed = (~added) & (~removed) & diff
+        status = np.select(
+            [added, removed, changed], ["added", "removed", "changed"], default=""
+        )
+        keep = status != ""
+        return pa.table(
+            {
+                key_col: batch[key_col].combine_chunks()
+                if isinstance(batch[key_col], pa.ChunkedArray)
+                else batch[key_col],
+                "status": pa.array(status, pa.string()),
+            }
+        ).filter(pa.array(keep))
+
+    return joined.map_batches(_classify, batch_format="pyarrow")

@@ -145,6 +145,65 @@ def combiner_aggregate(
     return out.select_columns(keys + out_names)
 
 
+def grouping_sets_aggregate(
+    ds: ray.data.Dataset,
+    sets: list[list[str]],
+    specs: dict[str, tuple[str, str | None]],
+    sentinels: dict[str, object],
+) -> ray.data.Dataset:
+    """Multi-level grouped aggregates (SQL ``GROUPING SETS`` / ``ROLLUP`` /
+    ``CUBE``) in ONE pass over the data — an operator Ray Data has no
+    native analogue for.
+
+    ``sets`` lists the grouping sets (e.g. rollup(a,b) = ``[[a,b],[a],[]]``);
+    ``specs`` is :func:`combiner_aggregate`'s op map; ``sentinels`` gives,
+    for every column in any set, the value standing in for "all" at levels
+    that don't group by it (explicit sentinels, not NULLs, so the result
+    is a plain typed table and the oracle can match it exactly).
+
+    Scale shape: a sentinel-fill map runs per grouping set over the SAME
+    streamed input (each set's combiner collapses batches before its
+    shuffle — the per-batch partials make each pass cheap), and the level
+    results union. Levels with fewer keys shuffle strictly fewer partial
+    rows, so the total exchange is bounded by the finest level × number
+    of levels. A single-pass shared-combiner variant would save reading
+    the input ``len(sets)`` times; Ray Data caches the upstream blocks in
+    the object store, so the re-reads are object-store-local, not
+    storage reads.
+    """
+    all_keys: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in all_keys:
+                all_keys.append(c)
+    for c in all_keys:
+        if c not in sentinels:
+            raise ValueError(f"no sentinel for rollup column {c!r}")
+
+    out: ray.data.Dataset | None = None
+    for level, gset in enumerate(sets):
+        fixed = [c for c in all_keys if c not in gset]
+
+        def _fill(batch: pa.Table, _fixed=tuple(fixed), _level=level) -> pa.Table:
+            cols = {}
+            for name in batch.column_names:
+                cols[name] = (
+                    pa.array(
+                        [sentinels[name]] * batch.num_rows,
+                        type=batch.schema.field(name).type,
+                    )
+                    if name in _fixed
+                    else batch[name]
+                )
+            cols["grouping_level"] = pa.array([_level] * batch.num_rows, pa.int64())
+            return pa.table(cols)
+
+        leveled = ds.map_batches(_fill, batch_format="pyarrow")
+        agg = combiner_aggregate(leveled, all_keys + ["grouping_level"], specs)
+        out = agg if out is None else out.union(agg)
+    return out
+
+
 def salted_map_groups(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -514,3 +514,102 @@ def unigram_surprisal(
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def fuzzy_term_pairs(
+    docs: ray.data.Dataset,
+    min_len: int = 5,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Approximate string self-join over the corpus vocabulary: all pairs
+    of distinct tokens (length ≥ ``min_len``) within Levenshtein distance 1
+    — the typo/variant detector behind vocabulary normalization and fuzzy
+    entity blocking.
+
+    SymSpell-style candidate generation (Garbe's delete-neighborhood
+    observation): two terms are within edit distance 1 only if they share
+    a member of their {self} ∪ {delete-one-char} variant sets. So instead
+    of the O(V²) all-pairs scan:
+
+    - each distinct term emits ``len(term)+1`` (variant, term) rows —
+      linear in vocabulary size;
+    - a groupby(variant) co-locates candidates; each group emits its
+      (a<b) pairs (groups are tiny — terms sharing a specific deletion);
+    - pairs dedup via a groupby, then an exact Levenshtein DP verifies
+      (the neighborhood admits distance-2 false candidates, e.g. 'ab'/'ba'
+      share the deletion 'a').
+
+    Output: ``(term_a, term_b, dist)`` with dist == 1. Every step is a
+    bounded fan-out or a vocabulary-sized shuffle — never corpus-sized.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def _batch_terms(batch: pa.Table) -> pa.Table:
+        terms = set()
+        for t in batch[text_col].to_pylist():
+            for w in _WORD_RE.findall((t or "").lower()):
+                if len(w) >= min_len:
+                    terms.add(w)
+        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+
+    vocab = (
+        docs.map_batches(_batch_terms, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["term"])
+    )
+
+    def _variants(batch: pa.Table) -> pa.Table:
+        vs, ts = [], []
+        for term in batch["term"].to_pylist():
+            vs.append(term)
+            ts.append(term)
+            for i in range(len(term)):
+                vs.append(term[:i] + term[i + 1 :])
+                ts.append(term)
+        return pa.table(
+            {"variant": pa.array(vs, pa.string()), "term": pa.array(ts, pa.string())}
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["term"].unique())
+        a_out, b_out = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                a_out.append(ts[i])
+                b_out.append(ts[j])
+        return pd.DataFrame({"term_a": a_out, "term_b": b_out})
+
+    def _lev1(a: str, b: str) -> bool:
+        # exact check specialized to threshold 1 (O(len) not O(len²))
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # exactly one substitution
+            return sum(1 for x, y in zip(a, b) if x != y) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # one insertion: skip the first mismatch in the longer string
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        av, bv = batch["term_a"].to_pylist(), batch["term_b"].to_pylist()
+        keep = pa.array([_lev1(x, y) for x, y in zip(av, bv)])
+        out = batch.filter(keep)
+        return out.append_column("dist", pa.array([1] * out.num_rows, pa.int64()))
+
+    return (
+        vocab.map_batches(_variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Count(alias_name="__nv"))
+        .select_columns(["term_a", "term_b"])
+        .map_batches(_verify, batch_format="pyarrow")
+    )

@@ -457,3 +457,47 @@ def event_transitions(
         .groupby(["src_type", "dst_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def rolling_window_sum(
+    events: ray.data.Dataset,
+    value_col: str,
+    keys: tuple = ("user_id",),
+    window: int = 3,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    out_col: str = "rolling_sum",
+) -> ray.data.Dataset:
+    """Per-key ROWS-frame rolling sum: for each event, the sum of
+    ``value_col`` over the last ``window`` events of its key (SQL ``SUM(v)
+    OVER (PARTITION BY key ORDER BY ts, order ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``) — the bounded-lookback window family
+    (trailing spend, rate-of-change features) alongside the time-based
+    hopping/session windows above.
+
+    Scale shape: ONE shuffle on the key; each group computes its frame
+    sums vectorized (cumsum difference — O(n), no per-row rescan) and
+    emits one row per event. Integer inputs stay integer-exact; float
+    inputs match SQL only if the engine and the oracle use the same
+    summation order (cumsum differences are NOT a left fold — keep the
+    hash gate to integer values).
+    """
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values([ts_col, order_col])
+        v = g[value_col].to_numpy()
+        cs = np.concatenate(([0], np.cumsum(v)))
+        lo = np.maximum(0, np.arange(len(v)) - (window - 1))
+        out = pd.DataFrame(
+            {
+                order_col: g[order_col].to_numpy(),
+                out_col: cs[1 + np.arange(len(v))] - cs[lo],
+            }
+        )
+        for k in keys:
+            out[k] = g[k].iloc[0]
+        return out[list(keys) + [order_col, out_col]]
+
+    return events.groupby(list(keys)).map_groups(_roll, batch_format="pandas")
