@@ -4463,6 +4463,166 @@ def _documents_fuzzy_terms(sf_dir: str):
     )
 
 
+def _kg_kcore(sf_dir: str):
+    """Bipartite 2-core of the citation graph (stages/graph.k_core):
+    iteratively peel documents citing <2 surviving decisions and decisions
+    cited by <2 surviving documents — the densely-connected core a
+    precedent-importance analysis runs on. Fixed 12-round unroll matching
+    the oracle's chained CTEs (kg_hits discipline); each round is two
+    combiner-first degree counts + two bucketed semi-joins, node sets
+    never collected."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        distinct_pairs,
+        k_core,
+    )
+
+    edges = distinct_pairs(
+        citation_edges(_extractions_for(sf_dir)), ["conv_id", "ecli"]
+    )
+    out = k_core(edges, k=2, src_col="conv_id", dst_col="ecli", iters=12)
+    df = out.to_pandas()
+    if df.empty:  # empty join results drop the schema (joins.py contract)
+        import pandas as pd
+
+        df = pd.DataFrame(columns=["conv_id", "ecli"])
+    return df.sort_values(["conv_id", "ecli"]).reset_index(drop=True)
+
+
+def _documents_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy
+    (stages/text_analysis.char_entropy) — the garbage/filler detector in
+    the quality family. Zero shuffle; the per-doc sum is a left fold over
+    characters in sorted order, bit-exact vs the oracle's list_reduce."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import char_entropy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        char_entropy(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _fk_integrity_audit(sf_dir: str):
+    """Cross-table referential-integrity audit
+    (stages/diagnostics.referential_integrity): orphan and
+    unreferenced-parent counts for the star schema's four relationships,
+    each direction one bucketed anti-join over narrow key projections."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        referential_integrity,
+    )
+
+    def _t(name, cols):
+        return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+
+    pairs = [
+        {"name": "orders_custkey", "child": _t("orders", ["o_custkey"]),
+         "child_key": "o_custkey",
+         "parent": _t("customer", ["c_custkey"]), "parent_key": "c_custkey"},
+        {"name": "lineitem_orderkey", "child": _t("lineitem", ["l_orderkey"]),
+         "child_key": "l_orderkey",
+         "parent": _t("orders", ["o_orderkey"]), "parent_key": "o_orderkey"},
+        {"name": "lineitem_partkey", "child": _t("lineitem", ["l_partkey"]),
+         "child_key": "l_partkey",
+         "parent": _t("part", ["p_partkey"]), "parent_key": "p_partkey"},
+        {"name": "events_userid", "child": _t("events", ["user_id"]),
+         "child_key": "user_id",
+         "parent": _t("customer", ["c_custkey"]), "parent_key": "c_custkey"},
+    ]
+    return (
+        referential_integrity(pairs)
+        .to_pandas()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+
+
+def _orders_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance (stages/skew.aggregate_state +
+    merge_aggregate_states): per-priority totals computed as BASE state
+    (orders before 1997-07) merged with DELTA state (the rest) — the
+    shape where yesterday's totals are a table and only today's raw data
+    is read. The oracle is the plain GROUP BY over the full table, so the
+    gate proves state-merge == recompute."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.skew import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    _cut = pa.scalar(datetime.datetime(1997, 7, 1), pa.timestamp("us"))
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderdate": batch["o_orderdate"],
+                "priority": batch["o_orderpriority"],
+                "cents": pc.floor(
+                    pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)
+                ).cast(pa.int64()),
+            }
+        )
+
+    prepped = orders.map_batches(_prep, batch_format="pyarrow")
+    base = prepped.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], _cut)), batch_format="pyarrow"
+    )
+    delta = prepped.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], _cut)),
+        batch_format="pyarrow",
+    )
+    specs = {
+        "n_orders": ("count", None),
+        "revenue_cents": ("sum", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    merged = merge_aggregate_states(
+        [aggregate_state(base, ["priority"], specs),
+         aggregate_state(delta, ["priority"], specs)],
+        ["priority"],
+        specs,
+    )
+    return merged.to_pandas().sort_values("priority").reset_index(drop=True)
+
+
+def _kg_kcore_sql() -> str:
+    p = _citations_parts()
+    rounds = []
+    for i in range(1, 13):
+        rounds.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT conv_id, ecli FROM e{i - 1}
+                WHERE conv_id IN (SELECT conv_id FROM e{i - 1}
+                                  GROUP BY conv_id HAVING count(*) >= 2)
+                  AND ecli IN (SELECT ecli FROM e{i - 1}
+                               GROUP BY ecli HAVING count(*) >= 2)
+            )"""
+        )
+    return (
+        "WITH " + p["ctes"] + """
+        , e0 AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), """
+        + ",\n".join(rounds)
+        + "\nSELECT conv_id, ecli FROM e12 ORDER BY conv_id, ecli"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4592,6 +4752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": _orders_snapshot_diff,
         "events_rolling": _events_rolling,
         "documents_fuzzy_terms": _documents_fuzzy_terms,
+        "kg_kcore": _kg_kcore,
+        "documents_entropy": _documents_entropy,
+        "fk_integrity_audit": _fk_integrity_audit,
+        "orders_incremental_agg": _orders_incremental_agg,
     }
 
 
@@ -6303,5 +6467,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT term_a, term_b, CAST(1 AS BIGINT) AS dist
             FROM cand WHERE levenshtein(term_a, term_b) = 1
             ORDER BY term_a, term_b
+        """,
+        "kg_kcore": _kg_kcore_sql(),
+        "documents_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                FROM documents
+            ), cnts AS (
+                SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+            ), tot AS (
+                SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id
+            ), terms AS (
+                SELECT cnts.doc_id, cnts.c,
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) AS t
+                FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id
+            ), l AS (
+                SELECT doc_id, list(t ORDER BY c) AS ts FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n, 0) AS BIGINT) AS n_chars_text,
+                   coalesce(-list_reduce(l.ts, (a, b) -> a + b), 0.0::DOUBLE)
+                     AS char_entropy
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN l ON d.doc_id = l.doc_id
+            ORDER BY d.doc_id
+        """,
+        "fk_integrity_audit": """
+            SELECT * FROM (
+                SELECT 'orders_custkey' AS rule,
+                       (SELECT count(*) FROM orders) AS n_child,
+                       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+                       (SELECT count(*) FROM customer) AS n_parents,
+                       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_unreferenced
+                UNION ALL
+                SELECT 'lineitem_orderkey',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                          (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+                UNION ALL
+                SELECT 'lineitem_partkey',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+                       (SELECT count(*) FROM part),
+                       (SELECT count(*) FROM part p WHERE NOT EXISTS
+                          (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+                UNION ALL
+                SELECT 'events_userid',
+                       (SELECT count(*) FROM events),
+                       (SELECT count(*) FROM events e WHERE NOT EXISTS
+                          (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+                       (SELECT count(*) FROM customer),
+                       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                          (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey))
+            ) ORDER BY rule
+        """,
+        "orders_incremental_agg": """
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(max(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS max_cents
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY priority
         """,
     }

@@ -529,3 +529,47 @@ def validate_constraints(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def referential_integrity(
+    pairs: list[dict],
+) -> ray.data.Dataset:
+    """Cross-table foreign-key audit: for each declared relationship
+    ``{"name", "child": Dataset, "child_key", "parent": Dataset,
+    "parent_key"}``, count child rows whose key has no parent (ORPHANS —
+    the violation) and parent rows never referenced by any child
+    (UNREFERENCED — the coverage signal). One row per relationship:
+    ``(rule, n_child, n_orphans, n_parents, n_unreferenced)``.
+
+    Scale shape: each direction is one bucketed ANTI-join
+    (``stages/joins.hash_bucket_join``) over single-key-column
+    projections — both tables shuffle once as narrow key tables, counts
+    stream back as scalars; neither key set is ever collected."""
+    import pandas as pd
+
+    from .joins import hash_bucket_join
+
+    rows = []
+    for p in pairs:
+        child = p["child"].select_columns([p["child_key"]])
+        parent = p["parent"].select_columns([p["parent_key"]])
+        n_child = child.count()
+        n_parents = parent.count()
+        n_orphans = hash_bucket_join(
+            child, parent, on=p["child_key"], right_on=p["parent_key"],
+            how="left_anti", output_columns=[p["child_key"]],
+        ).count()
+        n_unref = hash_bucket_join(
+            parent, child, on=p["parent_key"], right_on=p["child_key"],
+            how="left_anti", output_columns=[p["parent_key"]],
+        ).count()
+        rows.append(
+            {
+                "rule": p["name"],
+                "n_child": n_child,
+                "n_orphans": n_orphans,
+                "n_parents": n_parents,
+                "n_unreferenced": n_unref,
+            }
+        )
+    return ray.data.from_pandas(pd.DataFrame(rows))

@@ -556,3 +556,84 @@ def citation_edges(extractions: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"conv_id": pa.array(conv, _NODE_T), "ecli": pa.array(ecli, _NODE_T)})
 
     return extractions.map_batches(_explode, batch_format="pyarrow")
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    src_col: str = "conv_id",
+    dst_col: str = "ecli",
+    iters: int = 12,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Bipartite k-core: iteratively peel endpoints with degree < ``k``
+    until fixpoint (or ``iters`` rounds — a FIXED unroll, matching the
+    oracle's unrolled-CTE chain round for round, the kg_hits discipline).
+    Returns the surviving edge set.
+
+    Scale shape per round: two per-side degree counts (combiner-first
+    groupbys) and two bucketed SEMI-joins (``hash_bucket_join`` — the
+    surviving-node sets shuffle as narrow single-column tables, never
+    broadcast, so a billion-node side never lands on the driver). Peeling
+    is monotone, so an early exit at the fixpoint (edge count unchanged —
+    one cheap count per round) returns exactly what the full unroll
+    would.
+    """
+    from .joins import hash_bucket_join
+
+    edge_schema = pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)])
+    node_schema = pa.schema([("__node", _NODE_T)])
+    cur = edges.select_columns([src_col, dst_col])
+    prev_n = cur.count()
+    for _ in range(iters):
+        good = {}
+        for col in (src_col, dst_col):
+            # degree count via the pid-cogroup idiom (distinct_pairs /
+            # hash_bucket_join pattern): per-batch combiner partials, one
+            # all-to-all on 16 int keys — an order of magnitude cheaper
+            # per round than a string-key groupby
+            def _deg_partial(batch: pa.Table, _col=col) -> pa.Table:
+                out = pa.TableGroupBy(batch.select([_col]), _col).aggregate(
+                    [([], "count_all")]
+                )
+                out = out.rename_columns(["__node", "__deg"])
+                return out.append_column("__pid", bucket_ids(out["__node"], num_buckets))
+
+            def _deg_merge(g: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                tot = pa.TableGroupBy(g.select(["__node", "__deg"]), "__node").aggregate(
+                    [("__deg", "sum")]
+                )
+                kept = tot.filter(pc.greater_equal(tot["__deg_sum"], k))
+                return pa.table({"__node": kept["__node"]})
+
+            good[col] = (
+                cur.map_batches(_deg_partial, batch_format="pyarrow")
+                .groupby("__pid")
+                .map_groups(_deg_merge, batch_format="pyarrow")
+            )
+        nxt = cur
+        for col in (src_col, dst_col):
+            nxt = hash_bucket_join(
+                nxt,
+                good[col],
+                on=col,
+                right_on="__node",
+                how="left_semi",
+                num_buckets=num_buckets,
+                output_columns=[src_col, dst_col],
+                left_schema=edge_schema,
+                right_schema=node_schema,
+            )
+        # peeling barrier: next round re-reads this. The repartition is
+        # load-bearing: cogroups and joins multiply block counts, and
+        # without re-coalescing each round the per-block task overhead
+        # compounds (measured 4s → 74s/round by round 3 without it)
+        nxt = nxt.repartition(num_buckets).materialize()
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur

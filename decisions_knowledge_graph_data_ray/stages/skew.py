@@ -232,3 +232,58 @@ def salted_map_groups(
     salted = ds.map_batches(_add_salt, batch_format="pyarrow")
     partials = salted.groupby(keys + ["_salt"]).map_groups(partial_fn, batch_format="pandas")
     return partials.groupby(keys).map_groups(merge_fn, batch_format="pandas")
+
+
+_STATE_OPS = ("count", "sum", "min", "max")
+
+
+def aggregate_state(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> ray.data.Dataset:
+    """The MERGEABLE form of :func:`combiner_aggregate` for incremental
+    maintenance: compute the per-key aggregate STATE of one partition of
+    the data (a snapshot, a day, a delta) so totals update by merging
+    states — never by re-reading old raw data. For the supported ops
+    (count/sum/min/max) state == result with a known merge rule (counts
+    and sums merge by Sum, min by Min, max by Max); mean is intentionally
+    unsupported — persist sum + count and divide downstream.
+
+    Same output schema as ``combiner_aggregate(ds, keys, specs)``.
+    """
+    for out, (op, _c) in specs.items():
+        if op not in _STATE_OPS:
+            raise ValueError(
+                f"{op!r} ({out!r}) is not mergeable state; use {_STATE_OPS}"
+                " (mean = sum/count downstream)"
+            )
+    return combiner_aggregate(ds, keys, specs)
+
+
+def merge_aggregate_states(
+    states: "list[ray.data.Dataset]",
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> ray.data.Dataset:
+    """Merge :func:`aggregate_state` tables (base ⊕ deltas) into the
+    aggregate of the union of their inputs. The shuffle moves only state
+    rows (|keys| per state table) — the incremental-update shape for a
+    100-TB corpus where yesterday's totals are a table and today's delta
+    is the only raw data read."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = states[0]
+    for s in states[1:]:
+        out = out.union(s)
+    aggs = []
+    for name, (op, _col) in specs.items():
+        if op in ("count", "sum"):
+            aggs.append(Sum(name, alias_name=name))
+        elif op == "min":
+            aggs.append(Min(name, alias_name=name))
+        elif op == "max":
+            aggs.append(Max(name, alias_name=name))
+        else:
+            raise ValueError(f"{op!r} is not mergeable state")
+    return out.groupby(keys).aggregate(*aggs)

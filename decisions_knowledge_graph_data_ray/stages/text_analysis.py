@@ -613,3 +613,47 @@ def fuzzy_term_pairs(
         .select_columns(["term_a", "term_b"])
         .map_batches(_verify, batch_format="pyarrow")
     )
+
+
+def char_entropy(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    garbage/boilerplate detector alongside the repetition and surprisal
+    signals (low entropy = repeated filler; suspiciously high = random
+    bytes). Pure per-batch map, zero shuffle.
+
+    Determinism contract: the sum is a LEFT FOLD over characters in
+    sorted order, each term the identical ``(k/n)·ln(k/n)`` double
+    expression the SQL twin uses — bit-exact vs DuckDB's ``list_reduce``
+    (the documents_surprisal discipline)."""
+    import math
+    from collections import Counter
+
+    def _entropy(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        ents, lens = [], []
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            n = len(t)
+            lens.append(n)
+            if n == 0:
+                ents.append(0.0)
+                continue
+            cnt = Counter(t)
+            h = 0.0
+            for ch in sorted(cnt):
+                p = cnt[ch] / n
+                h += p * math.log(p)
+            ents.append(-h)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_chars_text": pa.array(lens, pa.int64()),
+                "char_entropy": pa.array(ents, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(_entropy, batch_format="pyarrow")
