@@ -4623,6 +4623,111 @@ def _kg_kcore_sql() -> str:
     )
 
 
+# ninth wave: EWMA recurrence, grid resampling, Pareto skyline,
+# histogram-sketch quantiles
+_EWMA_ALPHA = 0.3
+_EWMA_BETA = 1.0 - _EWMA_ALPHA  # NOT the literal 0.7 — splice repr() into SQL
+
+_HIST_VMIN = 0.0
+_HIST_WIDTH = 2.0
+_HIST_NBINS = 512
+_HIST_QUANTILES = [(1, 2), (9, 10), (99, 100)]
+
+
+def _events_ewma(sf_dir: str):
+    """Per-user EWMA of event values (stages/windows.ewma): y_1 = x_1,
+    y_i = α·x_i + (1-α)·y_{i-1} in (ts, event_id) order — the
+    previous-OUTPUT recurrence lag() can't express (the debounce family).
+    One shuffle; α and β = 1-α spliced verbatim into the recursive-CTE
+    oracle so the doubles match bit-exact."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import ewma
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return (
+        ewma(ev, alpha=_EWMA_ALPHA)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _events_resampled(sf_dir: str):
+    """Per-user hourly grid resample with forward fill
+    (stages/windows.resample_ffill, the resample().last().ffill()
+    convention): one row per hour slot across each user's own observed
+    span carrying the last event's (event_type, value) — values copied
+    verbatim, so the hash gate is exact."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import resample_ffill
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return (
+        resample_ffill(ev, freq_s=3600)
+        .to_pandas()
+        .sort_values(["user_id", "slot_ts"])
+        .reset_index(drop=True)
+    )
+
+
+def _part_skyline(sf_dir: str):
+    """Pareto frontier of parts (stages/selection.skyline_2d): every part
+    not strictly dominated on (minimize p_retailprice, maximize p_size) —
+    the cheapest-vs-biggest trade-off curve. Per-batch local skyline
+    combiner, then one constant-key merge over the tiny survivor set."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.selection import skyline_2d
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return (
+        skyline_2d(part, min_col="p_retailprice", max_col="p_size")
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def _events_value_quantiles(sf_dir: str):
+    """Approximate per-type value quantiles (p50/p90/p99) from a fixed-bin
+    mergeable histogram sketch (stages/cardinality.histogram_registers +
+    histogram_quantiles): declared edges (vmin=0, width=2, 512 bins),
+    integer-exact rank thresholds, estimates at bin lower edges — the
+    bounded-size quantile state a 100-TB stream keeps instead of sorting.
+    Bin and edge arithmetic are literal double expressions with the same
+    constants spliced into the SQL twin."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import (
+        histogram_quantiles,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return (
+        histogram_quantiles(
+            ev,
+            value_col="value",
+            group_col="event_type",
+            vmin=_HIST_VMIN,
+            width=_HIST_WIDTH,
+            nbins=_HIST_NBINS,
+            quantiles=_HIST_QUANTILES,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "q_den", "q_num"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4756,6 +4861,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_entropy": _documents_entropy,
         "fk_integrity_audit": _fk_integrity_audit,
         "orders_incremental_agg": _orders_incremental_agg,
+        "events_ewma": _events_ewma,
+        "events_resampled": _events_resampled,
+        "part_skyline": _part_skyline,
+        "events_value_quantiles": _events_value_quantiles,
     }
 
 
@@ -6537,5 +6646,90 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY priority
+        """,
+        # alpha/beta spliced from the engine's constants: 1 - 0.3 and the
+        # SQL literal 0.7 are DIFFERENT doubles, so beta must be repr()'d,
+        # never re-derived (the ewma docstring contract)
+        "events_ewma": f"""
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), scan(user_id, rn, event_id, value, ewma) AS (
+                SELECT user_id, rn, event_id, value, value FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.rn, e.event_id, e.value,
+                       {_EWMA_ALPHA!r}::DOUBLE * e.value
+                         + {_EWMA_BETA!r}::DOUBLE * s.ewma
+                FROM scan s JOIN e ON e.user_id = s.user_id
+                                  AND e.rn = s.rn + 1
+            )
+            SELECT user_id, event_id, value, ewma
+            FROM scan ORDER BY event_id
+        """,
+        # resample().last().ffill(): slot t (hour-floored, per-user span)
+        # carries the last event with ts < t + 1 hour; the validity-window
+        # join (lead() over (ts, event_id)) makes the tie-break explicit —
+        # an earlier duplicate-ts row has a zero-length window
+        "events_resampled": """
+            WITH span AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi
+                FROM events GROUP BY user_id
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot_ts
+                FROM span
+            ), win AS (
+                SELECT user_id, ts, event_type, value,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT g.user_id, g.slot_ts, w.event_type, w.value
+            FROM grid g JOIN win w
+              ON w.user_id = g.user_id
+             AND w.ts < g.slot_ts + INTERVAL 1 HOUR
+             AND (w.nxt IS NULL OR w.nxt >= g.slot_ts + INTERVAL 1 HOUR)
+            ORDER BY g.user_id, g.slot_ts
+        """,
+        "part_skyline": """
+            SELECT p_partkey, p_size, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+            )
+            ORDER BY p_partkey
+        """,
+        "events_value_quantiles": f"""
+            WITH b AS (
+                SELECT event_type,
+                       CAST(least(greatest(floor((value - {_HIST_VMIN!r}::DOUBLE)
+                                                 / {_HIST_WIDTH!r}::DOUBLE),
+                                           0.0::DOUBLE),
+                                  {float(_HIST_NBINS - 1)!r}::DOUBLE) AS BIGINT) AS bin
+                FROM events
+            ), reg AS (
+                SELECT event_type, bin, count(*) AS n FROM b GROUP BY event_type, bin
+            ), cum AS (
+                SELECT event_type, bin,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                       sum(n) OVER (PARTITION BY event_type) AS total
+                FROM reg
+            ), q(q_num, q_den) AS (
+                VALUES {", ".join(f"(CAST({n} AS BIGINT), CAST({d} AS BIGINT))" for n, d in _HIST_QUANTILES)}
+            )
+            SELECT event_type, q_num, q_den,
+                   CAST(total AS BIGINT) AS n,
+                   min(bin) AS bin,
+                   {_HIST_VMIN!r}::DOUBLE
+                     + CAST(min(bin) AS DOUBLE) * {_HIST_WIDTH!r}::DOUBLE AS est_value
+            FROM cum CROSS JOIN q
+            WHERE cum >= (q_num * total + q_den - 1) // q_den
+            GROUP BY event_type, q_num, q_den, total
+            ORDER BY event_type, q_den, q_num
         """,
     }

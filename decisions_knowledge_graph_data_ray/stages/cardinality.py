@@ -311,3 +311,99 @@ def cms_heavy_hitters(
         return out.filter(pc.greater_equal(out["n_est"], threshold))
 
     return keys.map_batches(_probe, batch_format="pyarrow")
+
+
+def histogram_registers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    vmin: float,
+    width: float,
+    nbins: int,
+) -> ray.data.Dataset:
+    """Fixed-bin mergeable histogram per group: ``(group, bin, n)`` with
+    ``bin = min(floor((v - vmin) / width), nbins - 1)`` clamped to
+    ``[0, nbins)`` — the bounded-size quantile/distribution sketch
+    (mergeable by Sum, the HLL-register discipline: a pure function of the
+    value MULTISET, independent of partitioning and cluster size).
+
+    ``vmin``/``width`` are caller-supplied so the bin edges are explicit
+    state (compute them once from a cheap min/max pass and reuse across
+    snapshots — merging histograms requires identical edges).
+
+    Determinism contract: bin arithmetic is the literal double expression
+    ``floor((v - vmin) / width)`` with both constants spliced verbatim
+    into the SQL twin (``repr(vmin)``, ``repr(width)``) — never re-derived
+    from an aggregate on the oracle side.
+
+    Scale shape: per-batch vectorized combiner emits ≤ ``groups × nbins``
+    int rows per batch; a groupby Sum merges. The register table is the
+    exact-match oracle surface — every count is an integer."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((v - vmin) / width)
+        b = np.clip(b, 0, nbins - 1).astype(np.int64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(), "bin": b})
+        out = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    vmin: float,
+    width: float,
+    nbins: int,
+    quantiles: "list[tuple[int, int]]",
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles from a :func:`histogram_registers`
+    sketch: for each ``(num, den)`` rational quantile, the LOWER EDGE
+    ``vmin + bin*width`` of the first bin whose cumulative count reaches
+    ``ceil(num*n/den)`` (integer-exact threshold ``(num*n + den - 1) //
+    den`` — no float rank arithmetic). Error is bounded by one bin width;
+    the EXACT path for small groups is ``diagnostics.group_quantiles``.
+
+    Output: ``(group, q_num, q_den, n, bin, est_value)``. The estimator
+    runs per group over its ≤ ``nbins`` register rows (``map_groups`` on
+    the bounded sketch table, never the raw values)."""
+    import numpy as np
+    import pandas as pd
+
+    regs = histogram_registers(ds, value_col, group_col, vmin, width, nbins)
+
+    def _est(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rows = []
+        for num, den in quantiles:
+            thr = (num * total + den - 1) // den
+            i = int(np.searchsorted(cum, thr, side="left"))
+            b = int(g["bin"].iloc[i])
+            rows.append(
+                {
+                    group_col: g[group_col].iloc[0],
+                    "q_num": num,
+                    "q_den": den,
+                    "n": total,
+                    "bin": b,
+                    "est_value": vmin + b * width,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return regs.groupby(group_col).map_groups(_est, batch_format="pandas")

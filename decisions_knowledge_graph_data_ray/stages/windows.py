@@ -501,3 +501,96 @@ def rolling_window_sum(
         return out[list(keys) + [order_col, out_col]]
 
     return events.groupby(list(keys)).map_groups(_roll, batch_format="pandas")
+
+
+def ewma(
+    events: ray.data.Dataset,
+    alpha: float,
+    value_col: str = "value",
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    out_col: str = "ewma",
+) -> ray.data.Dataset:
+    """Per-key exponentially-weighted moving average: in ``(ts, order_col)``
+    order, ``y_1 = x_1`` and ``y_i = alpha*x_i + (1-alpha)*y_{i-1}`` — the
+    standard smoothing recurrence (trend baselines, anomaly thresholds,
+    rate estimators). Like :func:`debounce_events`, the state is the
+    previous OUTPUT, so no ``lag()`` window expresses it.
+
+    Scale shape: ONE shuffle on the key; the recurrence is inherently
+    sequential per key, so the kernel is a per-row fold INSIDE the group
+    (a key's history is the unit of locality — the asof_join contract).
+
+    Determinism contract: the fold evaluates the literal expression
+    ``alpha*x + beta*y`` with ``beta`` computed ONCE as ``1 - alpha`` and
+    both constants spliced verbatim into the SQL twin (``repr(alpha)``,
+    ``repr(beta)``) — ``1 - 0.3`` and the literal ``0.7`` are DIFFERENT
+    doubles, so the oracle must reuse the engine's beta, not re-derive it.
+    """
+    beta = 1.0 - alpha
+    key_list = list(keys)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        x = g[value_col].to_numpy(dtype=np.float64)
+        out = np.empty(len(x), dtype=np.float64)
+        y = x[0]
+        out[0] = y
+        for i in range(1, len(x)):
+            y = alpha * x[i] + beta * y
+            out[i] = y
+        res = pd.DataFrame({order_col: g[order_col].to_numpy(), out_col: out})
+        for k in key_list:
+            res[k] = g[k].iloc[0]
+        res[value_col] = x
+        return res[key_list + [order_col, value_col, out_col]]
+
+    return events.groupby(key_list).map_groups(_fold, batch_format="pandas")
+
+
+def resample_ffill(
+    events: ray.data.Dataset,
+    freq_s: int,
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    carry_cols: tuple = ("event_type", "value"),
+) -> ray.data.Dataset:
+    """Per-key regular-grid resampling with forward fill (the pandas
+    ``resample(freq).last().ffill()`` convention): one output row per
+    ``freq_s``-second slot from ``floor(min ts)`` to ``floor(max ts)`` of
+    each key, labeled by the slot START and carrying the columns of the
+    LAST event with ``ts < slot + freq`` (ties on ``ts`` broken by
+    greatest ``order_col`` — the latest write wins). The first slot
+    contains the key's first event by construction, so every slot is
+    filled. The gap-filling shape every time-series feature pipeline
+    needs before windowed models.
+
+    Scale shape: ONE shuffle on the key; the grid is generated vectorized
+    inside the group (``np.arange`` over integer microseconds) and filled
+    with one ``searchsorted`` — no per-slot scan. Output volume is
+    ``span/freq`` per key (bounded by each key's own observed span, never
+    the global span). Carried values are copied verbatim (zero float
+    arithmetic), so the hash gate is exact."""
+    step_us = int(freq_s) * 1_000_000
+    key_list = list(keys)
+
+    def _grid(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+        lo = (ts_us[0] // step_us) * step_us
+        hi = (ts_us[-1] // step_us) * step_us
+        slots = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
+        # last event with ts < slot_end; rows are (ts, order)-sorted so
+        # the index before the insertion point is the greatest order among
+        # tied ts. slots[0] + step > ts_us[0], so idx >= 0 always.
+        idx = np.searchsorted(ts_us, slots + step_us, side="left") - 1
+        out = pd.DataFrame({"slot_ts": slots.view("datetime64[us]")})
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()[idx]
+        for k in key_list:
+            out[k] = g[k].iloc[0]
+        return out[key_list + ["slot_ts"] + list(carry_cols)]
+
+    return events.groupby(key_list).map_groups(_grid, batch_format="pandas")
