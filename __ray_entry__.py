@@ -4728,6 +4728,76 @@ def _events_value_quantiles(sf_dir: str):
     )
 
 
+# tenth wave: distributed linear algebra, PMI collocations, winsorization
+_GRAM_SCALE = 10000.0
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def _embeddings_gram(sf_dir: str):
+    """Distributed Gram matrix over the embedding corpus
+    (stages/similarity.gram_matrix): per-batch int64 QᵀQ partials →
+    groupby Sum over (i, j) — the exact, partition-invariant,
+    SQL-reproducible second-moment primitive PCA/whitening builds on.
+    Shuffle bounded by dim², never rows."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import gram_matrix
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return (
+        gram_matrix(emb, vec_col="embedding", scale=_GRAM_SCALE)
+        .to_pandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_collocations(sf_dir: str):
+    """Top-50 bigram collocations by PMI
+    (stages/text_analysis.pmi_collocations): two combiner-first count
+    passes, global min-count filter, broadcast unigram table, literal
+    double expression tree mirrored in SQL so the scores (and the top-k
+    cutoff) match bit-exact."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        pmi_collocations(docs, min_count=_PMI_MIN_COUNT, top_k=_PMI_TOP_K)
+        .to_pandas()
+        .sort_values(["pmi", "tok_a", "tok_b"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_winsorized(sf_dir: str):
+    """Per-language winsorization of document lengths
+    (stages/diagnostics.winsorize_by_group): n_chars clamped to the
+    language's exact [p5, p95] discrete percentiles — cutoff table
+    broadcast once, corpus streams through a pure map. Integer-exact."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        winsorize_by_group,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return (
+        winsorize_by_group(
+            docs, value_col="n_chars", group_col="lang", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4865,6 +4935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": _events_resampled,
         "part_skyline": _part_skyline,
         "events_value_quantiles": _events_value_quantiles,
+        "embeddings_gram": _embeddings_gram,
+        "documents_collocations": _documents_collocations,
+        "documents_winsorized": _documents_winsorized,
     }
 
 
@@ -6731,5 +6804,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum >= (q_num * total + q_den - 1) // q_den
             GROUP BY event_type, q_num, q_den, total
             ORDER BY event_type, q_den, q_num
+        """,
+        # quantization scale spliced from the engine constant; float32
+        # elements widen exactly to DOUBLE on both sides, so every cell is
+        # exact int64 arithmetic (partition/order-invariant by construction)
+        "embeddings_gram": f"""
+            WITH x AS (
+                SELECT vec_id, i,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                  * {_GRAM_SCALE!r}::DOUBLE + 0.5::DOUBLE)
+                            AS BIGINT) AS q
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+            )
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+            ORDER BY i, j
+        """,
+        # PMI double tree mirrored operand for operand:
+        # ln(((c*N)*N) / ((M*c_a)*c_b)) with every factor widened first
+        "documents_collocations": f"""
+            WITH ws AS MATERIALIZED (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), uni AS MATERIALIZED (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(w) AS tok FROM ws) GROUP BY tok
+            ), bi AS MATERIALIZED (
+                SELECT w[i] AS tok_a, w[i + 1] AS tok_b, count(*) AS n_pair
+                FROM ws, unnest(range(1, len(w))) r(i)
+                GROUP BY tok_a, tok_b
+            ), tot AS (
+                SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM uni) AS nd,
+                       (SELECT CAST(sum(n_pair) AS DOUBLE) FROM bi) AS md
+            ), scored AS (
+                SELECT b.tok_a, b.tok_b, b.n_pair, ua.n AS n_a, ub.n AS n_b,
+                       ln(((CAST(b.n_pair AS DOUBLE) * t.nd) * t.nd)
+                          / ((t.md * CAST(ua.n AS DOUBLE)) * CAST(ub.n AS DOUBLE))) AS pmi
+                FROM bi b
+                JOIN uni ua ON ua.tok = b.tok_a
+                JOIN uni ub ON ub.tok = b.tok_b
+                CROSS JOIN tot t
+                WHERE b.n_pair >= {_PMI_MIN_COUNT}
+            )
+            SELECT * FROM scored
+            ORDER BY pmi DESC, tok_a, tok_b
+            LIMIT {_PMI_TOP_K}
+        """,
+        "documents_winsorized": """
+            WITH cuts AS (
+                SELECT lang,
+                       quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   least(greatest(d.n_chars, c.lo), c.hi) AS n_chars_winsorized
+            FROM documents d JOIN cuts c ON d.lang = c.lang
+            ORDER BY d.doc_id
         """,
     }

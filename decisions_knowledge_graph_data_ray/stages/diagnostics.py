@@ -573,3 +573,49 @@ def referential_integrity(
             }
         )
     return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def winsorize_by_group(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> ray.data.Dataset:
+    """Per-group percentile clipping (winsorization — the outlier-robust
+    normalization step before length/score features feed a model): each
+    row's value is clamped to its GROUP's exact [lo_q, hi_q] discrete
+    percentiles (:func:`group_quantiles`, ``percentile_disc`` semantics —
+    cutoffs are actual data values, so integer columns stay
+    integer-exact for the SQL oracle).
+
+    Scale shape: the cutoff table is one row per group (bounded by
+    |groups|, collected + ``ray.put`` broadcast — the
+    ``bucket_by_group_quantiles`` discipline); the corpus streams through
+    a pure vectorized map, zero shuffle."""
+    import numpy as np
+
+    import ray as _ray
+
+    names = [f"q{round(q * 100):d}" for q in (lo_q, hi_q)]
+    q = group_quantiles(ds, value_col=value_col, group_col=group_col, qs=(lo_q, hi_q)).to_pandas()
+    cuts_ref = _ray.put({r[group_col]: (r[names[0]], r[names[1]]) for _, r in q.iterrows()})
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        cuts = _ray.get(cuts_ref)
+        groups = batch[group_col].to_pylist()
+        lo = np.array([cuts[g][0] for g in groups])
+        hi = np.array([cuts[g][1] for g in groups])
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                value_col: batch[value_col],
+                f"{value_col}_winsorized": pa.array(clipped),
+            }
+        )
+
+    return ds.map_batches(_clip, batch_format="pyarrow")

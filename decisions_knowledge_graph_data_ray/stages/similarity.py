@@ -658,3 +658,50 @@ def rrf_fuse(
         return batch.append_column("rrf", pa.array(rrf, pa.float64()))
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def gram_matrix(
+    embeddings: ray.data.Dataset,
+    vec_col: str = "embedding",
+    scale: float = 10000.0,
+) -> ray.data.Dataset:
+    """Distributed Gram matrix over quantized embeddings: ``G[i][j] =
+    Σ_rows q_i·q_j`` with ``q = floor(x·scale + 0.5)`` int64 — the
+    second-moment building block of PCA / linear probes / whitening,
+    computed as a streaming matmul.
+
+    Quantization makes the sum EXACT int64 arithmetic, so the result is a
+    pure function of the row multiset — independent of partitioning,
+    batch boundaries and summation order (float accumulation is not),
+    and SQL-reproducible. Overflow headroom: |q| ≤ scale·|x|_max, so a
+    cell is bounded by rows·(scale·|x|_max)²; at scale 1e4 and |x| ≤ 1
+    that is 1e8 per row — safe to ~9·10^10 rows per int64 cell (rescale
+    for more).
+
+    Scale shape: one ``(dim·(dim+1)/2)``-row partial per BATCH (a local
+    ``Qᵀ Q`` matmul — upper triangle only), then a groupby Sum over
+    ``(i, j)`` int keys. The shuffle is bounded by dim², never rows.
+    Output: ``(i, j, s)`` with 1-indexed ``i ≤ j``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        q = np.floor(x * scale + 0.5).astype(np.int64)
+        g = q.T @ q  # dim×dim int64
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"i": (iu + 1).astype(np.int64), "j": (ju + 1).astype(np.int64),
+                 "s": g[iu, ju]}
+            ),
+            preserve_index=False,
+        )
+
+    return (
+        embeddings.select_columns([vec_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )

@@ -657,3 +657,127 @@ def char_entropy(
         )
 
     return docs.map_batches(_entropy, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> ray.data.Dataset:
+    """Top-k bigram collocations by pointwise mutual information —
+    ``pmi = ln(p(ab) / (p(a)p(b)))`` with ``p(ab) = c_ab/M`` over adjacent
+    token pairs and ``p(x) = c_x/N`` over tokens — the classic
+    phrase-mining signal (Church & Hanks 1990) a tokenizer-vocab or
+    entity-dictionary builder runs corpus-wide.
+
+    Scale shape: two combiner-first count passes (one partial row per
+    distinct bigram/token per batch — the ``vocabulary`` discipline), a
+    global min-count filter BEFORE scoring, and the unigram table
+    broadcast once via ``ray.put`` (bounded by |vocab| — the documented
+    value-CDF-family assumption). Partial-top-k per block before the
+    driver pick.
+
+    Determinism contract: the PMI double is the literal expression tree
+    ``ln(((c*N)*N) / ((M*c_a)*c_b))`` with every operand widened to
+    double first — the SQL twin mirrors the same tree, so the doubles
+    (and therefore the top-k cutoff) match bit-exact.
+
+    Output: ``(tok_a, tok_b, n_pair, n_a, n_b, pmi)`` ordered by
+    (pmi desc, tok_a, tok_b)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        toks = list(c)
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "n": pa.array([c[t] for t in toks], pa.int64())}
+        )
+
+    def _bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            w = word_re.findall((t or "").lower())
+            c.update(zip(w[:-1], w[1:]))
+        keys = list(c)
+        return pa.table(
+            {"tok_a": pa.array([k[0] for k in keys], pa.string()),
+             "tok_b": pa.array([k[1] for k in keys], pa.string()),
+             "n": pa.array([c[k] for k in keys], pa.int64())}
+        )
+
+    unigrams = (
+        docs.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # read twice: the N scalar + the broadcast dict
+    )
+    bigrams = (
+        docs.map_batches(_bi_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+        .materialize()  # read twice: the M scalar + the scoring pass
+    )
+    n_tokens = int(unigrams.sum("n") or 0)
+    n_pairs = int(bigrams.sum("n_pair") or 0)
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("tok_a", pa.string()), ("tok_b", pa.string()),
+                 ("n_pair", pa.int64()), ("n_a", pa.int64()),
+                 ("n_b", pa.int64()), ("pmi", pa.float64())]
+            ).empty_table()
+        )
+    uni_ref = _ray.put({r["token"]: r["n"] for r in unigrams.take_all()})
+
+    def _score(batch: pa.Table) -> pa.Table:
+        uni = _ray.get(uni_ref)
+        nd, md = float(n_tokens), float(n_pairs)
+        rows = {"tok_a": [], "tok_b": [], "n_pair": [], "n_a": [], "n_b": [], "pmi": []}
+        for a, b, c in zip(
+            batch["tok_a"].to_pylist(), batch["tok_b"].to_pylist(),
+            batch["n_pair"].to_pylist(),
+        ):
+            if c < min_count:
+                continue
+            ca, cb = uni[a], uni[b]
+            pmi = math.log(((float(c) * nd) * nd) / ((md * float(ca)) * float(cb)))
+            rows["tok_a"].append(a)
+            rows["tok_b"].append(b)
+            rows["n_pair"].append(c)
+            rows["n_a"].append(ca)
+            rows["n_b"].append(cb)
+            rows["pmi"].append(pmi)
+        return pa.table(
+            {"tok_a": pa.array(rows["tok_a"], pa.string()),
+             "tok_b": pa.array(rows["tok_b"], pa.string()),
+             "n_pair": pa.array(rows["n_pair"], pa.int64()),
+             "n_a": pa.array(rows["n_a"], pa.int64()),
+             "n_b": pa.array(rows["n_b"], pa.int64()),
+             "pmi": pa.array(rows["pmi"], pa.float64())}
+        )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["pmi", "tok_a", "tok_b"], ascending=[False, True, True]
+        ).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    scored = bigrams.map_batches(_score, batch_format="pyarrow")
+    out = scored.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["pmi", "tok_a", "tok_b"], ascending=[False, True, True]
+    ).head(top_k)
+    return ray.data.from_pandas(pd.DataFrame(out.reset_index(drop=True)))
