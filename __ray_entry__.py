@@ -4798,6 +4798,93 @@ def _documents_winsorized(sf_dir: str):
     )
 
 
+# eleventh wave: deterministic mode, PSI drift, exact z-score outliers
+_PSI_VMIN = 0.0
+_PSI_WIDTH = 5000.0
+_PSI_NBINS = 128
+_ZS_SIGMA2 = 3.0 * 3.0
+_ZS_SCALE = 100.0
+
+
+def _events_user_mode(sf_dir: str):
+    """Each user's most frequent event_type (stages/skew.group_mode):
+    deterministic mode with (count desc, value asc) tie-break — the
+    canonical-record pick SQL mode() can't gate. Combiner-first counts,
+    one argmax scan per key over its ≤ |types| rows."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.skew import group_mode
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return (
+        group_mode(ev, ["user_id"], "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def _orders_drift_psi(sf_dir: str):
+    """Per-priority PSI drift of o_totalprice between the pre-1997-07
+    snapshot and the rest (stages/diagnostics.distribution_drift_psi):
+    declared fixed bins, Laplace-floored, bin-ordered left fold mirrored
+    in SQL bit-exact — the data-drift gate a continuous ingest runs."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        distribution_drift_psi,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    _cut = pa.scalar(datetime.datetime(1997, 7, 1), pa.timestamp("us"))
+    base = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], _cut)), batch_format="pyarrow"
+    )
+    cur = orders.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], _cut)),
+        batch_format="pyarrow",
+    )
+    return (
+        distribution_drift_psi(
+            base, cur, value_col="o_totalprice", group_col="o_orderpriority",
+            vmin=_PSI_VMIN, width=_PSI_WIDTH, nbins=_PSI_NBINS,
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+def _events_outliers(sf_dir: str):
+    """Per-type z-score outlier flags (stages/diagnostics.zscore_outliers):
+    exact int64 moment state (n, Σx, Σx²) over cent-quantized values,
+    flag via the division-free (n·x-S)² > 9·(n·Σx²-S²) inequality in an
+    identical double tree both sides — zero shuffle on the wide data."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import zscore_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return (
+        zscore_outliers(
+            ev, value_col="value", group_col="event_type", id_col="event_id",
+            n_sigma=3.0, scale=_ZS_SCALE,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4938,6 +5025,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_gram": _embeddings_gram,
         "documents_collocations": _documents_collocations,
         "documents_winsorized": _documents_winsorized,
+        "events_user_mode": _events_user_mode,
+        "orders_drift_psi": _orders_drift_psi,
+        "events_outliers": _events_outliers,
     }
 
 
@@ -6862,5 +6952,78 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(d.n_chars, c.lo), c.hi) AS n_chars_winsorized
             FROM documents d JOIN cuts c ON d.lang = c.lang
             ORDER BY d.doc_id
+        """,
+        "events_user_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ), r AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rn,
+                       sum(n) OVER (PARTITION BY user_id) AS n_rows
+                FROM c
+            )
+            SELECT user_id, event_type AS mode_value,
+                   CAST(n AS BIGINT) AS n_mode, CAST(n_rows AS BIGINT) AS n_rows
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        # PSI term and fold mirrored: Laplace-floored p/q over the union of
+        # OCCUPIED bins per group, (p-q)*ln(p/q) summed as a bin-ordered
+        # left fold (list_reduce == the engine's sequential accumulation)
+        "orders_drift_psi": f"""
+            WITH b AS (
+                SELECT o_orderpriority AS g,
+                       CAST(least(greatest(floor((o_totalprice - {_PSI_VMIN!r}::DOUBLE)
+                                                 / {_PSI_WIDTH!r}::DOUBLE),
+                                           0.0::DOUBLE),
+                                  {float(_PSI_NBINS - 1)!r}::DOUBLE) AS BIGINT) AS bin,
+                       o_orderdate < TIMESTAMP '1997-07-01' AS is_base
+                FROM orders
+            ), reg AS (
+                SELECT g, bin,
+                       sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb_bin,
+                       sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS nc_bin
+                FROM b GROUP BY g, bin
+            ), tot AS (
+                SELECT g, sum(nb_bin) AS nb, sum(nc_bin) AS nc FROM reg GROUP BY g
+            ), terms AS (
+                SELECT r.g, r.bin,
+                       (CAST(greatest(r.nb_bin, 1) AS DOUBLE) / CAST(t.nb AS DOUBLE)
+                        - CAST(greatest(r.nc_bin, 1) AS DOUBLE) / CAST(t.nc AS DOUBLE))
+                       * ln((CAST(greatest(r.nb_bin, 1) AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                            / (CAST(greatest(r.nc_bin, 1) AS DOUBLE) / CAST(t.nc AS DOUBLE)))
+                         AS term
+                FROM reg r JOIN tot t USING (g)
+            ), l AS (
+                SELECT g, list(term ORDER BY bin) AS ts FROM terms GROUP BY g
+            )
+            SELECT t.g AS o_orderpriority,
+                   CAST(t.nb AS BIGINT) AS n_base,
+                   CAST(t.nc AS BIGINT) AS n_current,
+                   list_reduce(l.ts, (a, b) -> a + b) AS psi
+            FROM tot t JOIN l USING (g)
+            ORDER BY o_orderpriority
+        """,
+        # the |x-mu| > k*sigma test cleared of divisions, identical double
+        # tree both sides; moment sums are exact int64 before widening
+        "events_outliers": f"""
+            WITH q AS (
+                SELECT event_id, event_type, value,
+                       floor(value * {_ZS_SCALE!r}::DOUBLE + 0.5::DOUBLE) AS x
+                FROM events
+            ), m AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS nd,
+                       CAST(sum(CAST(x AS BIGINT)) AS DOUBLE) AS sd,
+                       CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE) AS ssd
+                FROM q GROUP BY event_type
+            )
+            SELECT q.event_id, q.event_type, q.value,
+                   ((m.nd * q.x - m.sd) * (m.nd * q.x - m.sd))
+                     > ({_ZS_SIGMA2!r}::DOUBLE * ((m.nd * m.ssd) - (m.sd * m.sd)))
+                     AS is_outlier
+            FROM q JOIN m USING (event_type)
+            ORDER BY event_id
         """,
     }

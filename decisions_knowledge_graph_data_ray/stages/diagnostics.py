@@ -619,3 +619,142 @@ def winsorize_by_group(
         )
 
     return ds.map_batches(_clip, batch_format="pyarrow")
+
+
+def distribution_drift_psi(
+    base: ray.data.Dataset,
+    current: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    vmin: float,
+    width: float,
+    nbins: int,
+) -> ray.data.Dataset:
+    """Per-group population-stability-index drift between two snapshots of
+    the same column — the data-drift monitor a continuously-ingesting
+    pipeline runs before letting a new partition into the corpus:
+    ``PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i)`` over a DECLARED fixed
+    binning (``cardinality.histogram_registers`` edges; declared so the
+    two sides are comparable across runs). Empty bins are Laplace-floored
+    at one count so the log stays finite — the standard PSI practice.
+
+    Scale shape: each snapshot reduces to its ≤ ``groups × nbins``
+    register table (per-batch combiners, groupby Sum); the PSI fold runs
+    per group over the two registers' union (``map_groups`` on the
+    bounded sketch, never raw rows). Both sides of the hash gate
+    evaluate the identical double tree in bin order (left fold), so the
+    score is bit-exact.
+
+    Output: ``(group, n_base, n_current, psi)``."""
+    import pandas as pd
+
+    from .cardinality import histogram_registers
+
+    def _tag(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        regs = histogram_registers(ds, value_col, group_col, vmin, width, nbins)
+        return regs.map_batches(
+            lambda b, _s=side: b.append_column(
+                "side", pa.array([_s] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = _tag(base, 0).union(_tag(current, 1))
+
+    def _psi(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        base_n = {int(r["bin"]): int(r["n"]) for _, r in g[g["side"] == 0].iterrows()}
+        cur_n = {int(r["bin"]): int(r["n"]) for _, r in g[g["side"] == 1].iterrows()}
+        nb = sum(base_n.values())
+        nc = sum(cur_n.values())
+        psi = 0.0
+        # fold in bin order with Laplace-floored counts: the identical
+        # (p-q)*ln(p/q) double term the SQL twin sums via list_reduce
+        for b in sorted(set(base_n) | set(cur_n)):
+            p = float(max(base_n.get(b, 0), 1)) / float(nb)
+            q = float(max(cur_n.get(b, 0), 1)) / float(nc)
+            psi = psi + (p - q) * math.log(p / q)
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_base": [nb],
+                "n_current": [nc],
+                "psi": [psi],
+            }
+        )
+
+    return both.groupby(group_col).map_groups(_psi, batch_format="pandas")
+
+
+def zscore_outliers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_sigma: float = 3.0,
+    scale: float = 100.0,
+) -> ray.data.Dataset:
+    """Per-group z-score outlier flags without any per-row float mean/std:
+    values quantize to ints (``floor(v·scale + 0.5)``), the per-group
+    moment state ``(n, Σx, Σx²)`` is EXACT int64 (an algebraic combiner —
+    partition-invariant, mergeable), and the flag evaluates
+    ``(n·x - S)² > n_sigma²·(n·Σx² - S²)`` — the |x-μ| > kσ inequality
+    cleared of divisions. Both sides compute it in the identical double
+    tree (the big products exceed 2⁵³, where double rounding is IEEE-
+    deterministic, not value-exact — same tree ⟹ same bits ⟹ same flag).
+
+    Scale shape: one tiny moment table (|groups| rows) broadcast via
+    ``ray.put``; the corpus streams through a vectorized map — zero
+    shuffle on the wide data. Output: ``(id, group, value, is_outlier)``."""
+    import numpy as np
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    k2 = float(n_sigma) * float(n_sigma)
+
+    def _q(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(v * scale + 0.5).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(), "x": x, "xx": x * x})
+        out = df.groupby(group_col, sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), ss=("xx", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    moments = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(_q, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .to_pandas()
+    )
+    mom_ref = _ray.put(
+        {r[group_col]: (float(r["n"]), float(r["s"]), float(r["ss"]))
+         for _, r in moments.iterrows()}
+    )
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        mom = _ray.get(mom_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(v * scale + 0.5)
+        groups = batch[group_col].to_pylist()
+        nd = np.array([mom[g][0] for g in groups])
+        sd = np.array([mom[g][1] for g in groups])
+        ssd = np.array([mom[g][2] for g in groups])
+        lhs = nd * x - sd
+        flags = lhs * lhs > k2 * (nd * ssd - sd * sd)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                value_col: batch[value_col],
+                "is_outlier": pa.array(flags, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -287,3 +287,46 @@ def merge_aggregate_states(
         else:
             raise ValueError(f"{op!r} is not mergeable state")
     return out.groupby(keys).aggregate(*aggs)
+
+
+def group_mode(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "mode_value",
+) -> ray.data.Dataset:
+    """Deterministic per-key MODE: the most frequent ``value_col`` per key,
+    ties broken by smallest value — the canonical-record pick of entity
+    resolution (most-observed name/court/label per entity) where SQL
+    ``mode()`` is tie-nondeterministic and therefore ungateable.
+
+    Scale shape: a per-batch ``(key, value)`` count combiner bounds the
+    shuffle by distinct pairs per batch, a groupby Sum merges, then one
+    argmax scan per key over its ≤ |distinct values| rows (``map_groups``).
+    Output: ``(key..., mode_value, n_mode, n_rows)``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    cols = key_cols + [value_col]
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(cols), cols).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["n"])
+
+    counts = (
+        ds.map_batches(_vc, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", value_col], ascending=[False, True])
+        top = g.iloc[0]
+        row = {k: [top[k]] for k in key_cols}
+        row[out_col] = [top[value_col]]
+        row["n_mode"] = [int(top["n"])]
+        row["n_rows"] = [int(g["n"].sum())]
+        return pd.DataFrame(row)
+
+    return counts.groupby(key_cols).map_groups(_pick, batch_format="pandas")
