@@ -4885,6 +4885,141 @@ def _events_outliers(sf_dir: str):
     )
 
 
+# twelfth wave: BPE tokenizer training, degree distribution
+_BPE_N_MERGES = 10
+
+
+def _documents_bpe_merges(sf_dir: str):
+    """First 10 BPE merge rules trained over the corpus
+    (stages/prep.bpe_train_merges): ONE corpus-scale word-frequency pass,
+    then merge iterations over the bounded vocab table — pair-count
+    combiners, groupby Sum, a one-row driver argmax, broadcast merge
+    application. Non-overlapping scan semantics mirrored in the oracle's
+    chained CTEs (replace-difference counting == str.count)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import bpe_train_merges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "n"])
+
+
+def _kg_degree_dist(sf_dir: str):
+    """Citation-graph in-degree distribution: for each distinct-citing-
+    document count, how many decisions have it — the power-law check run
+    on any constructed graph. Two combiner-first groupbys over the
+    distinct edge set; shuffle carries (node) then (degree) int rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        distinct_pairs,
+    )
+    from ray.data.aggregate import Sum
+
+    edges = distinct_pairs(
+        citation_edges(_extractions_for(sf_dir)), ["conv_id", "ecli"]
+    )
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["ecli"]), "ecli").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["ecli", "degree"])
+
+    degrees = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("ecli")
+        .aggregate(Sum("degree", alias_name="degree"))
+    )
+
+    def _dist_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["degree"]), "degree").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["degree", "n_nodes"])
+
+    dist = (
+        degrees.map_batches(_dist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+    return dist.to_pandas().sort_values("degree").reset_index(drop=True)
+
+
+def _documents_bpe_sql(n_merges: int) -> str:
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(
+            f"""p{r} AS MATERIALIZED (
+                SELECT a, b, CAST(sum(cnt * freq) AS BIGINT) AS n
+                FROM (
+                    SELECT spaced, freq, a, b,
+                           (length(spaced)
+                            - length(replace(spaced, ' ' || a || ' ' || b || ' ', '')))
+                             // length(' ' || a || ' ' || b || ' ') AS cnt
+                    FROM (
+                        SELECT DISTINCT spaced, freq, w[i] AS a, w[i + 1] AS b
+                        FROM (SELECT spaced, freq,
+                                     str_split(trim(spaced), ' ') AS w
+                              FROM v{r - 1}),
+                             unnest(range(1, len(w))) r(i)
+                    )
+                )
+                GROUP BY a, b
+            ),
+            m{r} AS MATERIALIZED (
+                SELECT CAST({r} AS BIGINT) AS "rank", a, b, n FROM p{r}
+                ORDER BY n DESC, a, b LIMIT 1
+            ),
+            v{r} AS MATERIALIZED (
+                SELECT replace(v.spaced, ' ' || m.a || ' ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' ') AS spaced,
+                       v.freq
+                FROM v{r - 1} v CROSS JOIN m{r} m
+            )"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT "rank", a AS "left", b AS "right", n FROM m{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        """WITH wf AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+                     AS spaced,
+                   freq
+            FROM wf
+        ),
+        """
+        + ",\n".join(rounds)
+        + '\nSELECT * FROM (' + union + ') ORDER BY "rank"'
+    )
+
+
+def _kg_degree_dist_sql() -> str:
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , e0 AS (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), deg AS (
+            SELECT ecli, CAST(count(*) AS BIGINT) AS degree FROM e0 GROUP BY ecli
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree ORDER BY degree
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5028,6 +5163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": _events_user_mode,
         "orders_drift_psi": _orders_drift_psi,
         "events_outliers": _events_outliers,
+        "documents_bpe_merges": _documents_bpe_merges,
+        "kg_degree_dist": _kg_degree_dist,
     }
 
 
@@ -7026,4 +7163,6 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN m USING (event_type)
             ORDER BY event_id
         """,
+        "documents_bpe_merges": _documents_bpe_sql(_BPE_N_MERGES),
+        "kg_degree_dist": _kg_degree_dist_sql(),
     }

@@ -632,3 +632,116 @@ def group_bottomk_sample(
         .groupby(group_col)
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def bpe_train_merges(
+    docs: ray.data.Dataset,
+    n_merges: int,
+    text_col: str = "text",
+) -> "list[dict]":
+    """Train the first ``n_merges`` BPE merge rules over the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016).
+
+    Classic vocab-based formulation: the only CORPUS-SCALE pass is the
+    word-frequency count (combiner-first, shuffle bounded by |vocab| per
+    batch); the merge loop then runs over the bounded (word, freq) table
+    as Dataset ops — per-batch pair-count combiners, a groupby Sum over
+    pair keys, a driver-side argmax of ONE row, and a broadcast merge
+    application. Each iteration's shuffle moves pair-count partials
+    (bounded by vocab size), never corpus text; the driver never holds
+    the vocabulary.
+
+    Semantics contract (SQL-reproducible by construction): words are
+    ``[a-z0-9]+`` of the lowercased text, represented as the spaced char
+    string ``' h e l l o '``; pair counts and merge application both use
+    non-overlapping left-to-right scans (Python ``str.count`` /
+    ``str.replace`` == DuckDB ``replace``-difference counting — the same
+    consuming-scan semantics as Sennrich's ``re.sub``, where back-to-back
+    occurrences sharing a boundary defer to the next round); argmax ties
+    break by (count desc, left asc, right asc).
+
+    Returns the merge table ``[{rank, left, right, n}, ...]``."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _word_freq(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(_WORD_RE.findall((t or "").lower()))
+        words = list(c)
+        return pa.table(
+            {
+                "spaced": pa.array(
+                    [" " + " ".join(w) + " " for w in words], pa.string()
+                ),
+                "freq": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(_word_freq, batch_format="pyarrow")
+        .groupby("spaced")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+
+        def _pair_partial(batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for s, f in zip(batch["spaced"].to_pylist(), batch["freq"].to_pylist()):
+                toks = s.split()
+                for a, b in set(zip(toks, toks[1:])):
+                    c[(a, b)] += s.count(f" {a} {b} ") * f
+            keys = list(c)
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in keys], pa.string()),
+                    "right": pa.array([k[1] for k in keys], pa.string()),
+                    "n": pa.array([c[k] for k in keys], pa.int64()),
+                }
+            )
+
+        pair_counts = (
+            vocab.map_batches(_pair_partial, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+        # partial-top-1 per block before the driver pick (top_k discipline)
+        def _top1(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df.sort_values(
+                ["n", "left", "right"], ascending=[False, True, True]
+            ).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cands = pair_counts.map_batches(_top1, batch_format="pyarrow").to_pandas()
+        if cands.empty:
+            break
+        best = (
+            cands.sort_values(["n", "left", "right"], ascending=[False, True, True])
+            .iloc[0]
+        )
+        left, right, n = str(best["left"]), str(best["right"]), int(best["n"])
+        merges.append({"rank": rank, "left": left, "right": right, "n": n})
+
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+
+        def _apply(batch: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "spaced": pa.array(
+                        [s.replace(_p, _r) for s in batch["spaced"].to_pylist()],
+                        pa.string(),
+                    ),
+                    "freq": batch["freq"],
+                }
+            )
+
+        # merge barrier: the next round's counts read the rewritten vocab
+        vocab = vocab.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    return merges
