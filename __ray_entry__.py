@@ -5005,6 +5005,102 @@ def _documents_bpe_sql(n_merges: int) -> str:
     )
 
 
+# thirteenth wave: skew-aware join, clustering coefficients
+_SKEWJOIN_HOT = 50
+
+
+def _events_customers_skewjoin(sf_dir: str):
+    """Events ⋈ customer on user_id via the skew-aware join
+    (stages/joins.skew_aware_join): keys with ≥50 left rows take a
+    broadcast map-side path, the rest the ordinary bucketed shuffle —
+    row-identical to a plain inner join (the oracle), which is the point:
+    the hot-key split is an execution detail. At this sf most users are
+    hot, so BOTH paths carry rows through the gate."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.joins import skew_aware_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    out = skew_aware_join(
+        ev,
+        cust,
+        on="user_id",
+        right_on="c_custkey",
+        output_columns=["event_id", "user_id", "c_name", "c_acctbal"],
+        hot_threshold=_SKEWJOIN_HOT,
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _kg_clustering(sf_dir: str):
+    """Local clustering coefficients over the co-citation graph
+    (stages/graph.clustering_coefficients): c = 2T/(d(d−1)) per decision
+    with co-citation degree ≥ 2; T from the oriented-wedge triangle
+    counter, degree from a combiner-first count, one bucketed left-outer
+    join, the double tree mirrored in SQL."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        clustering_coefficients,
+        cocitation_pairs,
+    )
+
+    pairs = (
+        cocitation_pairs(
+            citation_edges(_extractions_for(sf_dir)),
+            group_col="conv_id",
+            node_col="ecli",
+        )
+        .select_columns(["src", "dst"])
+        .materialize()  # read 3x: symmetrize + wedges + closing-edge join
+    )
+    return (
+        clustering_coefficients(pairs)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _kg_clustering_sql() -> str:
+    p = _citations_parts()
+    return (
+        "WITH " + p["ctes"] + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), dp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        ), tri AS MATERIALIZED (
+            SELECT e1.s AS u, e1.d AS v, e2.d AS w
+            FROM dp e1
+            JOIN dp e2 ON e2.s = e1.s AND e2.d > e1.d
+            JOIN dp e3 ON e3.s = e1.d AND e3.d = e2.d
+        ), tcnt AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT u AS node FROM tri
+                  UNION ALL SELECT v FROM tri
+                  UNION ALL SELECT w FROM tri)
+            GROUP BY node
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT s AS node FROM dp UNION ALL SELECT d FROM dp)
+            GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               coalesce(tcnt.n_triangles, 0) AS n_triangles,
+               (2.0::DOUBLE * CAST(coalesce(tcnt.n_triangles, 0) AS DOUBLE))
+                 / (CAST(deg.degree AS DOUBLE)
+                    * (CAST(deg.degree AS DOUBLE) - 1.0::DOUBLE)) AS coefficient
+        FROM deg LEFT JOIN tcnt USING (node)
+        WHERE deg.degree >= 2
+        ORDER BY deg.node
+        """
+    )
+
+
 def _kg_degree_dist_sql() -> str:
     p = _citations_parts()
     return (
@@ -5165,6 +5261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _events_outliers,
         "documents_bpe_merges": _documents_bpe_merges,
         "kg_degree_dist": _kg_degree_dist,
+        "events_customers_skewjoin": _events_customers_skewjoin,
+        "kg_clustering": _kg_clustering,
     }
 
 
@@ -7165,4 +7263,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_bpe_merges": _documents_bpe_sql(_BPE_N_MERGES),
         "kg_degree_dist": _kg_degree_dist_sql(),
+        "events_customers_skewjoin": """
+            SELECT e.event_id, e.user_id, c.c_name, c.c_acctbal
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            ORDER BY e.event_id
+        """,
+        "kg_clustering": _kg_clustering_sql(),
     }

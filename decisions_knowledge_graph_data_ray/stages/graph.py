@@ -637,3 +637,75 @@ def k_core(
             break
         prev_n = n
     return cur
+
+
+def clustering_coefficients(
+    pairs: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Local clustering coefficient per node over an undirected graph given
+    as DISTINCT ordered pairs (src < dst): ``c = 2T / (d(d-1))`` for nodes
+    with degree ≥ 2 — how close each node's neighborhood is to a clique,
+    the standard cohesion signal next to :func:`triangle_counts` (which
+    supplies T; the same wedge/semi-join shape and cost).
+
+    Scale shape: degree = a combiner-first count over the symmetrized
+    pairs; T joins on via one bucketed left-outer join (triangle-free
+    nodes coalesce to 0). The division is the literal double tree
+    ``(2.0·T) / (d·(d−1.0))`` — mirror it in the SQL twin. Pass ``pairs``
+    materialized (read three times: symmetrize + wedges + closing edge).
+
+    Output: ``(node, degree, n_triangles, coefficient)``, degree ≥ 2."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_bucket_join
+
+    sym = symmetrize(pairs, src_col, dst_col)
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([src_col]), src_col).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["node", "degree"])
+
+    degrees = (
+        sym.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("degree", alias_name="degree"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["degree"], 2)),
+            batch_format="pyarrow",
+        )
+    )
+    tri = triangle_counts(pairs, src_col, dst_col, num_buckets)
+
+    joined = hash_bucket_join(
+        degrees,
+        tri,
+        on="node",
+        how="left_outer",
+        output_columns=["node", "degree", "n_triangles"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("node", _NODE_T), ("degree", pa.int64())]),
+        right_schema=pa.schema([("node", _NODE_T), ("n_triangles", pa.int64())]),
+    )
+
+    def _coef(batch: pa.Table) -> pa.Table:
+        t = pc.coalesce(batch["n_triangles"], pa.scalar(0, pa.int64()))
+        dd = batch["degree"].cast(pa.float64())
+        coef = pc.divide(
+            pc.multiply(pa.scalar(2.0, pa.float64()), t.cast(pa.float64())),
+            pc.multiply(dd, pc.subtract(dd, pa.scalar(1.0, pa.float64()))),
+        )
+        return pa.table(
+            {
+                "node": batch["node"],
+                "degree": batch["degree"],
+                "n_triangles": t,
+                "coefficient": coef,
+            }
+        )
+
+    return joined.map_batches(_coef, batch_format="pyarrow")

@@ -39,7 +39,19 @@ _SIDE = "__hbj_side"
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     sch = ds.schema()
-    return getattr(sch, "base_schema", sch)
+    sch = getattr(sch, "base_schema", sch)
+    if isinstance(sch, pa.Schema):
+        return sch
+    # pandas-block dataset: PandasBlockSchema carries names + numpy dtypes
+    fields = []
+    for name, dt in zip(sch.names, sch.types):
+        if isinstance(dt, pa.DataType):
+            fields.append((name, dt))
+        elif getattr(dt, "kind", None) == "O":
+            fields.append((name, pa.string()))
+        else:
+            fields.append((name, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
 
 
 def _pack(side_val: int, key_col: str, prefix: str, my_schema: pa.Schema,
@@ -48,11 +60,20 @@ def _pack(side_val: int, key_col: str, prefix: str, my_schema: pa.Schema,
     def f(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols: dict[str, pa.ChunkedArray | pa.Array] = {
-            _BUCKET: bucket_ids(batch[key_col], num_buckets),
+            _BUCKET: (
+                bucket_ids(batch[key_col], num_buckets)
+                if key_col in batch.column_names
+                else pa.nulls(n, pa.int32())
+            ),
             _SIDE: pa.array(np.full(n, side_val, dtype=np.int8)),
         }
         for field in my_schema:
-            cols[prefix + field.name] = batch[field.name].cast(field.type)
+            # an upstream EMPTY aggregate emits zero-column blocks (no
+            # schema survives an empty groupby) — substitute typed nulls
+            if field.name in batch.column_names:
+                cols[prefix + field.name] = batch[field.name].cast(field.type)
+            else:
+                cols[prefix + field.name] = pa.nulls(n, field.type)
         for field in other_schema:
             cols[other_prefix + field.name] = pa.nulls(n, field.type)
         return pa.table({name: cols[name] for name in combined.names}, schema=combined)
@@ -117,6 +138,22 @@ def hash_bucket_join(
     rnames = [f.name for f in rsch]
 
     def _merge(group: pa.Table) -> pa.Table:
+        # Ray passes zero-column EMPTY blocks through map_batches without
+        # running the UDF, so a fully-empty input side reaches the sort
+        # untagged and gets unified in as null-typed columns. Re-pin the
+        # group to the combined schema (cast is a no-op when types match).
+        if group.schema != combined:
+            group = pa.table(
+                {
+                    n: (
+                        group[n].cast(combined.field(n).type)
+                        if n in group.column_names
+                        else pa.nulls(group.num_rows, combined.field(n).type)
+                    )
+                    for n in combined.names
+                },
+                schema=combined,
+            )
         lmask = pc.equal(group[_SIDE], 0)
         ltab = group.filter(lmask).select(["l:" + n for n in lnames]).rename_columns(lnames)
         rtab = (
@@ -232,3 +269,108 @@ def snapshot_diff(
         ).filter(pa.array(keep))
 
     return joined.map_batches(_classify, batch_format="pyarrow")
+
+
+def skew_aware_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    output_columns: list[str],
+    right_on: str | None = None,
+    hot_threshold: int = 100_000,
+    num_buckets: int = 16,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Inner join that survives hot keys: keys whose LEFT frequency
+    reaches ``hot_threshold`` take a BROADCAST path (their right-side
+    rows ship once via ``ray.put`` and join map-side, so the hot key
+    never concentrates in one shuffle bucket), everything else takes the
+    ordinary :func:`hash_bucket_join`. Row-for-row identical to a plain
+    inner join — the split is an execution detail, which is exactly what
+    makes it gateable against a plain SQL JOIN.
+
+    The frequency scan is a combiner-first count (one partial row per
+    distinct key per batch), so the pre-pass shuffle is bounded by
+    |distinct keys|; the hot set itself is driver-side but bounded BY
+    DEFINITION (≤ rows/hot_threshold keys can be hot — the
+    assemble.py hot-id discipline). The broadcast payload is the hot
+    keys' right-side rows: small when the right side is a dimension
+    table; for hot-on-both-sides workloads lower ``hot_threshold``
+    consciously — the broadcast is the documented trade."""
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+    lsch = left_schema or _arrow_schema(left)
+    rsch = right_schema or _arrow_schema(right)
+
+    def _key_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([on]), on).aggregate([([], "count_all")])
+        return out.rename_columns([on, "__n"])
+
+    counts = (
+        left.map_batches(_key_partial, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("__n", alias_name="__n"))
+    )
+    hot_tab = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["__n"], hot_threshold)).select([on]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # an all-cold filter drops the schema (zero-column empty frame)
+    hot_keys = set(hot_tab[on].tolist()) if on in hot_tab.columns else set()
+
+    if not hot_keys:
+        return hash_bucket_join(
+            left, right, on=on, right_on=right_on, output_columns=output_columns,
+            num_buckets=num_buckets, left_schema=lsch, right_schema=rsch,
+        )
+
+    import ray as _ray
+
+    hot_arr = pa.array(sorted(hot_keys), lsch.field(on).type)
+
+    def _side_filter(key_col: str, keep_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[key_col], value_set=hot_arr)
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return f
+
+    # cold path: the ordinary bucketed shuffle join
+    cold = hash_bucket_join(
+        left.map_batches(_side_filter(on, False), batch_format="pyarrow"),
+        right.map_batches(_side_filter(right_on, False), batch_format="pyarrow"),
+        on=on, right_on=right_on, output_columns=output_columns,
+        num_buckets=num_buckets, left_schema=lsch, right_schema=rsch,
+    )
+
+    # hot path: right-side rows of hot keys broadcast once, joined map-side
+    hot_right = (
+        right.map_batches(_side_filter(right_on, True), batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_ref = _ray.put(hot_right)
+    lnames = [f.name for f in lsch]
+    out_types = {f.name: f.type for f in rsch}
+    out_types.update({f.name: f.type for f in lsch})
+    out_schema = pa.schema([(c, out_types[c]) for c in output_columns])
+
+    def _map_join(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lhot = batch.filter(pc.is_in(batch[on], value_set=hot_arr))
+        if lhot.num_rows == 0:
+            return out_schema.empty_table()
+        rdf = _ray.get(hot_ref)
+        merged = lhot.to_pandas().merge(
+            rdf, left_on=on, right_on=right_on,
+            suffixes=("", "__r"),
+        )
+        out = pa.Table.from_pandas(
+            merged[output_columns], preserve_index=False
+        )
+        return out.cast(out_schema)
+
+    hot = left.map_batches(_map_join, batch_format="pyarrow")
+    return cold.union(hot)
