@@ -5116,6 +5116,55 @@ def _kg_degree_dist_sql() -> str:
     )
 
 
+# fourteenth wave: SCD-2 interval builder, market-basket pair mining
+def _events_scd2(sf_dir: str):
+    """Per-user SCD-2 validity intervals of event_type
+    (stages/windows.scd2_intervals): runs of consecutive equal types
+    compressed to (value, start_event_id, valid_from, valid_to) — one
+    shuffle, one vectorized shift-compare per key; output proportional to
+    the number of CHANGES. Oracle: lag()-flagged run starts + lead()
+    valid_to."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import scd2_intervals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return (
+        scd2_intervals(ev, value_col="event_type")
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "start_event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _lineitem_copurchase(sf_dir: str):
+    """Market-basket pair mining: part-type pairs co-occurring in the same
+    order with their order support — the A-Priori first pass, computed by
+    the SAME co-occurrence operator as the citation coupling analyses
+    (stages/graph.cocitation_pairs: pid-cogroup pair emission with a
+    per-pid combiner; pair volume bounded by per-order distinct types).
+    The lineitem→part attribute lookup is one bucketed hash join."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import cocitation_pairs
+    from decisions_knowledge_graph_data_ray.stages.joins import hash_bucket_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    typed = hash_bucket_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        output_columns=["l_orderkey", "p_type"],
+    )
+    out = (
+        cocitation_pairs(typed, group_col="l_orderkey", node_col="p_type")
+        .to_pandas()
+        .rename(columns={"src": "type_a", "dst": "type_b", "n_groups": "n_orders"})
+    )
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5263,6 +5312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_dist": _kg_degree_dist,
         "events_customers_skewjoin": _events_customers_skewjoin,
         "kg_clustering": _kg_clustering,
+        "events_scd2": _events_scd2,
+        "lineitem_copurchase": _lineitem_copurchase,
     }
 
 
@@ -7269,4 +7320,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.event_id
         """,
         "kg_clustering": _kg_clustering_sql(),
+        "events_scd2": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ), s AS (
+                SELECT user_id, event_type, event_id AS start_event_id,
+                       ts AS valid_from
+                FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+            )
+            SELECT user_id, event_type, start_event_id, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from, start_event_id)
+                     AS valid_to
+            FROM s ORDER BY user_id, valid_from, start_event_id
+        """,
+        "lineitem_copurchase": """
+            WITH lt AS (
+                SELECT DISTINCT l.l_orderkey AS o, p.p_type AS t
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT a.t AS type_a, b.t AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lt a JOIN lt b ON a.o = b.o AND a.t < b.t
+            GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
+        """,
     }

@@ -594,3 +594,49 @@ def resample_ffill(
         return out[key_list + ["slot_ts"] + list(carry_cols)]
 
     return events.groupby(key_list).map_groups(_grid, batch_format="pandas")
+
+
+def scd2_intervals(
+    events: ray.data.Dataset,
+    value_col: str,
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Compress a per-key event stream into SCD-2 validity intervals: one
+    row per RUN of consecutive equal ``value_col`` values in ``(ts,
+    order_col)`` order — ``(key..., value, start_<order>, valid_from,
+    valid_to)`` with ``valid_to`` = the next run's start (null for the
+    current run). The slowly-changing-dimension builder every warehouse
+    derives from a change stream; the inverse of :func:`asof_join`. The
+    run-starting ``order_col`` rides along so runs stay totally ordered
+    even when two runs of one key start at the same timestamp.
+
+    Scale shape: ONE shuffle on the key; run starts come from one
+    vectorized shift-compare per group (no per-row scan), so cost is
+    O(rows) with output proportional to the number of CHANGES."""
+    key_list = list(keys)
+    start_col = f"start_{order_col}"
+
+    def _runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        v = g[value_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        oid = g[order_col].to_numpy()
+        start = np.empty(len(v), dtype=bool)
+        start[0] = True
+        start[1:] = v[1:] != v[:-1]
+        idx = np.flatnonzero(start)
+        out = pd.DataFrame(
+            {
+                value_col: v[idx],
+                start_col: oid[idx],
+                "valid_from": ts[idx],
+                "valid_to": np.append(ts[idx[1:]], np.datetime64("NaT")),
+            }
+        )
+        for k in key_list:
+            out[k] = g[k].iloc[0]
+        return out[key_list + [value_col, start_col, "valid_from", "valid_to"]]
+
+    return events.groupby(key_list).map_groups(_runs, batch_format="pandas")
