@@ -5165,6 +5165,99 @@ def _lineitem_copurchase(sf_dir: str):
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+# fifteenth wave: ABC/Pareto classification, ratio-to-parent shares
+def _orders_abc(sf_dir: str):
+    """ABC classification of customers by order revenue
+    (stages/skew.abc_classification): integer cents, inclusive cumulative
+    share in (revenue desc, custkey) order via a value-range-bucketed
+    distributed prefix sum — NO global sort; classification is all
+    integer comparisons (cum·100 vs pct·total)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.skew import abc_classification
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "cents": pc.floor(
+                    pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)
+                ).cast(pa.int64()),
+            }
+        )
+
+    out = abc_classification(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        key_cols=["custkey"],
+        value_col="cents",
+    )
+    return out.to_pandas().sort_values("custkey").reset_index(drop=True)
+
+
+def _nation_revenue_share(sf_dir: str):
+    """Ratio-to-parent rollup: each nation's share of its region's order
+    revenue. Orders pre-aggregate per custkey (combiner) BEFORE the one
+    bucketed join to the customer dimension; the tiny nation/region
+    tables broadcast as lookup dicts; the share is the literal double
+    division mirrored in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    import ray as _ray
+    from decisions_knowledge_graph_data_ray.stages.joins import hash_bucket_join
+    from decisions_knowledge_graph_data_ray.stages.skew import combiner_aggregate
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pc.floor(
+                    pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)
+                ).cast(pa.int64()),
+            }
+        )
+
+    per_cust = combiner_aggregate(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"cents": ("sum", "cents")},
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nation = hash_bucket_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey",
+        output_columns=["c_nationkey", "cents"],
+    )
+    per_nation = (
+        with_nation.groupby("c_nationkey").aggregate(Sum("cents", alias_name="cents"))
+    ).to_pandas()
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    df = per_nation.merge(
+        nation[["n_nationkey", "n_name", "n_regionkey"]],
+        left_on="c_nationkey", right_on="n_nationkey",
+    ).merge(region[["r_regionkey", "r_name"]], left_on="n_regionkey", right_on="r_regionkey")
+    reg_tot = df.groupby("r_name")["cents"].transform("sum")
+    df["revenue_cents"] = df["cents"].astype("int64")
+    df["share"] = df["cents"].astype("float64") / reg_tot.astype("float64")
+    out = df[["r_name", "n_name", "revenue_cents", "share"]]
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5314,6 +5407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _kg_clustering,
         "events_scd2": _events_scd2,
         "lineitem_copurchase": _lineitem_copurchase,
+        "orders_abc": _orders_abc,
+        "nation_revenue_share": _nation_revenue_share,
     }
 
 
@@ -7347,5 +7442,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lt a JOIN lt b ON a.o = b.o AND a.t < b.t
             GROUP BY type_a, type_b
             ORDER BY type_a, type_b
+        """,
+        "orders_abc": """
+            WITH rev AS (
+                SELECT o_custkey AS custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), c AS (
+                SELECT custkey, cents,
+                       sum(cents) OVER (ORDER BY cents DESC, custkey) AS cum,
+                       sum(cents) OVER () AS total
+                FROM rev
+            )
+            SELECT custkey, cents,
+                   CAST(cum AS BIGINT) AS cum_value,
+                   CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                        WHEN cum * 100 <= 95 * total THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c ORDER BY custkey
+        """,
+        "nation_revenue_share": """
+            WITH per_nation AS (
+                SELECT c.c_nationkey,
+                       CAST(sum(CAST(floor(o.o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_nationkey
+            ), named AS (
+                SELECT r.r_name, n.n_name, p.cents
+                FROM per_nation p
+                JOIN nation n ON n.n_nationkey = p.c_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+            )
+            SELECT r_name, n_name, cents AS revenue_cents,
+                   CAST(cents AS DOUBLE)
+                     / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+            FROM named ORDER BY r_name, n_name
         """,
     }

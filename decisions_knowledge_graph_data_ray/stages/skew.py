@@ -330,3 +330,75 @@ def group_mode(
         return pd.DataFrame(row)
 
     return counts.groupby(key_cols).map_groups(_pick, batch_format="pandas")
+
+
+def abc_classification(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+    bucket_width: int = 1 << 20,
+) -> ray.data.Dataset:
+    """ABC / Pareto classification: per-key integer totals ranked by
+    (value desc, key asc) and classified by INCLUSIVE cumulative share —
+    'A' while cum·100 ≤ a_pct·total, 'B' while ≤ b_pct·total, else 'C'
+    (all integer arithmetic — no float ranks). The 80/20 curation cut a
+    data pipeline runs on contributors, sources, or domains.
+
+    Distributed-scan shape (the pack_sequences discipline — NO global
+    sort): per-key totals via :func:`combiner_aggregate`; keys bucket by
+    VALUE RANGE (``bucket = value // bucket_width``, equal values can
+    never straddle a bucket), per-bucket sums collect to a driver-side
+    carry table bounded by |value range|/bucket_width; the within-bucket
+    inclusive cumsum + classification runs per bucket in one cogroup.
+
+    Output: ``(key..., value, cum_value, abc_class)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    totals = combiner_aggregate(ds, key_cols, {"__v": ("sum", value_col)})
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["__v"], dtype=np.int64) // bucket_width
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+    bucketed = totals.map_batches(_with_bucket, batch_format="pyarrow").materialize()
+
+    def _bsum(batch: pa.Table) -> pa.Table:
+        df = batch.select(["__bucket", "__v"]).to_pandas()
+        g = df.groupby("__bucket", as_index=False)["__v"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    btab = (
+        bucketed.map_batches(_bsum, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("__v", alias_name="__v"))
+        .to_pandas()
+    )
+    # value-descending scan order == bucket-descending order
+    btab = btab.sort_values("__bucket", ascending=False).reset_index(drop=True)
+    grand = int(btab["__v"].sum())
+    offs = btab["__v"].cumsum().shift(fill_value=0).astype("int64")
+    carry = dict(zip(btab["__bucket"].astype(int), offs))
+    carry_ref = ray.put(carry)
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        c = _ray.get(carry_ref)
+        g = g.sort_values(["__v"] + key_cols, ascending=[False] + [True] * len(key_cols))
+        cum = int(c.get(int(g["__bucket"].iloc[0]), 0)) + g["__v"].cumsum()
+        cls = np.where(
+            cum * 100 <= a_pct * grand, "A",
+            np.where(cum * 100 <= b_pct * grand, "B", "C"),
+        )
+        out = g[key_cols].copy()
+        out[value_col] = g["__v"].to_numpy()
+        out["cum_value"] = cum.to_numpy()
+        out["abc_class"] = cls
+        return out
+
+    return bucketed.groupby("__bucket").map_groups(_classify, batch_format="pandas")
