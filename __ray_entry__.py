@@ -5258,6 +5258,128 @@ def _nation_revenue_share(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+# sixteenth wave: multi-source BFS closeness
+def _kg_closeness(sf_dir: str):
+    """Harmonic closeness of the top-5 cited decisions over the
+    co-citation graph: ONE multi-source BFS (stages/graph.k_hop_multi —
+    the frontier carries (seed, node) pairs, so each hop is a constant
+    number of distributed joins regardless of seed count; node sets never
+    land on the driver), then per seed ``Σ_h n_h/h`` folded in hop order
+    (≤ 5 seeds × 6 hops double terms — the only driver-side values are
+    the per-(seed, hop) counts). Output: ``(seed, n_reached, harmonic)``."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        distinct_pairs,
+        k_hop_multi,
+        symmetrize,
+    )
+    from ray.data.aggregate import Sum
+
+    edges = distinct_pairs(
+        citation_edges(_extractions_for(sf_dir)), ["conv_id", "ecli"]
+    )
+
+    # seed pick: top-5 by distinct citing documents (count desc, ecli asc) —
+    # partial-top-k per block before the driver pick
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["ecli"]), "ecli").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["ecli", "n"])
+
+    counts = (
+        edges.map_batches(_cnt_partial, batch_format="pyarrow")
+        .groupby("ecli")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _top5(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["n", "ecli"], ascending=[False, True]).head(5)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(_top5, batch_format="pyarrow").to_pandas()
+    seeds = (
+        cand.sort_values(["n", "ecli"], ascending=[False, True]).head(5)["ecli"].tolist()
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    ).select_columns(["src", "dst"])
+    sym = symmetrize(pairs).materialize()  # re-read every hop
+
+    vis = k_hop_multi(sym, seeds, k=6, src_col="src", dst_col="dst")
+
+    def _hop_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["seed", "hop"]), ["seed", "hop"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["seed", "hop", "n"])
+
+    per_hop = (
+        vis.map_batches(_hop_partial, batch_format="pyarrow")
+        .groupby(["seed", "hop"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    per_hop = per_hop[per_hop["hop"] > 0]
+
+    rows = []
+    for seed in sorted(seeds):
+        mine = per_hop[per_hop["seed"] == seed].sort_values("hop")
+        harmonic = 0.0
+        for _, r in mine.iterrows():
+            harmonic = harmonic + float(r["n"]) / float(r["hop"])
+        rows.append(
+            {"seed": seed, "n_reached": int(mine["n"].sum()), "harmonic": harmonic}
+        )
+    return pd.DataFrame(rows, columns=["seed", "n_reached", "harmonic"])
+
+
+def _kg_closeness_sql() -> str:
+    p = _citations_parts()
+    return (
+        "WITH RECURSIVE " + p["ctes"] + """
+        , e0 AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), cnt AS (
+            SELECT ecli, count(*) AS n FROM e0 GROUP BY ecli
+        ), seeds AS MATERIALIZED (
+            SELECT ecli FROM cnt ORDER BY n DESC, ecli LIMIT 5
+        ), dp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM e0 a JOIN e0 b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        ), sym AS MATERIALIZED (
+            SELECT s, d FROM dp UNION ALL SELECT d AS s, s AS d FROM dp
+        ), bfs(seed, node, hop) AS (
+            SELECT ecli, ecli, 0 FROM seeds
+            UNION
+            SELECT b.seed, e.d, b.hop + 1
+            FROM bfs b JOIN sym e ON e.s = b.node
+            WHERE b.hop < 6
+        ), minhop AS (
+            SELECT seed, node, min(hop) AS hop FROM bfs GROUP BY seed, node
+        ), perhop AS (
+            SELECT seed, hop, count(*) AS n
+            FROM minhop WHERE hop > 0 GROUP BY seed, hop
+        ), l AS (
+            SELECT seed,
+                   list(CAST(n AS DOUBLE) / CAST(hop AS DOUBLE) ORDER BY hop) AS ts,
+                   CAST(sum(n) AS BIGINT) AS n_reached
+            FROM perhop GROUP BY seed
+        )
+        SELECT s.ecli AS seed,
+               coalesce(l.n_reached, 0) AS n_reached,
+               coalesce(list_reduce(l.ts, (a, b) -> a + b), 0.0::DOUBLE) AS harmonic
+        FROM seeds s LEFT JOIN l ON l.seed = s.ecli
+        ORDER BY seed
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5409,6 +5531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_copurchase": _lineitem_copurchase,
         "orders_abc": _orders_abc,
         "nation_revenue_share": _nation_revenue_share,
+        "kg_closeness": _kg_closeness,
     }
 
 
@@ -7480,4 +7603,5 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share
             FROM named ORDER BY r_name, n_name
         """,
+        "kg_closeness": _kg_closeness_sql(),
     }

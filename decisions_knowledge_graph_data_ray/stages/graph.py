@@ -214,6 +214,101 @@ def k_hop(
     return visited
 
 
+def k_hop_multi(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Multi-source min-hop BFS → (seed, node, hop): like ``k_hop`` but ONE
+    frontier carries every seed's expansion as (seed, node) rows, so each
+    hop costs a constant number of distributed joins regardless of seed
+    count (len(seeds) separate k_hop runs would serialize len(seeds)·k
+    barrier joins). Min-hop semantics hold per (seed, node): a pair enters
+    visited at the first hop it appears, and the per-hop anti-join keys on
+    the composite seed||0x1f||node."""
+    edge_schema = pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)])
+    pair_schema = pa.schema([("seed", _NODE_T), ("node", _NODE_T)])
+
+    uniq = sorted(set(seeds))
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "seed": pa.array(uniq, _NODE_T),
+                "node": pa.array(uniq, _NODE_T),
+                "hop": pa.array([0] * len(uniq), pa.int32()),
+            }
+        )
+    )
+    frontier = visited
+
+    def _compkey(seed_col, node_col):
+        return pc.binary_join_element_wise(seed_col, node_col, "\x1f")
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select(["seed", "node"]), ["seed", "node"]).aggregate([])
+        out = out.rename_columns(["seed", "node"])
+        return out.append_column("pid", bucket_ids(_compkey(out["seed"], out["node"]), num_buckets))
+
+    def _group_distinct(g: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(g.select(["seed", "node"]), ["seed", "node"]).aggregate([])
+
+    def _with_key(b: pa.Table) -> pa.Table:
+        return b.append_column("ck", _compkey(b["seed"], b["node"]))
+
+    def _vis_key(b: pa.Table) -> pa.Table:
+        return pa.table({"ck": _compkey(b["seed"], b["node"])})
+
+    cand_schema = pa.schema([("seed", _NODE_T), ("node", _NODE_T), ("ck", _NODE_T)])
+    key_schema = pa.schema([("ck", _NODE_T)])
+
+    for hop in range(1, k + 1):
+        # expand: edges whose src is in the frontier → (seed, dst) pairs
+        reached = hash_bucket_join(
+            edges.select_columns([src_col, dst_col]),
+            frontier.select_columns(["seed", "node"]),
+            on=src_col,
+            right_on="node",
+            output_columns=["seed", dst_col],
+            how="inner",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=pair_schema,
+        ).map_batches(
+            lambda b: b.rename_columns(["seed", "node"]), batch_format="pyarrow"
+        )
+
+        # distinct (seed, node): per-batch combiner, then pid-cogroup distinct
+        candidates = (
+            reached.map_batches(_distinct, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(_group_distinct, batch_format="pyarrow")
+        )
+
+        new = hash_bucket_join(
+            candidates.map_batches(_with_key, batch_format="pyarrow"),
+            visited.map_batches(_vis_key, batch_format="pyarrow"),
+            on="ck",
+            output_columns=["seed", "node"],
+            how="left_anti",
+            num_buckets=num_buckets,
+            left_schema=cand_schema,
+            right_schema=key_schema,
+        ).map_batches(
+            lambda b, h=hop: b.append_column("hop", pa.array([h] * b.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+        # BFS barrier: hop h+1 expands from COMPLETE hop h
+        new = new.materialize()
+        if new.count() == 0:
+            break
+        frontier = new
+        visited = visited.union(new).materialize()
+    return visited
+
+
 def symmetrize(pairs: ray.data.Dataset, src_col: str = "src", dst_col: str = "dst") -> ray.data.Dataset:
     """Unordered pairs → both directed edges (undirected-graph view)."""
 

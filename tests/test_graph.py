@@ -113,6 +113,39 @@ def test_k_hop_undirected_via_symmetrize(ray_session):
     assert dict(zip(got["node"], got["hop"])) == {"Z": 0, "Y": 1, "X": 2}
 
 
+def test_k_hop_multi_matches_per_seed_k_hop(ray_session):
+    # one multi-source BFS must equal len(seeds) independent k_hop runs
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import k_hop, k_hop_multi
+
+    pairs = [
+        ("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"),
+        ("E", "A"), ("F", "G"),  # F/G: a separate component
+    ]
+    edges = rd.from_items([{"src": s, "dst": d} for s, d in pairs])
+    seeds = ["A", "D", "F"]
+    got = k_hop_multi(edges, seeds, k=3).to_pandas()
+    for seed in seeds:
+        want = k_hop(edges, [seed], k=3).to_pandas()
+        mine = got[got["seed"] == seed]
+        assert dict(zip(mine["node"], mine["hop"])) == dict(zip(want["node"], want["hop"])), seed
+
+
+def test_k_hop_multi_duplicate_and_unreachable_seeds(ray_session):
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.graph import k_hop_multi
+
+    edges = rd.from_items([{"src": "A", "dst": "B"}])
+    got = k_hop_multi(edges, ["A", "A", "Z"], k=2).to_pandas()
+    a = got[got["seed"] == "A"]
+    z = got[got["seed"] == "Z"]
+    assert dict(zip(a["node"], a["hop"])) == {"A": 0, "B": 1}
+    # unreachable seed: only its own hop-0 row
+    assert dict(zip(z["node"], z["hop"])) == {"Z": 0}
+
+
 def test_citation_edges(ray_session):
     import ray.data as rd
 
