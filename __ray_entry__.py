@@ -5380,6 +5380,73 @@ def _kg_closeness_sql() -> str:
     )
 
 
+# seventeenth wave: RAKE keyphrase extraction
+def _documents_keyphrases(sf_dir: str):
+    """Corpus top-20 RAKE keyphrases (stages/text_analysis.rake_keyphrases):
+    phrases split at the fixed stopword list, word score deg/freq, phrase
+    score = ordered left fold of word scores — the surprisal float-parity
+    discipline. (score desc, phrase asc)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import rake_keyphrases
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rake_keyphrases(docs, top_k=20)
+
+
+def _documents_keyphrases_sql() -> str:
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import RAKE_STOPWORDS
+
+    stoplist = ", ".join("'" + w + "'" for w in RAKE_STOPWORDS)
+    return """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, i, ws[i] AS w
+            FROM toks, unnest(range(1, len(ws) + 1)) AS r(i)
+        ), marked AS (
+            SELECT doc_id, i, w,
+                   CASE WHEN w IN (""" + stoplist + """) THEN 1 ELSE 0 END AS stop
+            FROM tok
+        ), grp AS (
+            SELECT doc_id, i, w, stop,
+                   sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM marked
+        ), pw AS MATERIALIZED (
+            SELECT doc_id, g, i, w FROM grp WHERE stop = 0
+        ), phr AS MATERIALIZED (
+            SELECT doc_id, g, string_agg(w, ' ' ORDER BY i) AS phrase,
+                   count(*) AS plen
+            FROM pw GROUP BY doc_id, g
+        ), wstat AS MATERIALIZED (
+            SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+            FROM pw JOIN phr USING (doc_id, g) GROUP BY w
+        ), dphr AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+            FROM phr GROUP BY phrase
+        ), pwords AS (
+            SELECT d.phrase, d.n_occ, r.pos,
+                   string_split(d.phrase, ' ')[r.pos] AS w,
+                   len(string_split(d.phrase, ' ')) AS n_words
+            FROM dphr d,
+                 unnest(range(1, len(string_split(d.phrase, ' ')) + 1)) AS r(pos)
+        ), scored AS (
+            SELECT p.phrase,
+                   CAST(min(p.n_words) AS BIGINT) AS n_words,
+                   min(p.n_occ) AS n_occ,
+                   list_reduce(
+                       list(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                            ORDER BY p.pos),
+                       (a, b) -> a + b) AS score
+            FROM pwords p JOIN wstat s ON s.w = p.w
+            GROUP BY p.phrase
+        )
+        SELECT phrase, n_words, n_occ, score
+        FROM scored ORDER BY score DESC, phrase LIMIT 20
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5532,6 +5599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_abc": _orders_abc,
         "nation_revenue_share": _nation_revenue_share,
         "kg_closeness": _kg_closeness,
+        "documents_keyphrases": _documents_keyphrases,
     }
 
 
@@ -7604,4 +7672,5 @@ def oracle_sql() -> dict[str, str]:
             FROM named ORDER BY r_name, n_name
         """,
         "kg_closeness": _kg_closeness_sql(),
+        "documents_keyphrases": _documents_keyphrases_sql(),
     }

@@ -781,3 +781,127 @@ def pmi_collocations(
         ["pmi", "tok_a", "tok_b"], ascending=[False, True, True]
     ).head(top_k)
     return ray.data.from_pandas(pd.DataFrame(out.reset_index(drop=True)))
+
+
+# Minimal English stopword list for RAKE phrase delimiting. FIXED module
+# constant: the DuckDB oracle splices the SAME tuple into its IN-list, so
+# the two sides cannot drift.
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "to", "with",
+)
+
+
+def rake_keyphrases(
+    docs: ray.data.Dataset,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs of non-stopword tokens (lowercase
+    ``[a-z0-9]+``, split at :data:`RAKE_STOPWORDS`; no length cap — the
+    canonical formulation), word score = deg(w)/freq(w) where freq counts
+    occurrences in phrases and deg adds each containing phrase's length,
+    and a phrase scores the LEFT FOLD of its words' scores in phrase
+    order — bit-reproducible doubles, the unigram_surprisal
+    ``list_reduce`` discipline. Returns the corpus top-k distinct phrases
+    by (score desc, phrase asc) with occurrence counts.
+
+    Scale shape: phrase explosion is a pure map; word stats follow the
+    vocabulary combiner discipline (one partial row per distinct word per
+    batch → groupby Sum) and are collected + broadcast once via
+    ``ray.put`` (O(|non-stop vocab|), the tfidf assumption); distinct
+    phrases likewise combine per batch before ONE groupby, and the final
+    pick is partial-top-k per block before the bounded driver sort."""
+    import pandas as pd
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    stop = set(RAKE_STOPWORDS)
+
+    def _phrases(text: str) -> list[list[str]]:
+        out, cur = [], []
+        for w in _WORD_RE.findall(text.lower()):
+            if w in stop:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            out.append(cur)
+        return out
+
+    # word stats: freq = occurrences in phrases, deg = Σ len(phrase)
+    def _wstat_partial(batch: pa.Table) -> pa.Table:
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            for ph in _phrases(t):
+                n = len(ph)
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += n
+        words = list(freq)
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "freq": pa.array([freq[w] for w in words], pa.int64()),
+                "deg": pa.array([deg[w] for w in words], pa.int64()),
+            }
+        )
+
+    wstats = (
+        docs.map_batches(_wstat_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("freq", alias_name="freq"), Sum("deg", alias_name="deg"))
+    )
+    wscore: dict = {}
+    for blk in wstats.iter_batches(batch_format="pyarrow", batch_size=None):
+        for w, f, d in zip(blk["w"].to_pylist(), blk["freq"].to_pylist(), blk["deg"].to_pylist()):
+            wscore[w] = float(d) / float(f)
+    score_ref = ray.put(wscore)
+
+    # distinct phrases + occurrence counts (combiner → ONE groupby)
+    def _phr_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            for ph in _phrases(t):
+                c[" ".join(ph)] += 1
+        phrases = list(c)
+        return pa.table(
+            {
+                "phrase": pa.array(phrases, pa.string()),
+                "n_occ": pa.array([c[p] for p in phrases], pa.int64()),
+            }
+        )
+
+    phr = (
+        docs.map_batches(_phr_partial, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+
+    def _score_topk(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        sc = broadcast_cache(score_ref)
+        rows = []
+        for phrase, n_occ in zip(batch["phrase"].to_pylist(), batch["n_occ"].to_pylist()):
+            words = phrase.split(" ")
+            s = 0.0
+            for w in words:  # left fold — the oracle's list_reduce twin
+                s = s + sc[w]
+            rows.append((phrase, len(words), n_occ, s))
+        df = pd.DataFrame(rows, columns=["phrase", "n_words", "n_occ", "score"])
+        df = df.sort_values(["score", "phrase"], ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = phr.map_batches(_score_topk, batch_format="pyarrow").to_pandas()
+    return (
+        out.sort_values(["score", "phrase"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
