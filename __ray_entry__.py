@@ -5447,6 +5447,69 @@ def _documents_keyphrases_sql() -> str:
     """
 
 
+# eighteenth wave: TextRank keywords via the engine's pagerank primitive
+def _documents_textrank(sf_dir: str):
+    """TextRank keyword scores (stages/text_analysis.textrank_words):
+    window-2 co-occurrence graph over stopword-filtered tokens, scored by
+    the SAME fixed-10-iteration pagerank stage the citation graph uses.
+    All words as (node, score), ordered by node."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import textrank_words
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textrank_words(docs, window=2, iterations=10)
+
+
+def _documents_textrank_sql(iterations: int = 10) -> str:
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import RAKE_STOPWORDS
+
+    stoplist = ", ".join("'" + w + "'" for w in RAKE_STOPWORDS)
+    d = "CAST(0.85 AS DOUBLE)"
+    base = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
+    parts = [
+        """toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        )""",
+        """tok AS (
+            SELECT doc_id, i, ws[i] AS w
+            FROM toks, unnest(range(1, len(ws) + 1)) AS r(i)
+        )""",
+        """f AS MATERIALIZED (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+            FROM tok WHERE w NOT IN (""" + stoplist + """)
+        )""",
+        """pr AS MATERIALIZED (
+            SELECT DISTINCT least(a.w, b.w) AS s, greatest(a.w, b.w) AS d
+            FROM f a JOIN f b
+              ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+             AND a.w <> b.w
+        )""",
+        "ed AS MATERIALIZED (SELECT s AS a, d AS b FROM pr UNION ALL SELECT d, s FROM pr)",
+        "dg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg FROM ed GROUP BY a)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM dg)",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS score FROM dg)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+            SELECT e.b AS node,
+                   {base} + {d} * SUM(r.score / dg.deg) AS score
+            FROM ed e
+            JOIN r{i} r ON e.a = r.node
+            JOIN dg ON dg.node = e.a
+            GROUP BY e.b
+        )"""
+        )
+    return (
+        "WITH " + ", ".join(parts) + f"""
+        SELECT node, score FROM r{iterations} ORDER BY node
+    """
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5600,6 +5663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": _nation_revenue_share,
         "kg_closeness": _kg_closeness,
         "documents_keyphrases": _documents_keyphrases,
+        "documents_textrank": _documents_textrank,
     }
 
 
@@ -7673,4 +7737,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_closeness": _kg_closeness_sql(),
         "documents_keyphrases": _documents_keyphrases_sql(),
+        "documents_textrank": _documents_textrank_sql(),
     }

@@ -905,3 +905,57 @@ def rake_keyphrases(
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+def textrank_words(
+    docs: ray.data.Dataset,
+    window: int = 2,
+    iterations: int = 10,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): an UNWEIGHTED
+    undirected co-occurrence graph over non-stopword tokens (pairs within
+    ``window`` positions of the stopword-FILTERED sequence, self-pairs
+    dropped), scored by the engine's own fixed-iteration
+    :func:`..stages.graph.pagerank` — the operator-reuse story: the same
+    power-iteration primitive serving the citation graph serves keyword
+    extraction. Returns ALL scored words as (node, score) ordered by
+    node (the kg_pagerank discipline — no float-threshold top-k, and the
+    unique string key sorts before the double).
+
+    Scale shape: pair emission is a per-batch combiner (set-dedup before
+    anything shuffles) → distinct_pairs pid-cogroup; the PageRank
+    iterations are bounded hash joins + combiner-first sums over a graph
+    whose node count is the corpus VOCABULARY, not the corpus."""
+    import pandas as pd
+
+    from .graph import distinct_pairs, pagerank, symmetrize
+
+    stop = set(RAKE_STOPWORDS)
+
+    def _pairs_partial(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        for t in batch[text_col].to_pylist():
+            ws = [w for w in _WORD_RE.findall(t.lower()) if w not in stop]
+            n = len(ws)
+            for i in range(n):
+                for j in range(i + 1, min(i + window, n - 1) + 1):
+                    a, b = ws[i], ws[j]
+                    if a == b:
+                        continue
+                    seen.add((a, b) if a < b else (b, a))
+        src = [p[0] for p in seen]
+        dst = [p[1] for p in seen]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    pairs = distinct_pairs(
+        docs.map_batches(_pairs_partial, batch_format="pyarrow"), ["src", "dst"]
+    )
+    edges = symmetrize(pairs).materialize()  # re-read every iteration
+    out = pagerank(edges, iterations=iterations).to_pandas()
+    # keep the "node" column name: the oracle gate sorts rows on
+    # alphabetically-ordered columns, and (node, score) puts the UNIQUE
+    # string key first — (score, word) would order on ULP-noisy doubles
+    return out.sort_values("node").reset_index(drop=True)

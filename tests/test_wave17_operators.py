@@ -92,3 +92,39 @@ def test_rake_fold_order_matches_python_sum(ray_session):
     got = dict(zip(out["phrase"], out["score"]))
     assert got == {k: expect[k] for k in got}
     assert dict(zip(out["phrase"], out["n_occ"])) == {k: occ[k] for k in got}
+
+
+def test_textrank_matches_numpy_power_iteration(ray_session):
+    # window=1 path graph aa-bb-cc-dd; replicate the exact iteration in numpy
+    import numpy as np
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import textrank_words
+
+    docs = rd.from_items([{"doc_id": 1, "text": "aa bb cc dd"}])
+    out = textrank_words(docs, window=1, iterations=10)
+    words = list(out["node"])
+    assert words == ["aa", "bb", "cc", "dd"]
+
+    adj = {"aa": ["bb"], "bb": ["aa", "cc"], "cc": ["bb", "dd"], "dd": ["cc"]}
+    deg = {w: len(ns) for w, ns in adj.items()}
+    n = 4
+    score = {w: 1.0 / n for w in words}
+    for _ in range(10):
+        score = {
+            w: (1.0 - 0.85) / n + 0.85 * sum(score[u] / deg[u] for u in adj[w])
+            for w in words
+        }
+    got = dict(zip(out["node"], out["score"]))
+    for w in words:
+        assert abs(got[w] - score[w]) < 1e-12, w
+
+
+def test_textrank_window_skips_stopwords(ray_session):
+    # "red the green": the filtered sequence is adjacent, so the edge exists
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import textrank_words
+
+    docs = rd.from_items([{"doc_id": 1, "text": "red the green"}])
+    out = textrank_words(docs, window=1, iterations=10)
+    assert list(out["node"]) == ["green", "red"]
+    # 2-node symmetric graph: equal scores
+    assert abs(out["score"].iloc[0] - out["score"].iloc[1]) < 1e-15
