@@ -5510,6 +5510,144 @@ def _documents_textrank_sql(iterations: int = 10) -> str:
     )
 
 
+# nineteenth wave: chi-square independence (categorical drift QA)
+def _events_chi2(sf_dir: str):
+    """Pearson chi-square independence of event_type × hour-of-day
+    (stages/diagnostics.chi_square_independence): combiner-first cell
+    counts, full-grid (O-E)^2/E left-folded in sorted cell order, plus
+    Cramér's V. One row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        chi_square_independence,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.hour(batch["ts"]).cast(pa.int64()),
+            }
+        )
+
+    return chi_square_independence(
+        ev.map_batches(_hour, batch_format="pyarrow"), "event_type", "hour"
+    )
+
+
+def _events_chi2_sql() -> str:
+    e = (
+        "CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)"
+        " / CAST((SELECT n FROM nn) AS DOUBLE)"
+    )
+    return """
+        WITH c AS MATERIALIZED (
+            SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), rt AS (
+            SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY a
+        ), ct AS (
+            SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY b
+        ), nn AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n FROM c
+        ), grid AS (
+            SELECT rt.a, ct.b, rt.rt, ct.ct, coalesce(c.o, 0) AS o
+            FROM rt CROSS JOIN ct
+            LEFT JOIN c ON c.a = rt.a AND c.b = ct.b
+        ), terms AS (
+            SELECT g.a, g.b,
+                   ((CAST(g.o AS DOUBLE) - """ + e + """)
+                    * (CAST(g.o AS DOUBLE) - """ + e + """))
+                   / (""" + e + """) AS term
+            FROM grid g
+        ), agg AS (
+            SELECT list_reduce(list(term ORDER BY a, b), (x, y) -> x + y) AS chi2
+            FROM terms
+        ), dims AS (
+            SELECT (SELECT count(*) FROM rt) AS ra,
+                   (SELECT count(*) FROM ct) AS cb
+        )
+        SELECT (SELECT n FROM nn) AS n,
+               CAST(d.ra AS BIGINT) AS n_rows_a,
+               CAST(d.cb AS BIGINT) AS n_cols_b,
+               CAST((d.ra - 1) * (d.cb - 1) AS BIGINT) AS dof,
+               a.chi2 AS chi2,
+               CASE WHEN least(d.ra - 1, d.cb - 1) > 0 THEN
+                   sqrt(a.chi2 / (CAST((SELECT n FROM nn) AS DOUBLE)
+                                  * CAST(least(d.ra - 1, d.cb - 1) AS DOUBLE)))
+               ELSE 0.0::DOUBLE END AS cramers_v
+        FROM agg a, dims d
+    """
+
+
+def _documents_cdc_chunks(sf_dir: str):
+    """Content-defined chunk boundaries (stages/prep.cdc_chunks): rolling
+    polynomial hash, cut where the low 6 bits vanish; (doc_id, chunk_idx,
+    start, length, chunk_md5), ordered by (doc_id, chunk_idx)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import cdc_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        cdc_chunks(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_cdc_chunks_sql() -> str:
+    from decisions_knowledge_graph_data_ray.stages.prep import (
+        CDC_BASE,
+        CDC_MASK_BITS,
+        CDC_WINDOW,
+    )
+
+    mod = 1 << 32
+    pows = [pow(CDC_BASE, k, mod) for k in range(CDC_WINDOW)]
+    hsum = " + ".join(
+        "unicode(substr(text, i - " + str(k) + ", 1))::HUGEINT * "
+        + str(pows[k]) + "::HUGEINT"
+        for k in range(CDC_WINDOW)
+    )
+    return """
+        WITH pos AS (
+            SELECT doc_id, text, len(text) AS L, r.i,
+                   (""" + hsum + """) % 4294967296 AS h
+            FROM documents, unnest(range(""" + str(CDC_WINDOW) + """, len(text) + 1)) AS r(i)
+        ), cuts AS (
+            SELECT doc_id, i FROM pos
+            WHERE (h % """ + str(1 << CDC_MASK_BITS) + """) = 0 AND i < L
+        ), cl AS (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+            FROM cuts
+        ), bounds AS (
+            SELECT doc_id, 0 AS cut_pos, 0 AS rn FROM documents
+            UNION ALL
+            SELECT doc_id, i AS cut_pos, rn FROM cl
+        ), segs AS (
+            SELECT b.doc_id,
+                   CAST(b.rn AS BIGINT) AS chunk_idx,
+                   CAST(b.cut_pos + 1 AS BIGINT) AS start,
+                   CAST(coalesce(lead(b.cut_pos) OVER (PARTITION BY b.doc_id ORDER BY b.rn),
+                                 dl.L) - b.cut_pos AS BIGINT) AS length
+            FROM bounds b
+            JOIN (SELECT doc_id, len(text) AS L FROM documents) dl USING (doc_id)
+        )
+        SELECT s.doc_id, s.chunk_idx, s.start, s.length,
+               md5(substr(d.text, CAST(s.start AS INTEGER), CAST(s.length AS INTEGER))) AS chunk_md5
+        FROM segs s JOIN documents d USING (doc_id)
+        ORDER BY s.doc_id, s.chunk_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5664,6 +5802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _kg_closeness,
         "documents_keyphrases": _documents_keyphrases,
         "documents_textrank": _documents_textrank,
+        "events_chi2": _events_chi2,
+        "documents_cdc_chunks": _documents_cdc_chunks,
     }
 
 
@@ -7738,4 +7878,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": _kg_closeness_sql(),
         "documents_keyphrases": _documents_keyphrases_sql(),
         "documents_textrank": _documents_textrank_sql(),
+        "events_chi2": _events_chi2_sql(),
+        "documents_cdc_chunks": _documents_cdc_chunks_sql(),
     }

@@ -758,3 +758,71 @@ def zscore_outliers(
         )
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def chi_square_independence(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> "pd.DataFrame":
+    """Pearson chi-square test of independence between two categorical
+    columns — the data-QA check behind "is event mix stable across hours /
+    segments / shards" (the categorical cousin of the PSI drift monitor).
+    Returns ONE row: (n, n_rows_a, n_cols_b, dof, chi2, cramers_v).
+
+    chi2 sums ``(O-E)^2/E`` over the FULL contingency grid (observed
+    margins × observed margins, zero cells included) as a LEFT FOLD in
+    sorted (a, b) cell order — bit-reproducible doubles, the surprisal
+    ``list_reduce`` discipline; E is computed with the identical
+    expression tree (``rt·ct/n``) on both sides. Cramér's V is
+    ``sqrt(chi2 / (n · min(r-1, c-1)))``.
+
+    Scale shape: cell counts follow the combiner discipline (one partial
+    row per distinct (a, b) per batch → groupby Sum); only the bounded
+    |a|·|b| cell table ever reaches the driver."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([col_a, col_b]), [col_a, col_b]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["a", "b", "o"])
+
+    cells = (
+        ds.map_batches(_cnt_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    obs = {(a, b): int(o) for a, b, o in zip(cells["a"], cells["b"], cells["o"])}
+    avals = sorted(set(a for a, _ in obs))
+    bvals = sorted(set(b for _, b in obs))
+    rt = {a: sum(o for (x, _), o in obs.items() if x == a) for a in avals}
+    ct = {b: sum(o for (_, y), o in obs.items() if y == b) for b in bvals}
+    n = sum(obs.values())
+
+    chi2 = 0.0
+    for a in avals:  # left fold in sorted (a, b) order — the oracle's twin
+        for b in bvals:
+            e = float(rt[a]) * float(ct[b]) / float(n)
+            t = float(obs.get((a, b), 0)) - e
+            chi2 = chi2 + (t * t) / e
+    dof = (len(avals) - 1) * (len(bvals) - 1)
+    denom = min(len(avals) - 1, len(bvals) - 1)
+    v = math.sqrt(chi2 / (float(n) * float(denom))) if denom > 0 else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n": n,
+                "n_rows_a": len(avals),
+                "n_cols_b": len(bvals),
+                "dof": dof,
+                "chi2": chi2,
+                "cramers_v": v,
+            }
+        ]
+    )

@@ -745,3 +745,73 @@ def bpe_train_merges(
         vocab = vocab.map_batches(_apply, batch_format="pyarrow").materialize()
 
     return merges
+
+
+# Content-defined chunking constants — FIXED so the DuckDB oracle splices
+# the same values: polynomial base, window width, boundary mask bits.
+CDC_BASE = 257
+CDC_WINDOW = 16
+CDC_MASK_BITS = 6  # expected chunk length 2^6 = 64 chars
+
+
+def cdc_chunks(
+    docs: ray.data.Dataset,
+    window: int = CDC_WINDOW,
+    mask_bits: int = CDC_MASK_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Content-defined chunking (the Rabin/FastCDC family): cut a document
+    AFTER character position i when the rolling polynomial hash of the
+    last ``window`` code points — ``Σ cp[i-k]·BASE^k mod 2^32`` — has its
+    low ``mask_bits`` bits zero. Boundaries depend only on LOCAL content,
+    so an insertion early in a document shifts at most one chunk instead
+    of re-aligning every fixed-width window — the property that makes CDC
+    the dedup-friendly chunker (backup dedup, diff transfer, and
+    chunk-hash-level corpus dedup all rest on it).
+
+    Output: one row per chunk — ``(doc_id, chunk_idx, start, length,
+    chunk_md5)`` with 1-based character offsets and the md5 hex of the
+    chunk text (the join key a chunk-level dedup would bucket on). A
+    document shorter than ``window`` is one chunk. Pure map — zero
+    shuffles; the hash window is vectorized numpy (``window`` fused
+    multiply-adds over the code-point array, not a per-position loop)."""
+    import numpy as np
+
+    mask = (1 << mask_bits) - 1
+    mod = 1 << 32
+    pows = [pow(CDC_BASE, k, mod) for k in range(window)]
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        rows: dict = {"doc_id": [], "chunk_idx": [], "start": [], "length": [], "chunk_md5": []}
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            L = len(text)
+            cuts: list[int] = []
+            if L >= window:
+                cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+                acc = np.zeros(L - window + 1, dtype=np.uint64)
+                for k in range(window):
+                    # window END positions e = window-1 .. L-1 (0-based)
+                    acc = (acc + cps[window - 1 - k : L - k] * pows[k]) % mod
+                ends = np.nonzero((acc & mask) == 0)[0] + window  # 1-based i
+                cuts = [int(i) for i in ends if i < L]
+            starts = [1] + [c + 1 for c in cuts]
+            stops = cuts + [L]
+            for idx, (s, e) in enumerate(zip(starts, stops)):
+                seg = text[s - 1 : e]
+                rows["doc_id"].append(did)
+                rows["chunk_idx"].append(idx)
+                rows["start"].append(s)
+                rows["length"].append(e - s + 1)
+                rows["chunk_md5"].append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], batch[id_col].type),
+                "chunk_idx": pa.array(rows["chunk_idx"], pa.int64()),
+                "start": pa.array(rows["start"], pa.int64()),
+                "length": pa.array(rows["length"], pa.int64()),
+                "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
+            }
+        )
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")

@@ -128,3 +128,91 @@ def test_textrank_window_skips_stopwords(ray_session):
     assert list(out["node"]) == ["green", "red"]
     # 2-node symmetric graph: equal scores
     assert abs(out["score"].iloc[0] - out["score"].iloc[1]) < 1e-15
+
+
+def test_chi2_hand_computed(ray_session):
+    # 2x2: O = [[10, 20], [20, 10]]; E = 15 everywhere
+    # chi2 = 4 * 25/15 = 100/15; V = sqrt((100/15)/60) = 1/3
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        chi_square_independence,
+    )
+
+    items = (
+        [{"a": "a1", "b": 1}] * 10
+        + [{"a": "a1", "b": 2}] * 20
+        + [{"a": "a2", "b": 1}] * 20
+        + [{"a": "a2", "b": 2}] * 10
+    )
+    out = chi_square_independence(rd.from_items(items), "a", "b")
+    r = out.iloc[0]
+    assert r["n"] == 60 and r["dof"] == 1
+    assert abs(r["chi2"] - 100.0 / 15.0) < 1e-12
+    assert abs(r["cramers_v"] - 1.0 / 3.0) < 1e-12
+
+
+def test_chi2_zero_cells_included(ray_session):
+    # a2 never occurs with b2: the zero cell still contributes E
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        chi_square_independence,
+    )
+
+    items = (
+        [{"a": "a1", "b": 1}] * 5
+        + [{"a": "a1", "b": 2}] * 5
+        + [{"a": "a2", "b": 1}] * 5
+    )
+    out = chi_square_independence(rd.from_items(items), "a", "b")
+    r = out.iloc[0]
+    # hand fold: rt a1=10 a2=5; ct b1=10 b2=5; n=15
+    exp = 0.0
+    obs = {("a1", 1): 5, ("a1", 2): 5, ("a2", 1): 5}
+    rt = {"a1": 10, "a2": 5}
+    ct = {1: 10, 2: 5}
+    for a in ["a1", "a2"]:
+        for b in [1, 2]:
+            e = rt[a] * ct[b] / 15.0
+            t = obs.get((a, b), 0) - e
+            exp = exp + t * t / e
+    assert abs(r["chi2"] - exp) < 1e-12
+
+
+def _cdc_md5s(texts):
+    from decisions_knowledge_graph_data_ray.stages.prep import cdc_chunks
+
+    docs = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    df = cdc_chunks(docs).to_pandas()
+    return {
+        i: list(g.sort_values("chunk_idx")["chunk_md5"])
+        for i, g in df.groupby("doc_id")
+    }
+
+
+def test_cdc_boundary_locality(ray_session):
+    # THE content-defined property: a prefix insertion disturbs only the
+    # first chunk(s); later boundaries re-synchronize
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(f"cdc-{i}".encode()).hexdigest() for i in range(80)
+    )  # 2560 deterministic chars
+    shifted = "PREFIX-INSERTION!" + base
+    md5s = _cdc_md5s([base, shifted])
+    common = set(md5s[0]) & set(md5s[1])
+    assert len(md5s[0]) > 10  # enough chunks for the property to bite
+    assert len(common) >= len(md5s[0]) - 3
+
+
+def test_cdc_short_and_exact_cover(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.prep import cdc_chunks
+
+    docs = rd.from_items([{"doc_id": 1, "text": "short"}, {"doc_id": 2, "text": "x" * 400}])
+    df = cdc_chunks(docs).to_pandas()
+    one = df[df["doc_id"] == 1]
+    assert len(one) == 1 and one.iloc[0]["start"] == 1 and one.iloc[0]["length"] == 5
+    # chunks exactly tile each document
+    for _, g in df.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        expect_start = 1
+        for _, r in g.iterrows():
+            assert r["start"] == expect_start
+            expect_start = r["start"] + r["length"]
