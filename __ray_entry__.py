@@ -5648,6 +5648,140 @@ def _documents_cdc_chunks_sql() -> str:
     """
 
 
+# twentieth wave: Benford audit + largest-remainder proration
+def _orders_benford(sf_dir: str):
+    """Benford's-law first-digit audit of o_totalprice
+    (stages/diagnostics.benford_first_digit): nine rows, integer-cent
+    first digits, Benford constants spliced into the oracle."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        benford_first_digit,
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return benford_first_digit(orders, "o_totalprice")
+
+
+def _orders_benford_sql() -> str:
+    import math
+
+    ben = ", ".join(
+        "(" + str(d) + ", " + repr(math.log10(1.0 + 1.0 / float(d))) + "::DOUBLE)"
+        for d in range(1, 10)
+    )
+    return """
+        WITH cents AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM orders
+        ), digits AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM cents WHERE c > 0
+        ), cnt AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt
+        ), ben(digit, benford_share) AS (
+            VALUES """ + ben + """
+        )
+        SELECT b.digit,
+               coalesce(c.n, 0) AS n,
+               CAST(coalesce(c.n, 0) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS obs_share,
+               b.benford_share AS benford_share,
+               abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+                   - b.benford_share) AS abs_dev
+        FROM ben b LEFT JOIN cnt c ON c.digit = b.digit
+        ORDER BY b.digit
+    """
+
+
+def _lineitem_proration(sf_dir: str):
+    """Largest-remainder proration of each order's total cents across its
+    lineitems proportional to extended-price cents
+    (stages/skew.largest_remainder_allocate after ONE bucketed
+    lineitem→orders join): per order, Σ alloc_cents == total cents
+    EXACTLY. (l_orderkey, l_linenumber, weight_cents, alloc_cents)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.joins import hash_bucket_join
+    from decisions_knowledge_graph_data_ray.stages.skew import (
+        largest_remainder_allocate,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        w = np.floor(np.asarray(batch["l_extendedprice"], dtype=np.float64) * 100.0 + 0.5)
+        t = np.floor(np.asarray(batch["o_totalprice"], dtype=np.float64) * 100.0 + 0.5)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                "weight_cents": pa.array(w.astype(np.int64), pa.int64()),
+                "total_cents": pa.array(t.astype(np.int64), pa.int64()),
+            }
+        )
+
+    joined = hash_bucket_join(
+        li,
+        od,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        output_columns=["l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"],
+        how="inner",
+    ).map_batches(_cents, batch_format="pyarrow")
+
+    out = largest_remainder_allocate(
+        joined, "l_orderkey", "l_linenumber", "weight_cents", "total_cents"
+    ).to_pandas()
+    out = out.rename(columns={"alloc": "alloc_cents"})
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _lineitem_proration_sql() -> str:
+    return """
+        WITH li AS (
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ), od AS (
+            SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+            FROM orders
+        ), j AS (
+            SELECT li.l_orderkey, li.l_linenumber, li.w, od.t
+            FROM li JOIN od ON od.o_orderkey = li.l_orderkey
+        ), ww AS (
+            SELECT l_orderkey, CAST(sum(w) AS BIGINT) AS tw FROM j GROUP BY l_orderkey
+        ), b AS (
+            SELECT j.*, ww.tw,
+                   CASE WHEN ww.tw = 0 THEN 0 ELSE (j.t * j.w) // ww.tw END AS base,
+                   CASE WHEN ww.tw = 0 THEN 0 ELSE (j.t * j.w) % ww.tw END AS rem
+            FROM j JOIN ww USING (l_orderkey)
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY rem DESC, l_linenumber) AS rk,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber) AS seq,
+                   sum(base) OVER (PARTITION BY l_orderkey) AS sb
+            FROM b
+        )
+        SELECT l_orderkey, l_linenumber, w AS weight_cents,
+               CAST(CASE WHEN tw = 0 THEN CASE WHEN seq = 1 THEN t ELSE 0 END
+                         ELSE base + CASE WHEN rk <= t - sb THEN 1 ELSE 0 END
+                    END AS BIGINT) AS alloc_cents
+        FROM r ORDER BY l_orderkey, l_linenumber
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5804,6 +5938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_textrank": _documents_textrank,
         "events_chi2": _events_chi2,
         "documents_cdc_chunks": _documents_cdc_chunks,
+        "orders_benford": _orders_benford,
+        "lineitem_proration": _lineitem_proration,
     }
 
 
@@ -7880,4 +8016,6 @@ def oracle_sql() -> dict[str, str]:
         "documents_textrank": _documents_textrank_sql(),
         "events_chi2": _events_chi2_sql(),
         "documents_cdc_chunks": _documents_cdc_chunks_sql(),
+        "orders_benford": _orders_benford_sql(),
+        "lineitem_proration": _lineitem_proration_sql(),
     }

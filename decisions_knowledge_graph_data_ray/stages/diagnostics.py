@@ -826,3 +826,69 @@ def chi_square_independence(
             }
         ]
     )
+
+
+def benford_first_digit(
+    ds: ray.data.Dataset,
+    value_col: str,
+) -> "pd.DataFrame":
+    """Benford's-law first-digit audit — the classic anomaly/fraud screen
+    for positive monetary columns: observed first-significant-digit
+    shares vs the Benford expectation ``log10(1 + 1/d)``, with absolute
+    deviations. Returns NINE rows (digit 1-9, zero-count digits
+    included): ``(digit, n, obs_share, benford_share, abs_dev)``.
+
+    Exactness: values are fixed to integer cents (``floor(x·100+0.5)``) and
+    the first digit is taken from the integer's decimal string — no
+    float log10 near power-of-ten boundaries; shares are one double
+    division each and the Benford constants are module-level Python
+    literals the oracle splices verbatim. Combiner discipline: one
+    partial row per digit per batch; nine rows ever shuffle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _digit_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = np.asarray(batch[value_col], dtype=np.float64)
+        # half-up fix to integer cents — floor(x*100 + 0.5) is the same
+        # double expression the oracle runs (np.round/SQL round disagree
+        # on ties-to-even vs away-from-zero; this sidesteps both)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        counts = [0] * 10
+        for c in cents.tolist():
+            counts[int(str(c)[0])] += 1
+        return pa.table(
+            {
+                "digit": pa.array(list(range(1, 10)), pa.int64()),
+                "n": pa.array(counts[1:], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_digit_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by = dict(zip(agg["digit"], agg["n"]))
+    total = int(sum(by.values()))
+    import math
+
+    rows = []
+    for d in range(1, 10):
+        n_d = int(by.get(d, 0))
+        obs = float(n_d) / float(total) if total else 0.0
+        ben = math.log10(1.0 + 1.0 / float(d))
+        rows.append(
+            {
+                "digit": d,
+                "n": n_d,
+                "obs_share": obs,
+                "benford_share": ben,
+                "abs_dev": abs(obs - ben),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -402,3 +402,55 @@ def abc_classification(
         return out
 
     return bucketed.groupby("__bucket").map_groups(_classify, batch_format="pandas")
+
+
+def largest_remainder_allocate(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    weight_col: str,
+    total_col: str,
+) -> ray.data.Dataset:
+    """Largest-remainder (Hamilton) proration: distribute each key's
+    integer ``total_col`` across its rows proportional to integer
+    ``weight_col`` so the parts sum EXACTLY to the total —
+    ``alloc_i = floor(T·w_i/W)`` plus one extra unit to the R rows with
+    the largest remainders (R = T − Σfloor; remainder ties break by
+    ``order_col`` asc). The standard exact-allocation rule behind
+    invoice line-item tax splits, budget distribution, and seat
+    apportionment — all-integer arithmetic, so the DuckDB twin matches
+    bit-for-bit. Degenerate W=0 keys assign the whole total to the
+    first row by ``order_col``.
+
+    Scale shape: ONE shuffle on the key; the per-group kernel is
+    vectorized numpy (lexsort for the remainder ranking). Partitioning
+    assumption: one key's rows fit a worker — group size here is an
+    order's line count, bounded by business shape (same contract as
+    sessionize/asof). Output: ``(key, order, weight, alloc)`` with the
+    input column names preserved plus ``alloc``."""
+    import numpy as np
+    import pandas as pd
+
+    def _alloc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col).reset_index(drop=True)
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        T = int(g[total_col].iloc[0])
+        W = int(w.sum())
+        n = len(w)
+        if W == 0:
+            alloc = np.zeros(n, dtype=np.int64)
+            alloc[0] = T
+        else:
+            prod = T * w  # ≤ ~2^47 for cent-scale inputs; int64-safe
+            base = prod // W
+            rem = prod % W
+            r_extra = T - int(base.sum())
+            rank = np.lexsort((np.arange(n), -rem))
+            bump = np.zeros(n, dtype=np.int64)
+            bump[rank[:r_extra]] = 1
+            alloc = base + bump
+        out = g[[key_col, order_col, weight_col]].copy()
+        out["alloc"] = alloc
+        return out
+
+    return ds.groupby(key_col).map_groups(_alloc, batch_format="pandas")

@@ -216,3 +216,52 @@ def test_cdc_short_and_exact_cover(ray_session):
         for _, r in g.iterrows():
             assert r["start"] == expect_start
             expect_start = r["start"] + r["length"]
+
+
+def test_largest_remainder_hand_and_invariant(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.skew import (
+        largest_remainder_allocate,
+    )
+
+    # T=100 over weights 1,1,1 → base 33 each, R=1 → first line gets 34
+    ds = rd.from_items(
+        [{"k": 1, "pos": i, "w": 1, "t": 100} for i in (1, 2, 3)]
+        + [{"k": 2, "pos": 1, "w": 3, "t": 10}, {"k": 2, "pos": 2, "w": 7, "t": 10}]
+    )
+    out = largest_remainder_allocate(ds, "k", "pos", "w", "t").to_pandas()
+    out = out.sort_values(["k", "pos"]).reset_index(drop=True)
+    assert list(out[out["k"] == 1]["alloc"]) == [34, 33, 33]
+    assert list(out[out["k"] == 2]["alloc"]) == [3, 7]
+    # exactness invariant
+    assert out.groupby("k")["alloc"].sum().to_dict() == {1: 100, 2: 10}
+
+
+def test_largest_remainder_zero_weights(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.skew import (
+        largest_remainder_allocate,
+    )
+
+    ds = rd.from_items(
+        [{"k": 9, "pos": 2, "w": 0, "t": 7}, {"k": 9, "pos": 1, "w": 0, "t": 7}]
+    )
+    out = largest_remainder_allocate(ds, "k", "pos", "w", "t").to_pandas()
+    out = out.sort_values("pos")
+    assert list(out["alloc"]) == [7, 0]  # whole total to first row by pos
+
+
+def test_benford_hand_computed(ray_session):
+    import math
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        benford_first_digit,
+    )
+
+    # values 1.00, 1.50, 2.00, 9.99 → first digits of cents 100,150,200,999
+    ds = rd.from_items([{"v": 1.00}, {"v": 1.50}, {"v": 2.00}, {"v": 9.99}])
+    out = benford_first_digit(ds, "v")
+    assert len(out) == 9
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    r1 = out[out["digit"] == 1].iloc[0]
+    assert abs(r1["obs_share"] - 0.5) < 1e-15
+    assert abs(r1["benford_share"] - math.log10(2.0)) < 1e-15
