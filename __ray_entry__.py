@@ -5782,6 +5782,99 @@ def _lineitem_proration_sql() -> str:
     """
 
 
+# twenty-first wave: personalized PageRank (related-decision scores)
+def _kg_ppr(sf_dir: str):
+    """Personalized PageRank rooted at the most-cited decision
+    (stages/graph.personalized_pagerank over the symmetrized co-citation
+    graph, fixed 10 iterations, sparse frontier): every reached node with
+    its relatedness score, ordered by node. Seed rule = kg_2hop's
+    (citation-row count desc, ecli asc)."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        node_degrees,
+        personalized_pagerank,
+        symmetrize,
+        top_nodes,
+    )
+
+    edges = citation_edges(_extractions_for(sf_dir))
+    seed = top_nodes(node_degrees(edges, "ecli", "conv_id"), "ecli", 1)["ecli"].iloc[0]
+    pairs = cocitation_pairs(edges, group_col="conv_id", node_col="ecli")
+    sym = symmetrize(pairs).materialize()  # re-read every iteration
+    out = personalized_pagerank(sym, seed, iterations=10).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kg_ppr_sql(iterations: int = 10) -> str:
+    p = _citations_parts()
+    ctes = p["ctes"].replace("cits AS (", "cits AS MATERIALIZED (")
+    d = "CAST(0.85 AS DOUBLE)"
+    restart = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    sd = "(SELECT ecli FROM seed)"
+    parts = [
+        """e AS MATERIALIZED (
+            SELECT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )""",
+        """seed AS MATERIALIZED (
+            SELECT ecli FROM e GROUP BY ecli
+            ORDER BY COUNT(*) DESC, ecli LIMIT 1
+        )""",
+        "de AS MATERIALIZED (SELECT DISTINCT conv_id, ecli FROM e)",
+        """ccp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        )""",
+        "ed AS MATERIALIZED (SELECT s AS a, d AS b FROM ccp UNION ALL SELECT d, s FROM ccp)",
+        "dg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg FROM ed GROUP BY a)",
+        f"""r0 AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN node = {sd} THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS score
+            FROM dg
+        )""",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+            SELECT e.b AS node,
+                   CASE WHEN e.b = {sd} THEN {restart}
+                        ELSE CAST(0.0 AS DOUBLE) END
+                   + {d} * SUM(r.score / dg.deg) AS score
+            FROM ed e
+            JOIN r{i} r ON e.a = r.node
+            JOIN dg ON dg.node = e.a
+            GROUP BY e.b
+        )"""
+        )
+    return (
+        "WITH " + ctes + ", " + ", ".join(parts) + f"""
+        SELECT node, score FROM r{iterations}
+        WHERE score > 0 ORDER BY node
+    """
+    )
+
+
+def _near_dedup_longest(sf_dir: str):
+    """Near-dedup with the KEEP-LONGEST curation rule
+    (stages/dedup.near_dedup_keep_longest_ids, exact mode): per dup
+    component keep (n_chars desc, doc_id asc), never-paired docs keep
+    themselves. Kept doc_ids sorted."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        near_dedup_keep_longest_ids,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        near_dedup_keep_longest_ids(docs, threshold=0.7, exact=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5940,6 +6033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_cdc_chunks": _documents_cdc_chunks,
         "orders_benford": _orders_benford,
         "lineitem_proration": _lineitem_proration,
+        "kg_ppr": _kg_ppr,
+        "documents_near_dedup_longest": _near_dedup_longest,
     }
 
 
@@ -8018,4 +8113,43 @@ def oracle_sql() -> dict[str, str]:
         "documents_cdc_chunks": _documents_cdc_chunks_sql(),
         "orders_benford": _orders_benford_sql(),
         "lineitem_proration": _lineitem_proration_sql(),
+        "kg_ppr": _kg_ppr_sql(),
+        "documents_near_dedup_longest": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, length(text) - 3),
+                                                    i -> substr(text, i, 5))) AS s
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, s, len(s) AS n FROM sh
+            ), pairs AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+                FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+                WHERE least(a.n, b.n) + 1e-9 >= 0.7 * greatest(a.n, b.n)
+                  AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                            (a.n + b.n - len(list_intersect(a.s, b.s))), 6) >= 0.7
+            ), edges AS (
+                SELECT src_id AS a, dst_id AS b FROM pairs
+                UNION ALL
+                SELECT dst_id, src_id FROM pairs
+            ), reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+            ), roots AS MATERIALIZED (
+                SELECT node, min(CAST(r AS VARCHAR)) AS root_str
+                FROM reach GROUP BY node
+            ), best AS (
+                SELECT doc_id FROM (
+                    SELECT roots.root_str, roots.node AS doc_id,
+                           row_number() OVER (PARTITION BY roots.root_str
+                                              ORDER BY length(d.text) DESC, roots.node) AS rk
+                    FROM roots JOIN documents d ON d.doc_id = roots.node
+                ) WHERE rk = 1
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM roots)
+               OR d.doc_id IN (SELECT doc_id FROM best)
+            ORDER BY d.doc_id
+        """,
     }

@@ -764,3 +764,137 @@ def remove_duplicate_spans(
         )
 
     return docs.map_batches(_strip, batch_format="pyarrow")
+
+
+def representative_ids_from_pairs(
+    members: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    rank_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Quality-aware near-dedup keep rule: duplicate pairs → connected
+    components → keep the component's BEST member by (``rank_col`` desc,
+    id asc) instead of the min-id (the curation variant: keep-longest /
+    keep-highest-quality is what a training-data pipeline actually ships;
+    :func:`keep_ids_from_pairs` keeps the min-id canonical form the
+    linker needs). Never-paired ids keep themselves.
+
+    Scale shape: distributed CC on the pair edges; ONE bucketed join
+    tags component members with their rank value; per-component argmax
+    is a grouped head-1 (component sizes are dup-cluster sizes — small
+    by definition); the final keep-set is assembled by a bucketed
+    anti-join (drop the non-representatives), so no id set lands on the
+    driver. ``members`` must carry (id_col int64, rank_col int64)."""
+    import pandas as pd
+
+    from .canonicalize import connected_components
+    from .joins import hash_bucket_join
+
+    def _to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array([str(x) for x in batch["src_id"].to_pylist()], pa.string()),
+                "dst": pa.array([str(x) for x in batch["dst_id"].to_pylist()], pa.string()),
+            }
+        )
+
+    labels = connected_components(pairs.map_batches(_to_edges, batch_format="pyarrow"))
+
+    def _mem_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([str(x) for x in batch[id_col].to_pylist()], pa.string()),
+                id_col: batch[id_col].cast(pa.int64()),
+                rank_col: batch[rank_col].cast(pa.int64()),
+            }
+        )
+
+    tagged = hash_bucket_join(
+        labels,
+        members.map_batches(_mem_key, batch_format="pyarrow"),
+        on="node",
+        output_columns=["label", id_col, rank_col],
+        left_schema=pa.schema([("node", pa.string()), ("label", pa.string())]),
+        right_schema=pa.schema(
+            [("node", pa.string()), (id_col, pa.int64()), (rank_col, pa.int64())]
+        ),
+    )
+
+    def _best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([rank_col, id_col], ascending=[False, True])
+        return g.head(1)[["label", id_col]]
+
+    best = tagged.groupby("label").map_groups(_best, batch_format="pandas")
+
+    # drops = component members that are NOT their component's best
+    drops = hash_bucket_join(
+        tagged.map_batches(
+            lambda b: b.select(["label", id_col]), batch_format="pyarrow"
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "mkey": pa.array(
+                        [l + ":" + str(i) for l, i in zip(b["label"].to_pylist(), b[id_col].to_pylist())],
+                        pa.string(),
+                    ),
+                    "drop_id": b[id_col],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        best.map_batches(
+            lambda b: pa.table(
+                {
+                    "mkey": pa.array(
+                        [l + ":" + str(i) for l, i in zip(b["label"].to_pylist(), b[id_col].to_pylist())],
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        on="mkey",
+        output_columns=["drop_id"],
+        how="left_anti",
+        left_schema=pa.schema([("mkey", pa.string()), ("drop_id", pa.int64())]),
+        right_schema=pa.schema([("mkey", pa.string())]),
+    )
+
+    return hash_bucket_join(
+        members.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow"),
+        drops,
+        on=id_col,
+        right_on="drop_id",
+        output_columns=[id_col],
+        how="left_anti",
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema([("drop_id", pa.int64())]),
+    )
+
+
+def near_dedup_keep_longest_ids(
+    docs: ray.data.Dataset, threshold: float = 0.8, exact: bool = False
+) -> ray.data.Dataset:
+    """Near-dedup with the KEEP-LONGEST rule: near-dup pairs → connected
+    components → keep the longest member (chars desc, id asc) per
+    component — the curation-grade variant of :func:`near_dedup_keep_ids`
+    (same pairing modes: exact n-gram-Jaccard for the oracle-checkable
+    path, MinHash-LSH for the 100-TB path)."""
+
+    def _len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": _pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        jaccard_similarity_join(docs, threshold)
+        if exact
+        else minhash_lsh_pairs(docs, threshold)
+    )
+    members = docs.map_batches(_len, batch_format="pyarrow")
+    return representative_ids_from_pairs(members, pairs, "doc_id", "n_chars")

@@ -804,3 +804,117 @@ def clustering_coefficients(
         )
 
     return joined.map_batches(_coef, batch_format="pyarrow")
+
+
+def personalized_pagerank(
+    edges: ray.data.Dataset,
+    seed: str,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Personalized PageRank with a single restart node — the
+    related-item / recommendation score rooted at ``seed``:
+    ``score(v) = (1-d)·1[v=seed] + d·Σ_{u→v} score(u)/deg(u)``, fixed
+    ``iterations`` power steps from the sparse start (score 1 at the
+    seed). Returns every REACHED node (support grows one hop per
+    iteration; unreached nodes never materialize — the sparse frontier
+    is the whole point at scale), ordered consumption by node.
+
+    Same shape as :func:`pagerank` (kept separate on purpose: that
+    path is hash-gated and stays untouched): per iteration two bounded
+    hash joins + a combiner-first Sum; the one addition is a single
+    seed row unioned into the contribution table so the restart term
+    survives iterations where the seed receives no mass. Pass the edge
+    set materialized and symmetrized for undirected semantics."""
+    score_schema = pa.schema([("node", _NODE_T), ("score", pa.float64())])
+    deg_schema = pa.schema([("node", _NODE_T), ("deg", pa.int64())])
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([src_col]), src_col).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    degrees = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+    if degrees.count() == 0:
+        return ray.data.from_arrow(score_schema.empty_table())
+    restart = 1.0 - damping
+
+    scores = ray.data.from_arrow(
+        pa.table({"node": pa.array([seed], _NODE_T), "score": pa.array([1.0], pa.float64())})
+    ).materialize()
+
+    seed_zero = pa.table(
+        {"node": pa.array([seed], _NODE_T), "contrib": pa.array([0.0], pa.float64())}
+    )
+
+    for _ in range(iterations):
+        per_out = hash_bucket_join(
+            scores,
+            degrees,
+            on="node",
+            output_columns=["node", "score", "deg"],
+            num_buckets=num_buckets,
+            left_schema=score_schema,
+            right_schema=deg_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "contrib": pc.divide(
+                        b["score"].cast(pa.float64()), b["deg"].cast(pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        spread = hash_bucket_join(
+            edges.select_columns([src_col, dst_col]),
+            per_out,
+            on=src_col,
+            right_on="node",
+            output_columns=[dst_col, "contrib"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)]),
+            right_schema=pa.schema([("node", _NODE_T), ("contrib", pa.float64())]),
+        )
+
+        def _sum_partial(batch: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(batch.select([dst_col, "contrib"]), dst_col).aggregate(
+                [("contrib", "sum")]
+            )
+            return out.rename_columns(["node", "contrib"])
+
+        scores = (
+            spread.map_batches(_sum_partial, batch_format="pyarrow")
+            .union(ray.data.from_arrow(seed_zero))
+            .groupby("node")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "score": pc.add(
+                            pc.if_else(
+                                pc.equal(b["node"], pa.scalar(seed, _NODE_T)),
+                                pa.scalar(restart, pa.float64()),
+                                pa.scalar(0.0, pa.float64()),
+                            ),
+                            pc.multiply(
+                                pa.scalar(damping, pa.float64()),
+                                b["contrib"].cast(pa.float64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()  # power-iteration barrier
+        )
+    return scores

@@ -265,3 +265,77 @@ def test_benford_hand_computed(ray_session):
     r1 = out[out["digit"] == 1].iloc[0]
     assert abs(r1["obs_share"] - 0.5) < 1e-15
     assert abs(r1["benford_share"] - math.log10(2.0)) < 1e-15
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        personalized_pagerank,
+        symmetrize,
+    )
+
+    # path A - B - C - D, seed A; replicate the sparse-start iteration
+    pairs = [("A", "B"), ("B", "C"), ("C", "D")]
+    edges = symmetrize(rd.from_items([{"src": a, "dst": b} for a, b in pairs])).materialize()
+    out = personalized_pagerank(edges, "A", iterations=10).to_pandas()
+
+    adj = {"A": ["B"], "B": ["A", "C"], "C": ["B", "D"], "D": ["C"]}
+    deg = {w: len(v) for w, v in adj.items()}
+    score = {"A": 1.0}
+    for _ in range(10):
+        new = {}
+        for u, s in score.items():
+            for v in adj[u]:
+                new[v] = new.get(v, 0.0) + s / deg[u]
+        score = {v: 0.85 * c for v, c in new.items()}
+        score["A"] = (1.0 - 0.85) + score.get("A", 0.0)
+    got = dict(zip(out["node"], out["score"]))
+    assert set(got) == set(score)
+    for n in score:
+        assert abs(got[n] - score[n]) < 1e-12, n
+    # seed keeps the largest score in a personalized walk on a path
+    assert out.sort_values("score", ascending=False).iloc[0]["node"] == "A"
+
+
+def test_personalized_pagerank_disconnected_component_unreached(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        personalized_pagerank,
+        symmetrize,
+    )
+
+    pairs = [("A", "B"), ("X", "Y")]
+    edges = symmetrize(rd.from_items([{"src": a, "dst": b} for a, b in pairs])).materialize()
+    out = personalized_pagerank(edges, "A", iterations=5).to_pandas()
+    assert set(out["node"]) == {"A", "B"}  # X/Y never materialize
+
+
+def test_representative_keep_longest_vs_keep_min(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        representative_ids_from_pairs,
+    )
+
+    # component {1, 2, 3}: doc 2 is longest → keep 2 (keep-min would keep 1);
+    # doc 9 never paired → kept
+    members = rd.from_items(
+        [
+            {"doc_id": 1, "n_chars": 10},
+            {"doc_id": 2, "n_chars": 99},
+            {"doc_id": 3, "n_chars": 50},
+            {"doc_id": 9, "n_chars": 1},
+        ]
+    )
+    pairs = rd.from_items([{"src_id": 1, "dst_id": 2}, {"src_id": 2, "dst_id": 3}])
+    out = representative_ids_from_pairs(members, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 9]
+
+
+def test_representative_rank_tie_breaks_by_id(ray_session):
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        representative_ids_from_pairs,
+    )
+
+    members = rd.from_items(
+        [{"doc_id": 7, "n_chars": 5}, {"doc_id": 4, "n_chars": 5}]
+    )
+    pairs = rd.from_items([{"src_id": 4, "dst_id": 7}])
+    out = representative_ids_from_pairs(members, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [4]
