@@ -5875,6 +5875,42 @@ def _near_dedup_longest(sf_dir: str):
     )
 
 
+def _events_ams_f2(sf_dir: str):
+    """AMS tug-of-war F2 sketch register table: per event_type, 8 signed
+    counters over user_id rows (multiplicities count — the sketch
+    estimates the self-join size sum(count^2)). Integer-exact oracle
+    surface (stages/cardinality.ams_f2_registers); the 1/r-variance
+    estimator over it is pytest-gated."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import ams_f2_registers
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return (
+        ams_f2_registers(ev, key_col="user_id", group_col="event_type", r=8)
+        .to_pandas()
+        .sort_values(["event_type", "sketch_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _documents_feature_hash(sf_dir: str):
+    """Hashing-trick sparse features (stages/prep.feature_hash): signed
+    64-bucket bag-of-words rows (doc_id, bucket, weight), cancelled-out
+    buckets dropped. Pure map, zero shuffles."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import feature_hash
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        feature_hash(docs, dim=64)
+        .to_pandas()
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6035,6 +6071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_proration": _lineitem_proration,
         "kg_ppr": _kg_ppr,
         "documents_near_dedup_longest": _near_dedup_longest,
+        "events_ams_f2": _events_ams_f2,
+        "documents_feature_hash": _documents_feature_hash,
     }
 
 
@@ -8151,5 +8189,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT node FROM roots)
                OR d.doc_id IN (SELECT doc_id FROM best)
             ORDER BY d.doc_id
+        """,
+        # AMS tug-of-war register table: sign_j(key) replicated from the
+        # md5-u32 low bit of 'ams:{j}:{key}', one signed Sum per
+        # (event_type, j) — cell-for-cell twin of ams_f2_registers
+        "events_ams_f2": f"""
+            WITH s AS (
+                SELECT event_type, j,
+                       CASE WHEN ({_md5_u32_sql(
+                           "'ams:' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+                       )}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+                FROM events, unnest(range(8)) AS r(j)
+            )
+            SELECT event_type, CAST(j AS BIGINT) AS sketch_idx,
+                   CAST(SUM(sign) AS BIGINT) AS s
+            FROM s GROUP BY event_type, j
+            ORDER BY event_type, sketch_idx
+        """,
+        # hashing-trick features: bucket/sign per token from md5-u32 of
+        # 'fh:'/'fhs:' prefixed token, signed count sum per (doc, bucket),
+        # full cancellations dropped
+        "documents_feature_hash": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       ({_md5_u32_sql("'fh:' || token")}) % 64 AS bucket,
+                       CASE WHEN ({_md5_u32_sql("'fhs:' || token")}) % 2 = 0
+                            THEN 1 ELSE -1 END AS sign
+                FROM tok
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(SUM(sign) AS BIGINT) AS weight
+            FROM h GROUP BY doc_id, bucket
+            HAVING SUM(sign) <> 0
+            ORDER BY doc_id, bucket
         """,
     }

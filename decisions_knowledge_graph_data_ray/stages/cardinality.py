@@ -407,3 +407,100 @@ def histogram_quantiles(
         return pd.DataFrame(rows)
 
     return regs.groupby(group_col).map_groups(_est, batch_format="pandas")
+
+
+def ams_f2_registers(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    r: int = 8,
+) -> ray.data.Dataset:
+    """Per-group AMS "tug-of-war" F2 sketch (Alon, Matias, Szegedy 1996):
+    ``r`` independent signed counters per group, one row per
+    (group, sketch_idx). Counter j accumulates ``sign_j(key)`` per ROW
+    (multiplicities count — the sketch estimates the second frequency
+    moment F2 = sum over keys of count^2), where ``sign_j(key)`` is +1
+    iff md5-u32("ams:{j}:{key}") is even, else -1.
+
+    Scale shape (same discipline as :func:`hll_registers`): the per-batch
+    combiner counts distinct keys first and emits exactly ``r`` partial
+    int rows per group per batch; a ``groupby Sum`` merges — signed sums
+    are commutative, so the register table is a pure function of the
+    multiset of keys, independent of partitioning and cluster size.
+    Integer-exact oracle surface; :func:`ams_f2_estimate` is the
+    (also integer-derived) estimator over it.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    sign_cache: dict = {}
+
+    def _signs(key) -> list[int]:
+        s = sign_cache.get(key)
+        if s is None:
+            s = [
+                1 if _u32(f"ams:{j}:{key}") % 2 == 0 else -1
+                for j in range(r)
+            ]
+            if len(sign_cache) < 1_000_000:
+                sign_cache[key] = s
+        return s
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(
+            zip(batch[group_col].to_pylist(), batch[key_col].to_pylist())
+        )
+        sums: dict = {}
+        for (g, key), n in counts.items():
+            signs = _signs(key)
+            acc = sums.get(g)
+            if acc is None:
+                acc = sums[g] = [0] * r
+            for j in range(r):
+                acc[j] += n * signs[j]
+        gs, js, ss = [], [], []
+        for g, acc in sums.items():
+            for j in range(r):
+                gs.append(g)
+                js.append(j)
+                ss.append(acc[j])
+        return pa.table(
+            {
+                group_col: pa.array(gs),
+                "sketch_idx": pa.array(js, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, key_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "sketch_idx"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+def ams_f2_estimate(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    r: int = 8,
+) -> "object":
+    """F2 (second frequency moment / self-join size) estimate per group:
+    mean of the squared AMS counters. Returns a pandas frame
+    ``(group, ss, f2_est)`` where ``ss = sum_j s_j^2`` is the exact-int
+    numerator and ``f2_est = ss / r`` the standard estimator
+    (E[s_j^2] = F2; variance falls as 1/r). Runs per group over its r
+    register rows — the sketch table, never the raw keys."""
+    import pandas as pd
+
+    regs = ams_f2_registers(ds, key_col, group_col, r=r).to_pandas()
+    out = (
+        regs.assign(sq=regs["s"] * regs["s"])
+        .groupby(group_col, as_index=False)["sq"]
+        .sum()
+        .rename(columns={"sq": "ss"})
+    )
+    out["f2_est"] = out["ss"] / float(r)
+    return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)

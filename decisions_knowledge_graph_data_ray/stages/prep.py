@@ -815,3 +815,58 @@ def cdc_chunks(
         )
 
     return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def feature_hash(
+    docs: ray.data.Dataset,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Hashing-trick sparse bag-of-words features (Weinberger et al. 2009):
+    token ``t`` maps to bucket ``md5-u32("fh:"+t) % dim`` with sign +1 iff
+    ``md5-u32("fhs:"+t)`` is even (the signed variant that makes the
+    hashed inner product unbiased). Output: one row per (doc, bucket)
+    with the signed count sum, zero-weight buckets (full cancellation)
+    dropped — the fixed-width featurizer that needs no vocabulary pass.
+
+    Scale shape: a pure per-batch map, zero shuffles — each document's
+    features are computed where its text lives; the (bucket, sign) pair
+    per token is memoized in a bounded per-worker cache. Output is sparse
+    rows ``(id, bucket, weight)``, at most ``dim`` per document.
+    """
+    bucket_cache: dict[str, tuple[int, int]] = {}
+
+    def _lookup(tok: str) -> tuple[int, int]:
+        bs = bucket_cache.get(tok)
+        if bs is None:
+            h = int(hashlib.md5(f"fh:{tok}".encode()).hexdigest()[:8], 16)
+            s = int(hashlib.md5(f"fhs:{tok}".encode()).hexdigest()[:8], 16)
+            bs = (h % dim, 1 if s % 2 == 0 else -1)
+            if len(bucket_cache) < 1_000_000:
+                bucket_cache[tok] = bs
+        return bs
+
+    def _features(batch: pa.Table) -> pa.Table:
+        ids, buckets, weights = [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            acc: dict[int, int] = {}
+            for tok, n in Counter(_WORD_RE.findall(text.lower())).items():
+                b, sign = _lookup(tok)
+                acc[b] = acc.get(b, 0) + sign * n
+            for b in sorted(acc):
+                if acc[b] != 0:
+                    ids.append(i)
+                    buckets.append(b)
+                    weights.append(acc[b])
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "bucket": pa.array(buckets, pa.int64()),
+                "weight": pa.array(weights, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _features, batch_format="pyarrow"
+    )
