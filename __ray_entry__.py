@@ -5875,6 +5875,166 @@ def _near_dedup_longest(sf_dir: str):
     )
 
 
+def _documents_readability(sf_dir: str):
+    """Flesch reading-ease per document (stages/text_analysis.readability):
+    sentence/word/vowel-group-syllable counts and the classic score, the
+    readability quality signal. Pure map, zero shuffles."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import readability
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        readability(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _customer_kanonymity(sf_dir: str):
+    """k-anonymity audit (stages/diagnostics.k_anonymity, k=8) over the
+    (c_nationkey, c_mktsegment) quasi-identifiers: every equivalence
+    class with its size and the anonymity flag."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import k_anonymity
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    return (
+        k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=8)
+        .to_pandas()
+        .sort_values(["c_nationkey", "c_mktsegment"])
+        .reset_index(drop=True)
+    )
+
+
+def _kg_link_prediction(sf_dir: str):
+    """Link prediction over the co-citation graph
+    (stages/graph.link_prediction_scores): every NON-adjacent decision
+    pair at distance 2 with its common-neighbor counts, neighbor-Jaccard
+    and Adamic-Adar score (ascending-z left fold — bit-exact vs the
+    oracle's list_reduce). The 'related decisions you haven't co-cited
+    yet' surface."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        link_prediction_scores,
+    )
+
+    import pandas as pd
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    ).materialize()  # read for wedges, the anti-join, and degrees
+    cols = ["src", "dst", "n_common", "n_union", "jaccard", "aa_score"]
+    out = link_prediction_scores(pairs).to_pandas()
+    if out.empty:  # empty join results drop the schema (joins.py contract)
+        return pd.DataFrame(columns=cols)
+    return out[cols].sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _kg_link_prediction_sql() -> str:
+    p = _citations_parts()
+    ctes = p["ctes"].replace("cits AS (", "cits AS MATERIALIZED (")
+    return (
+        "WITH " + ctes + """
+        , de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        ), ccp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        ), ed AS MATERIALIZED (
+            SELECT s AS a, d AS b FROM ccp UNION ALL SELECT d, s FROM ccp
+        ), dg AS MATERIALIZED (
+            SELECT a AS node, COUNT(*) AS deg FROM ed GROUP BY a
+        ), wedge AS (
+            SELECT e1.a AS z, e1.b AS u, e2.b AS v
+            FROM ed e1 JOIN ed e2 ON e1.a = e2.a AND e1.b < e2.b
+        ), contrib AS (
+            SELECT u, v, z,
+                   CAST(1.0 AS DOUBLE) / ln(CAST(dg.deg AS DOUBLE)) AS c
+            FROM wedge JOIN dg ON dg.node = wedge.z
+        ), cand AS (
+            SELECT u, v, COUNT(*) AS n_common,
+                   list_reduce(list(c ORDER BY z), (a, b) -> a + b) AS aa_score
+            FROM contrib GROUP BY u, v
+        ), nonadj AS (
+            SELECT cand.* FROM cand
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ccp WHERE ccp.s = cand.u AND ccp.d = cand.v
+            )
+        )
+        SELECT u AS src, v AS dst,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(du.deg + dv.deg - n_common AS BIGINT) AS n_union,
+               CAST(n_common AS DOUBLE) /
+                   CAST(du.deg + dv.deg - n_common AS DOUBLE) AS jaccard,
+               aa_score
+        FROM nonadj
+        JOIN dg du ON du.node = nonadj.u
+        JOIN dg dv ON dv.node = nonadj.v
+        ORDER BY src, dst
+    """
+    )
+
+
+def _kg_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the co-citation
+    graph (stages/graph.label_propagation, 5 synchronous rounds; the
+    (count desc, label asc) vote is the group_mode primitive): final
+    label per node, ordered by node."""
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+        label_propagation,
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    ).materialize()
+    out = label_propagation(pairs, iterations=5).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kg_communities_sql(iterations: int = 5) -> str:
+    p = _citations_parts()
+    ctes = p["ctes"].replace("cits AS (", "cits AS MATERIALIZED (")
+    parts = [
+        """de AS MATERIALIZED (
+            SELECT DISTINCT conv_id, ecli FROM cits WHERE ecli IS NOT NULL
+        )""",
+        """ccp AS MATERIALIZED (
+            SELECT DISTINCT a.ecli AS s, b.ecli AS d
+            FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ecli < b.ecli
+        )""",
+        "ed AS MATERIALIZED (SELECT s AS a, d AS b FROM ccp UNION ALL SELECT d, s FROM ccp)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM ed)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM (
+                    SELECT e.b AS node, l.label, COUNT(*) AS cnt
+                    FROM ed e JOIN l{i} l ON l.node = e.a
+                    GROUP BY e.b, l.label
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+    return (
+        "WITH " + ctes + ", " + ", ".join(parts) + f"""
+        SELECT node, label AS community FROM l{iterations} ORDER BY node
+    """
+    )
+
+
 def _events_ams_f2(sf_dir: str):
     """AMS tug-of-war F2 sketch register table: per event_type, 8 signed
     counters over user_id rows (multiplicities count — the sketch
@@ -6073,6 +6233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_near_dedup_longest": _near_dedup_longest,
         "events_ams_f2": _events_ams_f2,
         "documents_feature_hash": _documents_feature_hash,
+        "kg_link_prediction": _kg_link_prediction,
+        "kg_communities": _kg_communities,
+        "documents_readability": _documents_readability,
+        "customer_kanonymity": _customer_kanonymity,
     }
 
 
@@ -8226,5 +8390,39 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY doc_id, bucket
             HAVING SUM(sign) <> 0
             ORDER BY doc_id, bucket
+        """,
+        "kg_link_prediction": _kg_link_prediction_sql(),
+        "kg_communities": _kg_communities_sql(),
+        # Flesch: vowel-group syllables via list_transform, the exact
+        # double expression tree mirrored term-for-term
+        "documents_readability": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws,
+                        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                        AS BIGINT) AS n_syllables,
+                   CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) *
+                     (CAST(len(ws) AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - CAST(84.6 AS DOUBLE) *
+                     (CAST(list_sum(list_transform(ws,
+                          w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                          AS DOUBLE) / CAST(len(ws) AS DOUBLE)) AS flesch
+            FROM m WHERE len(ws) > 0
+            ORDER BY doc_id
+        """,
+        "customer_kanonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS class_n,
+                   count(*) >= 8 AS anonymous
+            FROM customer GROUP BY 1, 2
+            ORDER BY c_nationkey, c_mktsegment
         """,
     }

@@ -892,3 +892,36 @@ def benford_first_digit(
             }
         )
     return pd.DataFrame(rows)
+
+
+def k_anonymity(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    k: int,
+) -> ray.data.Dataset:
+    """k-anonymity audit (Sweeney 2002) over declared quasi-identifier
+    columns — the privacy gate a training-data release runs next to PII
+    redaction: every equivalence class (distinct quasi-identifier
+    combination) with its row count and whether it meets the k-anonymity
+    bar. A row in a class of size < k is re-identifiable by joining the
+    quasi-identifiers against an external table.
+
+    Scale shape: reuses :func:`..skew.combiner_aggregate` — a per-batch
+    Arrow count combiner bounds the shuffle by distinct classes per
+    batch, never rows; the flag is a pure vectorized map over the
+    bounded class table. Output:
+    ``(quasi..., class_n, anonymous)`` with ``anonymous = class_n >= k``.
+    """
+    import pyarrow.compute as pc
+
+    from .skew import combiner_aggregate
+
+    classes = combiner_aggregate(
+        ds.select_columns(quasi_cols), quasi_cols, {"class_n": ("count", None)}
+    )
+    return classes.map_batches(
+        lambda b: b.append_column(
+            "anonymous", pc.greater_equal(b["class_n"], pa.scalar(k, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )

@@ -918,3 +918,259 @@ def personalized_pagerank(
             .materialize()  # power-iteration barrier
         )
     return scores
+
+
+def link_prediction_scores(
+    pairs: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Link prediction over an undirected graph given as DISTINCT ordered
+    pairs (src < dst): for every NON-adjacent node pair at distance 2,
+    the two classic common-neighbor scores —
+
+    - ``jaccard`` = |N(u)∩N(v)| / |N(u)∪N(v)| (integer counts, mirrored
+      double division), and
+    - ``aa_score`` = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z), Adamic-Adar 2003
+      (every common neighbor z has deg ≥ 2, so ln(deg) > 0); the per-z
+      contributions are summed as a LEFT FOLD in ascending-z order so the
+      double matches the oracle's ``list_reduce(list(... ORDER BY z))``
+      bit-exact (the surprisal/closeness float-parity discipline).
+
+    Scale shape: wedges enumerate per center z via a pid-cogroup
+    (np.triu_indices over z's sorted neighbor set — the triangle_counts
+    pattern; volume Σ deg², centers co-located with their whole adjacency
+    so deg z is the group size, no extra join); per-pair fold runs inside
+    a pid-cogroup keyed on u (pairs with the same u co-locate); existing
+    edges leave via one bucketed anti-join on a packed u\\x01v key; the
+    two degree attachments are bounded hash joins. Pass ``pairs``
+    materialized (read for wedges, the anti-join, and degrees).
+
+    Output: ``(src, dst, n_common, n_union, jaccard, aa_score)``.
+    """
+    import math
+
+    _SEP = "\x01"
+    sym = symmetrize(pairs, src_col, dst_col)
+
+    def _pid_center(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pid", bucket_ids(batch[src_col], num_buckets))
+
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        us, vs, zs, cs = [], [], [], []
+        for z, g in group.groupby(src_col, sort=False):
+            nbrs = np.sort(g[dst_col].drop_duplicates().to_numpy())
+            if len(nbrs) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nbrs), k=1)
+            us.append(nbrs[iu])
+            vs.append(nbrs[ju])
+            zs.append(np.full(len(iu), z, dtype=object))
+            cs.append(np.full(len(iu), 1.0 / math.log(float(len(nbrs)))))
+        if not us:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(dtype="object"),
+                    "v": pd.Series(dtype="object"),
+                    "z": pd.Series(dtype="object"),
+                    "c": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(us),
+                "v": np.concatenate(vs),
+                "z": np.concatenate(zs),
+                "c": np.concatenate(cs),
+            }
+        )
+
+    wedges = (
+        sym.map_batches(_pid_center, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+
+    def _pid_u(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pid", bucket_ids(batch["u"], num_buckets))
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (u, v), sub in group.sort_values("z").groupby(["u", "v"], sort=False):
+            rows.append((u, v, len(sub), sum(sub["c"].tolist())))
+        return pd.DataFrame(rows, columns=["u", "v", "n_common", "aa_score"])
+
+    cand = (
+        wedges.map_batches(_pid_u, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(_fold, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "key", pc.binary_join_element_wise(b["u"], b["v"], _SEP)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edge_keys = pairs.map_batches(
+        lambda b: pa.table(
+            {"key": pc.binary_join_element_wise(b[src_col], b[dst_col], _SEP)}
+        ),
+        batch_format="pyarrow",
+    )
+    cand_schema = pa.schema(
+        [
+            ("u", _NODE_T),
+            ("v", _NODE_T),
+            ("n_common", pa.int64()),
+            ("aa_score", pa.float64()),
+            ("key", _NODE_T),
+        ]
+    )
+    nonadj = hash_bucket_join(
+        cand,
+        edge_keys,
+        on="key",
+        output_columns=["u", "v", "n_common", "aa_score"],
+        how="left_anti",
+        num_buckets=num_buckets,
+        left_schema=cand_schema,
+        right_schema=pa.schema([("key", _NODE_T)]),
+    )
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(batch.select([src_col]), src_col).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    degrees = (
+        sym.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+    deg_schema = pa.schema([("node", _NODE_T), ("deg", pa.int64())])
+    with_du = hash_bucket_join(
+        nonadj,
+        degrees,
+        on="u",
+        right_on="node",
+        output_columns=["u", "v", "n_common", "aa_score", "deg"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [
+                ("u", _NODE_T),
+                ("v", _NODE_T),
+                ("n_common", pa.int64()),
+                ("aa_score", pa.float64()),
+            ]
+        ),
+        right_schema=deg_schema,
+    ).map_batches(
+        lambda b: b.rename_columns(["u", "v", "n_common", "aa_score", "deg_u"]),
+        batch_format="pyarrow",
+    )
+    both = hash_bucket_join(
+        with_du,
+        degrees,
+        on="v",
+        right_on="node",
+        output_columns=["u", "v", "n_common", "aa_score", "deg_u", "deg"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [
+                ("u", _NODE_T),
+                ("v", _NODE_T),
+                ("n_common", pa.int64()),
+                ("aa_score", pa.float64()),
+                ("deg_u", pa.int64()),
+            ]
+        ),
+        right_schema=deg_schema,
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        n_union = pc.subtract(
+            pc.add(batch["deg_u"], batch["deg"]), batch["n_common"]
+        )
+        return pa.table(
+            {
+                "src": batch["u"],
+                "dst": batch["v"],
+                "n_common": batch["n_common"],
+                "n_union": n_union,
+                "jaccard": pc.divide(
+                    batch["n_common"].cast(pa.float64()), n_union.cast(pa.float64())
+                ),
+                "aa_score": batch["aa_score"],
+            }
+        )
+
+    return both.map_batches(_final, batch_format="pyarrow")
+
+
+def label_propagation(
+    pairs: ray.data.Dataset,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic synchronous label-propagation community detection
+    (Raghavan et al. 2007, made gateable): labels start as the node's own
+    id; each round EVERY node simultaneously takes the most frequent label
+    among its neighbors, ties broken by smallest label — the
+    (count desc, label asc) pick is exactly ``stages/skew.group_mode``,
+    so the community step reuses the engine's deterministic-mode
+    primitive. Fixed ``iterations`` rounds (no convergence test), so the
+    result is a pure function of the edge set.
+
+    Scale shape: per round, one bounded hash join (edges ⋈ labels on the
+    source endpoint — labels is one row per node) and one group_mode
+    (combiner-first counts, argmax per node). One barrier per round is
+    inherent to synchronous LPA. Pass ``pairs`` materialized; every node
+    in the pair set has degree ≥ 1, so no node is dropped.
+
+    Output: ``(node, community)`` — the final label per node.
+    """
+    sym = symmetrize(pairs, src_col, dst_col)
+    label_schema = pa.schema([("node", _NODE_T), ("label", _NODE_T)])
+
+    labels = (
+        distinct_pairs(
+            sym.map_batches(
+                lambda b: pa.table({"node": b[src_col]}), batch_format="pyarrow"
+            ),
+            ["node"],
+            num_buckets=num_buckets,
+        )
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    from .skew import group_mode
+
+    for _ in range(iterations):
+        votes = hash_bucket_join(
+            sym,
+            labels,
+            on=src_col,
+            right_on="node",
+            output_columns=[dst_col, "label"],
+            num_buckets=num_buckets,
+            left_schema=pa.schema([(src_col, _NODE_T), (dst_col, _NODE_T)]),
+            right_schema=label_schema,
+        )
+        labels = (
+            group_mode(votes, [dst_col], "label", out_col="new_label")
+            .map_batches(
+                lambda b: pa.table({"node": b[dst_col], "label": b["new_label"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()  # synchronous-round barrier: next round reads this
+        )
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "community": b["label"]}),
+        batch_format="pyarrow",
+    )

@@ -959,3 +959,69 @@ def textrank_words(
     # alphabetically-ordered columns, and (node, score) puts the UNIQUE
     # string key first — (score, word) would order on ULP-noisy doubles
     return out.sort_values("node").reset_index(drop=True)
+
+
+_SENT_RE = re.compile(r"[.!?]+")
+_ALPHA_RE = re.compile(r"[a-z]+")
+_VOWEL_RE = re.compile(r"[aeiouy]+")
+
+
+def readability(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Flesch reading-ease score (Flesch 1948) per document — the
+    classic readability quality signal next to the Gopher/repetition
+    filters. Deterministic sub-metrics, each a regex count so the SQL
+    twin is exact:
+
+    - sentences: runs of ``[.!?]+`` (min 1),
+    - words: ``[a-z]+`` tokens of the lowercased text,
+    - syllables: per word ``max(1, #vowel-groups [aeiouy]+)``, summed.
+
+    ``flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)``
+    with the exact expression tree mirrored in SQL (every constant cast
+    ::DOUBLE). Documents with zero words are dropped (the score is
+    undefined), matching the oracle's WHERE. Pure vectorized-regex map,
+    zero shuffles; the per-word syllable lookup memoizes per worker.
+    """
+    syl_cache: dict[str, int] = {}
+
+    def _syl(w: str) -> int:
+        s = syl_cache.get(w)
+        if s is None:
+            s = max(1, len(_VOWEL_RE.findall(w)))
+            if len(syl_cache) < 1_000_000:
+                syl_cache[w] = s
+        return s
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids, sents, words, sylls, scores = [], [], [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _ALPHA_RE.findall(text.lower())
+            if not toks:
+                continue
+            n_sent = max(1, len(_SENT_RE.findall(text)))
+            n_words = len(toks)
+            n_syll = sum(_syl(w) for w in toks)
+            ids.append(i)
+            sents.append(n_sent)
+            words.append(n_words)
+            sylls.append(n_syll)
+            scores.append(
+                206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / n_words)
+            )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_sentences": pa.array(sents, pa.int64()),
+                "n_words": pa.array(words, pa.int64()),
+                "n_syllables": pa.array(sylls, pa.int64()),
+                "flesch": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )
