@@ -5875,6 +5875,27 @@ def _near_dedup_longest(sf_dir: str):
     )
 
 
+def _events_twap(sf_dir: str):
+    """Per-user TIME-weighted average value (TWAP — step-series weighting
+    by the interval to the next event; stages/windows.time_weighted_average):
+    one shuffle on the key, per-interval products left-folded in event
+    order so the double matches the oracle's list_reduce bit-exact.
+    Zero-span users dropped both sides."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import time_weighted_average
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return (
+        time_weighted_average(ev, keys=("user_id",))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_readability(sf_dir: str):
     """Flesch reading-ease per document (stages/text_analysis.readability):
     sentence/word/vowel-group-syllable counts and the classic score, the
@@ -6237,6 +6258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _kg_communities,
         "documents_readability": _documents_readability,
         "customer_kanonymity": _customer_kanonymity,
+        "events_attribution": R.q_events_attribution,
+        "events_twap": _events_twap,
     }
 
 
@@ -8424,5 +8447,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 8 AS anonymous
             FROM customer GROUP BY 1, 2
             ORDER BY c_nationkey, c_mktsegment
+        """,
+        # last-touch attribution: dedupe right side per (user, ts) keeping
+        # max event_id (the asof_join right_tie_cols rule), 24h window,
+        # no/late touch -> 'direct'
+        "events_attribution": """
+            WITH t AS (
+                SELECT user_id, ts, event_type, event_id,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type IN ('click', 'view')
+            ), td AS (
+                SELECT user_id, ts, event_type FROM t WHERE rn = 1
+            ), p AS (
+                SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'purchase'
+            ), j AS (
+                SELECT p.event_id, p.value, p.ts,
+                       td.ts AS t_ts, td.event_type AS t_type
+                FROM p ASOF LEFT JOIN td
+                  ON p.user_id = td.user_id AND td.ts <= p.ts
+            )
+            SELECT CASE WHEN t_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(t_ts) <= 86400000000
+                        THEN t_type ELSE 'direct' END AS channel,
+                   count(*) AS n_conversions,
+                   round(sum(value), 6) AS total_value
+            FROM j GROUP BY 1 ORDER BY channel
+        """,
+        # TWAP: per-interval value*dt products folded in (ts, event_id)
+        # order -- bit-exact vs the Ray side's Python-sum left fold
+        "events_twap": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nts
+                FROM events
+            ), d AS (
+                SELECT user_id, ts, event_id,
+                       CAST(value AS DOUBLE) *
+                       CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE) AS vdt
+                FROM o WHERE nts IS NOT NULL
+            ), span AS (
+                SELECT user_id, count(*) AS n_events,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+                FROM events GROUP BY user_id
+            )
+            SELECT s.user_id,
+                   CAST(s.n_events AS BIGINT) AS n_events,
+                   CAST(s.span_us AS BIGINT) AS span_us,
+                   list_reduce(list(d.vdt ORDER BY d.ts, d.event_id),
+                               (a, b) -> a + b) / CAST(s.span_us AS DOUBLE) AS twap
+            FROM span s JOIN d ON d.user_id = s.user_id
+            WHERE s.span_us > 0
+            GROUP BY s.user_id, s.n_events, s.span_us
+            ORDER BY s.user_id
         """,
     }

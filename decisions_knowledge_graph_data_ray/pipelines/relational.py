@@ -890,3 +890,68 @@ def q_documents_stratified(sf_dir: str):
         .sort_values(["lang_pred", "doc_id"])
         .reset_index(drop=True)
     )
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each 'purchase' is credited to the
+    most recent prior 'click'/'view' by the same user within a 24h window,
+    else 'direct' — composed from the engine's own primitives: ONE
+    backward as-of join (stages/windows.asof_join, right side tie-broken
+    inside the cogroup) + a vectorized channel map + a combiner-first
+    aggregate (stages/skew.combiner_aggregate). Output: per channel, the
+    conversion count and total purchase value (rounded 6)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.skew import combiner_aggregate
+    from ..stages.windows import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    # one map_batches per side (filter + project fused): asof_join infers
+    # its pack schema from left.schema(), and a Filter->Project chain's
+    # lazy schema can surface the unprojected parquet schema
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["event_id", "ts", "user_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    touches = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], pa.array(["click", "view"]))),
+        batch_format="pyarrow",
+    ).select_columns(["event_id", "ts", "user_id", "event_type"])
+
+    joined = asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        # event_id rides along so right_tie_cols can break (user, ts) ties
+        right_columns=["ts", "event_type", "event_id"],
+        suffix="_t",
+        right_tie_cols=["event_id"],
+    )
+
+    window_us = 24 * 3600 * 1_000_000
+
+    def _channel(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ts_t = batch["ts_t"].cast(pa.timestamp("us")).cast(pa.int64())
+        within = pc.and_kleene(
+            pc.is_valid(ts_t),
+            pc.less_equal(pc.subtract_checked(ts, pc.coalesce(ts_t, ts)), window_us),
+        )
+        channel = pc.if_else(
+            pc.coalesce(within, pa.scalar(False)),
+            pc.coalesce(batch["event_type_t"], pa.scalar("direct")),
+            pa.scalar("direct"),
+        )
+        return pa.table({"channel": channel, "value": batch["value"]})
+
+    out = combiner_aggregate(
+        joined.map_batches(_channel, batch_format="pyarrow"),
+        ["channel"],
+        {"n_conversions": ("count", None), "total_value": ("sum", "value")},
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(6)
+    return out.sort_values("channel").reset_index(drop=True)

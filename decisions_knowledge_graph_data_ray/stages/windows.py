@@ -640,3 +640,56 @@ def scd2_intervals(
         return out[key_list + [value_col, start_col, "valid_from", "valid_to"]]
 
     return events.groupby(key_list).map_groups(_runs, batch_format="pandas")
+
+
+def time_weighted_average(
+    events: ray.data.Dataset,
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key TIME-weighted average of a step series (TWAP — the market /
+    telemetry convention where a value holds until the next observation):
+    with the key's events ordered by ``(ts, order_col)``, each value is
+    weighted by the integer-microsecond interval to the NEXT event;
+    ``twap = Σ value_i·Δt_i / Σ Δt_i`` over the n-1 intervals. Keys with
+    all events at one timestamp (total span 0) are dropped — the average
+    is undefined, matching the oracle's WHERE.
+
+    Float parity: the weighted sum is a LEFT FOLD in event order of the
+    per-interval ``value·Δt`` doubles (Δt exact int64 microseconds), so
+    it matches the oracle's ``list_reduce(list(v*dt ORDER BY ts, id))``
+    bit-exact; the final division is one mirrored double op.
+
+    Scale shape: ONE shuffle on the key; the per-group kernel is
+    vectorized except the Python-sum fold (the surprisal discipline).
+    Partitioning assumption: one key's history fits a worker (the
+    asof_join/debounce contract). Output: ``(keys..., n_events, span_us,
+    twap)``.
+    """
+    key_list = list(keys)
+
+    def _twap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+        span = int(ts_us[-1] - ts_us[0])
+        if span == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series(dtype=g[k].dtype) for k in key_list},
+                    "n_events": pd.Series(dtype="int64"),
+                    "span_us": pd.Series(dtype="int64"),
+                    "twap": pd.Series(dtype="float64"),
+                }
+            )
+        dt = (ts_us[1:] - ts_us[:-1]).astype("float64")
+        vals = g[value_col].to_numpy(dtype="float64")[:-1]
+        weighted = sum((vals * dt).tolist())  # left fold in event order
+        row = {k: [g[k].iloc[0]] for k in key_list}
+        row["n_events"] = [len(g)]
+        row["span_us"] = [span]
+        row["twap"] = [weighted / float(span)]
+        return pd.DataFrame(row)
+
+    return events.groupby(key_list).map_groups(_twap, batch_format="pandas")
