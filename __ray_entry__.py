@@ -5875,6 +5875,141 @@ def _near_dedup_longest(sf_dir: str):
     )
 
 
+def _documents_curation(sf_dir: str):
+    """End-to-end curation capstone (stages/prep.curation_pipeline):
+    gopher quality filter → exact dedup (md5 min) → exact-recall near
+    dedup (5-char-shingle Jaccard ≥ 0.7 → CC → keep min) → word-8-gram
+    decontamination vs the doc_id<10 benchmark slice → split assignment —
+    applied SEQUENTIALLY, each stage over the previous stage's survivors,
+    first-failing stage as the drop reason. One row per input document."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import curation_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 10")
+    return (
+        curation_pipeline(docs, bench, jaccard_threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _documents_curation_sql() -> str:
+    u = _md5_u32_sql("CAST(doc_id AS VARCHAR)")
+    g8 = (
+        "ws3[i] || ' ' || ws3[i+1] || ' ' || ws3[i+2] || ' ' || ws3[i+3] || ' ' || "
+        "ws3[i+4] || ' ' || ws3[i+5] || ' ' || ws3[i+6] || ' ' || ws3[i+7]"
+    )
+    return f"""
+        WITH RECURSIVE ws AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents
+        ), m AS (
+            SELECT doc_id, len(w) AS n,
+                   CASE WHEN len(w) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(w, x -> length(x)))
+                                  AS DOUBLE) / len(w) END AS mwl,
+                   CASE WHEN len(w) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                   END AS ttr,
+                   CASE WHEN len(w) < 2 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(
+                                 list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])))
+                             AS DOUBLE) / (len(w) - 1) END AS dup2
+            FROM ws
+        ), r AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN n < 30 OR n > 100000 THEN 'word_count'
+                        WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                        WHEN ttr < 0.35 THEN 'low_ttr'
+                        WHEN dup2 > 0.05 THEN 'repetitive_2grams'
+                        ELSE 'ok' END AS drop_reason
+            FROM m
+        ), s1 AS MATERIALIZED (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN r ON r.doc_id = d.doc_id WHERE r.drop_reason = 'ok'
+        ), eh AS MATERIALIZED (
+            SELECT doc_id, md5(text) AS h FROM s1
+        ), emin AS (
+            SELECT h, min(doc_id) AS keep_id FROM eh GROUP BY h
+        ), e_keep AS MATERIALIZED (
+            SELECT eh.doc_id FROM eh
+            JOIN emin ON eh.h = emin.h AND eh.doc_id = emin.keep_id
+        ), s2 AS MATERIALIZED (
+            SELECT s1.* FROM s1 JOIN e_keep ON e_keep.doc_id = s1.doc_id
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, length(text) - 3),
+                                                i -> substr(text, i, 5))) AS s
+            FROM s2
+        ), sized AS MATERIALIZED (
+            SELECT doc_id, s, len(s) AS n FROM sh
+        ), pairs AS MATERIALIZED (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+            FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+            WHERE least(a.n, b.n) + 1e-9 >= 0.7 * greatest(a.n, b.n)
+              AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                        (a.n + b.n - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        ), edges AS (
+            SELECT src_id AS a, dst_id AS b FROM pairs
+            UNION ALL
+            SELECT dst_id, src_id FROM pairs
+        ), reach(node, rr) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.rr = e.a
+        ), roots AS MATERIALIZED (
+            SELECT node, min(CAST(rr AS VARCHAR)) AS root_str
+            FROM reach GROUP BY node
+        ), nd_keep AS MATERIALIZED (
+            SELECT s2.doc_id FROM s2 WHERE NOT EXISTS (
+                SELECT 1 FROM roots
+                WHERE roots.node = s2.doc_id
+                  AND CAST(s2.doc_id AS VARCHAR) <> roots.root_str)
+        ), s3 AS MATERIALIZED (
+            SELECT s2.* FROM s2 JOIN nd_keep ON nd_keep.doc_id = s2.doc_id
+        ), w3 AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws3
+            FROM s3
+        ), grams AS (
+            SELECT DISTINCT doc_id, {g8} AS g
+            FROM w3, unnest(range(1, greatest(len(ws3) - 6, 1))) AS rrr(i)
+            WHERE len(ws3) >= 8
+        ), wb AS (
+            SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws3
+            FROM documents WHERE doc_id < 10
+        ), bgrams AS MATERIALIZED (
+            SELECT DISTINCT {g8} AS g
+            FROM wb, unnest(range(1, greatest(len(ws3) - 6, 1))) AS rrr(i)
+            WHERE len(ws3) >= 8
+        ), hits AS MATERIALIZED (
+            SELECT DISTINCT grams.doc_id FROM grams
+            JOIN bgrams b ON b.g = grams.g
+        )
+        SELECT * FROM (
+            SELECT doc_id, 'dropped' AS status, drop_reason AS reason, '' AS split
+            FROM r WHERE drop_reason <> 'ok'
+            UNION ALL
+            SELECT doc_id, 'dropped', 'exact_duplicate', '' FROM s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM e_keep)
+            UNION ALL
+            SELECT doc_id, 'dropped', 'near_duplicate', '' FROM s2
+            WHERE doc_id NOT IN (SELECT doc_id FROM nd_keep)
+            UNION ALL
+            SELECT doc_id, 'dropped', 'contaminated', '' FROM hits
+            UNION ALL
+            SELECT doc_id, 'kept', 'ok',
+                   CASE WHEN ({u}) % 100 < 80 THEN 'train'
+                        WHEN ({u}) % 100 < 90 THEN 'val'
+                        ELSE 'test' END
+            FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ) ORDER BY doc_id
+    """
+
+
 def _events_twap(sf_dir: str):
     """Per-user TIME-weighted average value (TWAP — step-series weighting
     by the interval to the next event; stages/windows.time_weighted_average):
@@ -6260,6 +6395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_kanonymity": _customer_kanonymity,
         "events_attribution": R.q_events_attribution,
         "events_twap": _events_twap,
+        "documents_curation": _documents_curation,
     }
 
 
@@ -8503,4 +8639,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.user_id, s.n_events, s.span_us
             ORDER BY s.user_id
         """,
+        "documents_curation": _documents_curation_sql(),
     }

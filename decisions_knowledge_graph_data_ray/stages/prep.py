@@ -870,3 +870,175 @@ def feature_hash(
     return docs.select_columns([id_col, text_col]).map_batches(
         _features, batch_format="pyarrow"
     )
+
+
+def curation_pipeline(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    jaccard_threshold: float = 0.7,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """The composed end-to-end curation pass a pre-training corpus runs,
+    SEQUENTIALLY (each stage sees only the previous stage's survivors),
+    with the FIRST failing stage as the document's drop reason:
+
+    1. quality — :func:`..text_analysis.gopher_filter` (word count /
+       word length / type-token ratio / duplicate-2-grams, first-fail);
+    2. exact dedup — md5(text) groups keep min doc_id
+       (``'exact_duplicate'``);
+    3. near dedup — :func:`..dedup.near_dedup_keep_ids` exact mode
+       (prefix-filtered 5-char-shingle Jaccard → connected components →
+       keep component min; ``'near_duplicate'``);
+    4. decontamination — :func:`contamination_flags` word-8-gram overlap
+       against the broadcast ``benchmark`` (``'contaminated'``);
+    5. kept survivors get their :func:`split_of` train/val/test split.
+
+    Output: one row per input document —
+    ``(doc_id, status, reason, split)`` with status ``kept``/``dropped``,
+    reason ``ok`` or the first-failing stage's reason, and split ``''``
+    for dropped documents (dtype-stable sentinel).
+
+    Scale shape: every stage is the already-scale-shaped primitive it
+    reuses (pure maps for 1/4/5; one hash-bounded groupby+join for 2; the
+    prefix-filtered join + distributed CC for 3); survivors flow between
+    stages as datasets via bucketed semi/anti joins — no id set on the
+    driver. The Jaccard stage is the documented-cost step (the
+    ``jaccard_similarity_join`` contract); swap ``exact=False`` inside
+    ``near_dedup_keep_ids`` for the MinHash path at 100-TB scale.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .dedup import near_dedup_keep_ids
+    from .joins import hash_bucket_join
+    from .text_analysis import gopher_filter
+
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    id_schema = pa.schema([("doc_id", pa.int64())])
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("status", pa.string()),
+            ("reason", pa.string()),
+            ("split", pa.string()),
+        ]
+    )
+
+    def _semi(left: ray.data.Dataset, ids: ray.data.Dataset) -> ray.data.Dataset:
+        return hash_bucket_join(
+            left, ids, on="doc_id", output_columns=["doc_id", "text"],
+            how="left_semi", num_buckets=num_buckets,
+            left_schema=doc_schema, right_schema=id_schema,
+        )
+
+    def _verdict(ds, status: str, reason, split):
+        """reason/split: a constant, or a column name to copy."""
+
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+
+            def col(v):
+                if v in batch.column_names:
+                    return batch[v].cast(pa.string())
+                return pa.array([v] * n, pa.string())
+
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "status": pa.array([status] * n, pa.string()),
+                    "reason": col(reason),
+                    "split": col(split),
+                },
+                schema=out_schema,
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+
+    # 1. quality (pure map); survivors flow on as a dataset semi-join
+    quality = gopher_filter(docs).materialize()
+    q_drop = _verdict(
+        quality.map_batches(
+            lambda b: b.filter(pc.invert(b["keep"])).select(["doc_id", "drop_reason"]),
+            batch_format="pyarrow",
+        ),
+        "dropped", "drop_reason", "",
+    )
+    s1 = _semi(
+        docs,
+        quality.map_batches(
+            lambda b: b.filter(b["keep"]).select(["doc_id"]), batch_format="pyarrow"
+        ),
+    ).materialize()
+
+    # 2. exact dedup: md5 groups keep min doc_id
+    def _hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())})
+
+    eh = s1.map_batches(_hash, batch_format="pyarrow")
+    emin = eh.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"))
+    ej = hash_bucket_join(
+        eh, emin, on="h", output_columns=["doc_id", "keep_id"],
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.string())]),
+        right_schema=pa.schema([("h", pa.string()), ("keep_id", pa.int64())]),
+    ).materialize()
+    e_drop = _verdict(
+        ej.map_batches(
+            lambda b: b.filter(pc.not_equal(b["doc_id"], b["keep_id"])).select(["doc_id"]),
+            batch_format="pyarrow",
+        ),
+        "dropped", "exact_duplicate", "",
+    )
+    s2 = _semi(
+        s1,
+        ej.map_batches(
+            lambda b: b.filter(pc.equal(b["doc_id"], b["keep_id"])).select(["doc_id"]),
+            batch_format="pyarrow",
+        ),
+    ).materialize()
+
+    # 3. near dedup (exact-recall mode; the oracle-checkable path)
+    nd_keep = near_dedup_keep_ids(s2, threshold=jaccard_threshold, exact=True).materialize()
+    nd_drop = _verdict(
+        hash_bucket_join(
+            s2.select_columns(["doc_id"]), nd_keep, on="doc_id",
+            output_columns=["doc_id"], how="left_anti", num_buckets=num_buckets,
+            left_schema=id_schema, right_schema=id_schema,
+        ),
+        "dropped", "near_duplicate", "",
+    )
+    s3 = _semi(s2, nd_keep).materialize()
+
+    # 4. decontamination (benchmark broadcast once; zero shuffles)
+    cf = contamination_flags(s3, benchmark).materialize()
+    c_drop = _verdict(
+        cf.map_batches(
+            lambda b: b.filter(b["contaminated"]).select(["doc_id"]),
+            batch_format="pyarrow",
+        ),
+        "dropped", "contaminated", "",
+    )
+
+    # 5. split assignment for the kept survivors (pure map)
+    def _split(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(
+                    [split_of(i) for i in batch["doc_id"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    kept = _verdict(
+        cf.map_batches(
+            lambda b: b.filter(pc.invert(b["contaminated"])).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).map_batches(_split, batch_format="pyarrow"),
+        "kept", "ok", "split",
+    )
+
+    return q_drop.union(e_drop).union(nd_drop).union(c_drop).union(kept)
