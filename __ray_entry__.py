@@ -5875,6 +5875,45 @@ def _near_dedup_longest(sf_dir: str):
     )
 
 
+def _events_props_hist(sf_dir: str):
+    """JSON payload histogram (stages/diagnostics.json_field_histogram):
+    the integer 'k' field parsed out of the events.props JSON string,
+    bucketed by decade, counted per event_type combiner-first."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        json_field_histogram,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return (
+        json_field_histogram(ev, "props", "k", "event_type", bucket_width=10)
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+def _events_mad_outliers(sf_dir: str):
+    """Robust MAD outlier flags per event_type
+    (stages/diagnostics.mad_outliers): integer-quantized values, exact
+    discrete median + MAD via the value-CDF combiner, all-int64 flag
+    dev > 3*MAD. The heavy-tail-safe cousin of events_outliers."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import mad_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return (
+        mad_outliers(ev, "value", "event_type", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6396,6 +6435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": R.q_events_attribution,
         "events_twap": _events_twap,
         "documents_curation": _documents_curation,
+        "events_props_hist": _events_props_hist,
+        "events_mad_outliers": _events_mad_outliers,
     }
 
 
@@ -8640,4 +8681,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s.user_id
         """,
         "documents_curation": _documents_curation_sql(),
+        "events_props_hist": """
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS bucket,
+                   count(*) AS n
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2 ORDER BY event_type, bucket
+        """,
+        # MAD outliers: quantize -> exact discrete median -> |dev| ->
+        # exact MAD -> all-int64 flag (quantile_disc == group_quantiles)
+        "events_mad_outliers": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ), med AS (
+                SELECT event_type, quantile_disc(vq, 0.5) AS med
+                FROM q GROUP BY 1
+            ), d AS (
+                SELECT q.event_id, q.event_type, q.vq,
+                       abs(q.vq - med.med) AS dev
+                FROM q JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_id, d.event_type, d.vq, d.dev,
+                   d.dev > 3 * mad.mad AS is_outlier
+            FROM d JOIN mad USING (event_type)
+            ORDER BY d.event_id
+        """,
     }

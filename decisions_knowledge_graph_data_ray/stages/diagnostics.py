@@ -925,3 +925,119 @@ def k_anonymity(
         ),
         batch_format="pyarrow",
     )
+
+
+def json_field_histogram(
+    ds: ray.data.Dataset,
+    json_col: str,
+    field: str,
+    group_col: str,
+    bucket_width: int = 10,
+) -> ray.data.Dataset:
+    """Histogram of an integer field extracted from a JSON-string column,
+    per group — the semi-structured payload path (event properties,
+    request metadata) every log pipeline needs: parse once, bucket by
+    ``value // bucket_width``, count combiner-first. Rows whose JSON is
+    null/invalid or lack the field are dropped (mirrored by the oracle's
+    ``IS NOT NULL`` on ``json_extract_string``).
+
+    Scale shape: the parse is per row inside the batch (stdlib json —
+    no driver involvement); the shuffle carries one partial row per
+    distinct (group, bucket) per batch via :func:`..skew.combiner_aggregate`.
+    Output: ``(group, bucket, n)``.
+    """
+    import json
+
+    from .skew import combiner_aggregate
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        gs, bs = [], []
+        for g, s in zip(batch[group_col].to_pylist(), batch[json_col].to_pylist()):
+            if s is None:
+                continue
+            try:
+                v = json.loads(s).get(field)
+            except (ValueError, AttributeError):
+                continue
+            if not isinstance(v, int) or isinstance(v, bool):
+                continue
+            gs.append(g)
+            bs.append(v // bucket_width)
+        return pa.table({group_col: pa.array(gs), "bucket": pa.array(bs, pa.int64())})
+
+    rows = ds.select_columns([group_col, json_col]).map_batches(
+        _extract, batch_format="pyarrow"
+    )
+    return combiner_aggregate(rows, [group_col, "bucket"], {"n": ("count", None)})
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_mad: int = 3,
+    scale: float = 100.0,
+) -> ray.data.Dataset:
+    """Per-group ROBUST outlier flags via median absolute deviation — the
+    heavy-tail-safe cousin of :func:`zscore_outliers` (one extreme value
+    drags a mean/σ but not a median/MAD): quantize values to ints
+    (``floor(v·scale + 0.5)``), per-group exact discrete median via the
+    value-CDF combiner (:func:`group_quantiles`), deviations
+    ``|x - med|``, per-group exact MAD (median of deviations), flag
+    ``dev > n_mad · MAD``. EVERY comparison is int64 — no float anywhere
+    after quantization, so the flags are bit-reproducible in SQL.
+
+    Scale shape: two bounded value-CDF passes (shuffle ≤ distinct values
+    per group per batch) whose |groups|-row results broadcast via
+    ``ray.put``; the wide data streams through two vectorized maps.
+    Output: ``(id, group, vq, dev, is_outlier)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    def _q(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(v * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "vq": pa.array(x, pa.int64()),
+            }
+        )
+
+    quant = ds.select_columns([id_col, group_col, value_col]).map_batches(
+        _q, batch_format="pyarrow"
+    ).materialize()  # read for the median pass AND the deviation map
+
+    med_df = group_quantiles(quant, "vq", group_col, qs=(0.5,)).to_pandas()
+    med_ref = _ray.put(dict(zip(med_df[group_col], med_df["q50"])))
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        med = broadcast_cache(med_ref)
+        g = batch[group_col].to_pylist()
+        x = batch["vq"].to_numpy()
+        m = np.array([med[k] for k in g], dtype=np.int64)
+        return batch.append_column("dev", pa.array(np.abs(x - m), pa.int64()))
+
+    devs = quant.map_batches(_dev, batch_format="pyarrow").materialize()
+
+    mad_df = group_quantiles(devs, "dev", group_col, qs=(0.5,)).to_pandas()
+    mad_ref = _ray.put(dict(zip(mad_df[group_col], mad_df["q50"])))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        mad = broadcast_cache(mad_ref)
+        g = batch[group_col].to_pylist()
+        m = np.array([mad[k] for k in g], dtype=np.int64)
+        return batch.append_column(
+            "is_outlier", pa.array(batch["dev"].to_numpy() > n_mad * m, pa.bool_())
+        )
+
+    return devs.map_batches(_flag, batch_format="pyarrow")
