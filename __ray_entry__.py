@@ -5914,6 +5914,38 @@ def _events_mad_outliers(sf_dir: str):
     )
 
 
+def _kg_boilerplate_turns(sf_dir: str):
+    """Cross-conversation boilerplate-turn flags
+    (stages/transcript_prep.boilerplate_turns): a turn text appearing in
+    >= 5 DISTINCT conversations is boilerplate — RefinedWeb/CCNet
+    line-dedup transposed to agent transcripts (canned system prompts,
+    tool banners). distinct (md5-key, conv) pairs combiner-first, one
+    bounded count groupby, hot set broadcast back (join fallback above
+    the cap)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.transcript_prep import (
+        boilerplate_turns,
+    )
+
+    out = boilerplate_turns(read_transcripts(sf_dir)).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _kg_conv_quality(sf_dir: str):
+    """Per-conversation extraction-worthiness profile
+    (stages/transcript_prep.conv_quality): turn count, RE2
+    citation-trigger turn count, boilerplate count, mean turn length, and
+    an integer-exact keep verdict — the gate that decides which
+    conversations reach the expensive extraction pool at 10^12-turn
+    scale. One fused per-turn map -> per-conv Sum/Count aggregates; the
+    shuffle moves 4-int rows, never text."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.transcript_prep import conv_quality
+
+    out = conv_quality(read_transcripts(sf_dir)).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -5933,6 +5965,42 @@ def _documents_curation(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _kg_conv_quality_sql() -> str:
+    """SQL twin of stages/transcript_prep.conv_quality: the trigger
+    patterns are spliced from the SAME module constants both sides run
+    (RE2 in pyarrow.compute and in DuckDB), so they can never drift."""
+    from decisions_knowledge_graph_data_ray.stages.transcript_prep import (
+        ARTICLE_TRIGGER,
+        ECLI_TRIGGER,
+    )
+
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{_sf001_transcripts_path()}')
+        ), hot AS (
+            SELECT text FROM t
+            GROUP BY text HAVING count(DISTINCT conv_id) >= 5
+        ), f AS (
+            SELECT t.conv_id,
+                   CASE WHEN regexp_matches(t.text, '{ECLI_TRIGGER}')
+                          OR regexp_matches(t.text, '{ARTICLE_TRIGGER}')
+                        THEN 1 ELSE 0 END AS cite_i,
+                   CASE WHEN h.text IS NOT NULL THEN 1 ELSE 0 END AS boiler_i,
+                   length(t.text) AS tlen
+            FROM t LEFT JOIN hot h USING (text)
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               CAST(sum(cite_i) AS BIGINT) AS n_cite_turns,
+               CAST(sum(boiler_i) AS BIGINT) AS n_boilerplate,
+               CAST(sum(tlen) AS DOUBLE) / count(*) AS mean_len,
+               (count(*) >= 3 AND sum(cite_i) >= 1
+                AND sum(boiler_i) * 2 <= count(*)) AS keep
+        FROM f GROUP BY conv_id ORDER BY conv_id
+    """
 
 
 def _documents_curation_sql() -> str:
@@ -6437,6 +6505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_curation": _documents_curation,
         "events_props_hist": _events_props_hist,
         "events_mad_outliers": _events_mad_outliers,
+        "kg_boilerplate_turns": _kg_boilerplate_turns,
+        "kg_conv_quality": _kg_conv_quality,
     }
 
 
@@ -8712,4 +8782,21 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN mad USING (event_type)
             ORDER BY d.event_id
         """,
+        # boilerplate turns: the oracle keys on the raw text (equivalent to
+        # the engine's md5-low-64 content key, which exists only to keep
+        # the shuffle int-sized)
+        "kg_boilerplate_turns": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), hot AS (
+                SELECT text FROM t
+                GROUP BY text HAVING count(DISTINCT conv_id) >= 5
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   (h.text IS NOT NULL) AS is_boilerplate
+            FROM t LEFT JOIN hot h USING (text)
+            ORDER BY t.conv_id, t.turn_idx
+        """,
+        "kg_conv_quality": _kg_conv_quality_sql(),
     }
