@@ -5946,6 +5946,123 @@ def _kg_conv_quality(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _embeddings_rp(sf_dir: str):
+    """Johnson–Lindenstrauss random projection
+    (stages/similarity.random_project): every embedding through the
+    seed-stable hash-derived 64→8 matrix, wide double columns rounded to
+    6 — a pure per-batch matmul, zero shuffle; the matrix is regenerated
+    per worker from the seed. The cheap front half of any downstream
+    ANN/cluster pass over very high-dim embeddings."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import random_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        random_project(emb, out_dim=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def _embeddings_mmr(sf_dir: str):
+    """Maximal-marginal-relevance diversified top-10 for the vec_id-0
+    query (stages/similarity.mmr_topk): distributed brute-force top-50
+    relevance prefilter (partial-top-k combiner, float64 round-6), then
+    greedy λ-trade-off selection on the driver over the bounded candidate
+    set. rel and pairwise sims become int64 micro-units (round-6 × 1e6)
+    and the λ=0.7 trade-off runs as integer weights 7/3, so the SQL
+    twin's argmax is bit-identical (no float rounding boundary)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import mmr_topk
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_topk(emb, query_id=0, k=10, n_candidates=50)
+
+
+def _embeddings_rp_sql(out_dim: int = 8, dim: int = 64) -> str:
+    """SQL twin of random_project: the projection matrix columns are
+    spliced as DOUBLE literals from the SAME rp_matrix the engine runs."""
+    from decisions_knowledge_graph_data_ray.stages.similarity import rp_matrix
+
+    r = rp_matrix(dim, out_dim)
+    cols = ",\n                   ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(v)) for v in r[:, j])
+        + f"]), 6) AS p{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+        SELECT vec_id,
+               {cols}
+        FROM embeddings ORDER BY vec_id
+    """
+
+
+def _embeddings_mmr_sql(k: int = 10, n: int = 50) -> str:
+    """SQL twin of mmr_topk: top-n candidate CTE (the embeddings_topk
+    cosine form), MATERIALIZED pairwise sims, then the greedy selection
+    unrolled as k chained CTEs (argmax by mmr DESC, vec_id — DuckDB
+    forbids aggregates in recursive CTEs, and k is a constant)."""
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        MMR_LAM_NUM,
+        MMR_OML_NUM,
+        MMR_SCORE_DEN,
+    )
+
+    parts = [
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        # rel_u / s: int64 micro-unit cosines (round-6 × 1e6) — the greedy
+        # arithmetic below is integer-exact on both sides
+        f"""cand AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS rel,
+                   CAST(round(round(list_cosine_similarity(embedding::DOUBLE[], q.qe::DOUBLE[]), 6) * 1000000.0) AS BIGINT) AS rel_u
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY rel DESC, vec_id LIMIT {n})""",
+        """sims AS MATERIALIZED (
+            SELECT a.vec_id AS ai, b.vec_id AS bi,
+                   CAST(round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) * 1000000.0) AS BIGINT) AS s
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)""",
+        # every chained CTE MATERIALIZED: sel{{i}} references selall{{i-1}}
+        # twice and selall{{i}} references both — DuckDB inlines CTEs, so
+        # without MATERIALIZED the chain re-expands ~3^k times (the
+        # SKILL.md block-citations gotcha)
+        f"sel1 AS MATERIALIZED (SELECT vec_id, rel, {MMR_LAM_NUM} * rel_u AS mmr_u, "
+        "1 AS rank FROM cand ORDER BY mmr_u DESC, vec_id LIMIT 1)",
+        "selall1 AS MATERIALIZED (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"selall{i - 1}"
+        parts.append(f"""sel{i} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel,
+                   {MMR_LAM_NUM} * c.rel_u - {MMR_OML_NUM} * (
+                       SELECT max(s.s) FROM sims s JOIN {prev} p
+                       ON s.ai = c.vec_id AND s.bi = p.vec_id) AS mmr_u,
+                   {i} AS rank
+            FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+            ORDER BY mmr_u DESC, c.vec_id LIMIT 1)""")
+        parts.append(
+            f"selall{i} AS MATERIALIZED "
+            f"(SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})"
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT rank, vec_id, rel AS relevance,
+               mmr_u / {MMR_SCORE_DEN!r} AS mmr_score
+        FROM selall{k} ORDER BY rank
+    """
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6507,6 +6624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _events_mad_outliers,
         "kg_boilerplate_turns": _kg_boilerplate_turns,
         "kg_conv_quality": _kg_conv_quality,
+        "embeddings_rp": _embeddings_rp,
+        "embeddings_mmr": _embeddings_mmr,
     }
 
 
@@ -8799,4 +8918,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.conv_id, t.turn_idx
         """,
         "kg_conv_quality": _kg_conv_quality_sql(),
+        "embeddings_rp": _embeddings_rp_sql(),
+        "embeddings_mmr": _embeddings_mmr_sql(),
     }

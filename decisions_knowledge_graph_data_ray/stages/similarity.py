@@ -705,3 +705,157 @@ def gram_matrix(
         .groupby(["i", "j"])
         .aggregate(Sum("s", alias_name="s"))
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson–Lindenstrauss) + MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+# MMR trade-off λ = 0.7 as INTEGER weights over micro-unit scores:
+# score_u = 7·rel_u − 3·pen_u where rel_u/pen_u are the round-6 cosines
+# × 1e6 as int64. All selection arithmetic is integer-exact, so the SQL
+# twin's argmax can never drift on a float rounding boundary (a double
+# λ·rel − (1−λ)·pen landed exactly on a .5 ulp at 6 dp in testing).
+MMR_LAM_NUM = 7
+MMR_OML_NUM = 3
+MMR_SCORE_DEN = 10_000_000.0  # score_u → display double (exact both sides)
+
+
+def rp_matrix(dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Seed-stable dense random-projection matrix (dim × out_dim):
+    hash-derived uniform [-1, 1) entries scaled by 1/sqrt(out_dim), the
+    same no-RNG-state rule as _hyperplanes — every worker (and the SQL
+    twin, via spliced literals) regenerates the identical matrix. float64
+    end-to-end: there is no float32 intermediate to drift from the
+    oracle's DOUBLE literals."""
+    out = np.empty((dim, out_dim), dtype=np.float64)
+    for j in range(out_dim):
+        for d in range(dim):
+            h = hashlib.blake2b(f"rp-{seed}-{j}-{d}".encode(), digest_size=8).digest()
+            out[d, j] = (int.from_bytes(h, "little") / 2**64) * 2.0 - 1.0
+    return out / np.sqrt(out_dim)
+
+
+def random_project(
+    embeddings: ray.data.Dataset,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction: project every
+    embedding through the seed-stable dense matrix to ``out_dim`` WIDE
+    double columns (p0..p{out_dim-1}), rounded to ``round_to`` so the
+    DuckDB list_dot_product twin (sequential sum vs numpy pairwise sum,
+    ~1e-15 apart) lands on the same value.
+
+    Pure per-batch matmul — zero shuffle, zero state; the matrix is
+    regenerated per worker from the seed (dim × out_dim doubles, cheaper
+    than shipping it). The 100-TB shape: this is the cheap front half of
+    any downstream ANN/cluster pass over very high-dim embeddings."""
+    dim = _infer_dim(embeddings)
+    r = rp_matrix(dim, out_dim, seed)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        p = np.round(x @ r, round_to)
+        cols = {id_col: batch[id_col]}
+        for j in range(out_dim):
+            cols[f"p{j}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(cols)
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        _proj, batch_format="pyarrow"
+    )
+
+
+def mmr_topk(
+    embeddings: ray.data.Dataset,
+    query_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal-marginal-relevance diversified top-k for one query vector
+    (the embedding of ``query_id``): a DISTRIBUTED brute-force cosine
+    prefilter picks the ``n_candidates`` most relevant vectors (partial
+    top-k combiner, round-6 float64 — the brute_force_topk contract), then
+    the greedy MMR selection runs on the driver over that bounded
+    candidate set (k × n_candidates scores — driver work by definition,
+    like the reference's top-3 candidate caps).
+
+    score_u(d) = MMR_LAM_NUM·rel_u(d) − MMR_OML_NUM·max_{s∈selected}
+    sim_u(d,s) over int64 micro-unit cosines (round-6 × 1e6) — integer
+    arithmetic, so the SQL twin selects bit-identically; ties break on min
+    vec_id. Returns a pandas frame (rank, vec_id, relevance, mmr_score)
+    — k rows, bounded by definition."""
+    import pandas as pd
+
+    qvec = None
+    for blk in embeddings.filter(expr=f"{id_col} == {query_id}").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if blk.num_rows:
+            qvec = np.asarray(blk[vec_col].to_pylist()[0], dtype=np.float64)
+            break
+    if qvec is None:
+        raise ValueError(f"query_id {query_id} not found")
+
+    q_ref = ray.put({"query_id": [query_id], "matrix": qvec[None, :]})
+    top = brute_force_topk(
+        embeddings.filter(expr=f"{id_col} != {query_id}"),
+        q_ref,
+        k=n_candidates,
+        dtype=np.float64,
+        round_to=6,
+    ).to_pandas()
+
+    cand_ids = top[id_col].tolist()
+    rel = dict(zip(top[id_col], top["cosine"]))
+    idset_ref = ray.put(set(cand_ids))
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        ids = broadcast_cache(idset_ref)
+        mask = pa.array([v in ids for v in batch[id_col].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    cdf = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(_pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = {v: i for i, v in enumerate(cand_ids)}
+    cdf = cdf.sort_values(id_col, key=lambda s: s.map(order)).reset_index(drop=True)
+    m = _normalize(np.asarray(cdf[vec_col].tolist(), dtype=np.float64))
+    sims_u = np.rint(np.round(m @ m.T, 6) * 1e6).astype(np.int64)
+    rel_u = {vid: int(round(r * 1e6)) for vid, r in rel.items()}
+
+    sel_pos: list[int] = []
+    rows = []
+    remaining = list(range(len(cand_ids)))
+    for rank in range(1, min(k, len(cand_ids)) + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            vid = cand_ids[i]
+            penalty_u = int(sims_u[i, sel_pos].max()) if sel_pos else 0
+            score_u = MMR_LAM_NUM * rel_u[vid] - MMR_OML_NUM * penalty_u
+            if best_score is None or score_u > best_score or (
+                score_u == best_score and vid < cand_ids[best_i]
+            ):
+                best_i, best_score = i, score_u
+        remaining.remove(best_i)
+        sel_pos.append(best_i)
+        vid = cand_ids[best_i]
+        rows.append(
+            {
+                "rank": rank,
+                id_col: vid,
+                "relevance": rel[vid],
+                "mmr_score": best_score / MMR_SCORE_DEN,
+            }
+        )
+    return pd.DataFrame(rows)
