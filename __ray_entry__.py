@@ -6063,6 +6063,44 @@ def _embeddings_mmr_sql(k: int = 10, n: int = 50) -> str:
     )
 
 
+def _documents_bigram_surprisal(sf_dir: str):
+    """Self-trained bigram-LM surprisal
+    (stages/text_analysis.bigram_surprisal): add-one-smoothed conditional
+    surprisal, corpus uni/bigram counts combiner-first then broadcast,
+    left-fold sum in document bigram order (list_reduce twin)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        bigram_surprisal,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        bigram_surprisal(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _documents_lexdiv(sf_dir: str):
+    """Lexical-diversity profile (stages/text_analysis.lexical_diversity):
+    type-token ratio + in-document hapax counts — pure per-batch map."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        lexical_diversity,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        lexical_diversity(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6626,6 +6664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_quality": _kg_conv_quality,
         "embeddings_rp": _embeddings_rp,
         "embeddings_mmr": _embeddings_mmr,
+        "documents_bigram_surprisal": _documents_bigram_surprisal,
+        "documents_lexdiv": _documents_lexdiv,
     }
 
 
@@ -8920,4 +8960,65 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_quality": _kg_conv_quality_sql(),
         "embeddings_rp": _embeddings_rp_sql(),
         "embeddings_mmr": _embeddings_mmr_sql(),
+        # bigram LM surprisal: uni/bigram counts -> add-one smoothed
+        # conditional lnp -> left-fold in bigram order (the
+        # documents_surprisal list_reduce discipline); histories at
+        # document ends keep their full unigram mass (contract choice,
+        # mirrored by the engine)
+        "documents_bigram_surprisal": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), tokpos AS (
+                SELECT doc_id, i, w[i] AS token
+                FROM ws, unnest(range(1, len(w) + 1)) r(i)
+            ), big AS MATERIALIZED (
+                SELECT doc_id, i, w[i - 1] AS prev, w[i] AS cur
+                FROM ws, unnest(range(2, len(w) + 1)) r(i)
+            ), uni AS (
+                SELECT token, count(*) AS c FROM tokpos GROUP BY token
+            ), bic AS (
+                SELECT prev, cur, count(*) AS c FROM big GROUP BY prev, cur
+            ), v AS (
+                SELECT count(*) AS vsize FROM uni
+            ), j AS (
+                SELECT b.doc_id, b.i,
+                       ln(CAST(bc.c + 1 AS DOUBLE) / CAST(u.c + v.vsize AS DOUBLE)) AS lnp
+                FROM big b
+                JOIN bic bc ON b.prev = bc.prev AND b.cur = bc.cur
+                JOIN uni u ON u.token = b.prev
+                CROSS JOIN v
+            ), l AS (
+                SELECT doc_id, list(lnp ORDER BY i) AS lnps
+                FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(len(l.lnps), 0) AS n_bigrams,
+                   coalesce(-(list_reduce(l.lnps, (a, b) -> a + b)
+                              / len(l.lnps)), 0.0::DOUBLE) AS avg_surprisal
+            FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id
+            ORDER BY d.doc_id
+        """,
+        "documents_lexdiv": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ), perdoc AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM tok GROUP BY doc_id, token
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                FROM perdoc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_types, 0) AS n_types,
+                   coalesce(a.n_hapax, 0) AS n_hapax,
+                   coalesce(CAST(a.n_types AS DOUBLE) / a.n_tokens, 0.0::DOUBLE) AS ttr
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
     }

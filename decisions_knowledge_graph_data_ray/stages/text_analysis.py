@@ -1025,3 +1025,148 @@ def readability(
     return docs.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def bigram_surprisal(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Self-trained bigram-LM surprisal per document — the sequence-aware
+    upgrade of unigram_surprisal: ``avg_surprisal = -(1/(n-1)) Σ_{i=2..n}
+    ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V))`` (add-one smoothing over
+    the corpus vocabulary V; history mass approximated by the corpus
+    unigram count — the denominator choice is part of the contract and the
+    SQL twin replays it exactly). The sum is a LEFT FOLD in document
+    bigram order so the double is bit-reproducible
+    (``list_reduce(list(lnp ORDER BY i))`` in the oracle).
+
+    Scale shape: unigram AND bigram corpus counts via the vocabulary
+    combiner discipline (one partial row per distinct [bi]gram per batch →
+    groupby Sum), collected once and broadcast via ``ray.put`` —
+    O(|bigram vocab|), the same bounded-vocabulary assumption as
+    unigram_surprisal/tfidf (natural-language bigram vocabularies are
+    millions, not corpus-sized; gate with a vocabulary() pre-pass if in
+    doubt). Scoring streams with zero shuffles."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(_WORD_RE.findall(t.lower()))
+        toks = list(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    def _bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            ws = _WORD_RE.findall(t.lower())
+            c.update(zip(ws, ws[1:]))
+        keys = list(c)
+        return pa.table(
+            {
+                "prev": pa.array([k[0] for k in keys], pa.string()),
+                "cur": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(_uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    bi = (
+        docs.map_batches(_bi_partial, batch_format="pyarrow")
+        .groupby(["prev", "cur"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    umap: dict = {}
+    for blk in uni.iter_batches(batch_format="pyarrow", batch_size=None):
+        umap.update(zip(blk["token"].to_pylist(), blk["n"].to_pylist()))
+    bmap: dict = {}
+    for blk in bi.iter_batches(batch_format="pyarrow", batch_size=None):
+        bmap.update(
+            zip(
+                zip(blk["prev"].to_pylist(), blk["cur"].to_pylist()),
+                blk["n"].to_pylist(),
+            )
+        )
+    vsize = len(umap)
+    state_ref = ray.put((umap, bmap, vsize))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        um, bm, v = broadcast_cache(state_ref)
+        ids, ns, avgs = [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            ws = _WORD_RE.findall(text.lower())
+            n = len(ws) - 1
+            # sequential left fold — the oracle's list_reduce twin
+            s = sum(
+                math.log((bm[(p, c)] + 1) / (um[p] + v))
+                for p, c in zip(ws, ws[1:])
+            )
+            ids.append(i)
+            ns.append(max(n, 0))
+            avgs.append(-(s / n) if n > 0 else 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_bigrams": pa.array(ns, pa.int64()),
+                "avg_surprisal": pa.array(avgs, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )
+
+
+def lexical_diversity(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document lexical-diversity profile — the vocabulary-richness
+    quality features (type-token ratio, hapax ratio) a data-curation pass
+    uses alongside gopher/repetition stats: ``(doc_id, n_tokens, n_types,
+    n_hapax, ttr)`` where hapax counts tokens occurring exactly once IN
+    THE DOCUMENT and ttr = n_types / n_tokens (exact int division → double,
+    identical both sides; 0.0 for empty docs).
+
+    Pure per-batch map — zero shuffle, zero state."""
+    from collections import Counter
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids, nt, ty, hp, ttr = [], [], [], [], []
+        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            c = Counter(_WORD_RE.findall(text.lower()))
+            n = sum(c.values())
+            ids.append(i)
+            nt.append(n)
+            ty.append(len(c))
+            hp.append(sum(1 for v in c.values() if v == 1))
+            ttr.append(len(c) / n if n else 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_types": pa.array(ty, pa.int64()),
+                "n_hapax": pa.array(hp, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
