@@ -6101,6 +6101,85 @@ def _documents_lexdiv(sf_dir: str):
     )
 
 
+def _embeddings_pca(sf_dir: str):
+    """Top principal-component scores
+    (stages/similarity.pca_top_component): distributed int64-exact Gram
+    (dim²-bounded shuffle) → driver power iteration with SEQUENTIAL left
+    folds (the SQL twin replays them via ordered list_reduce, so the
+    eigenvector is bit-identical) → zero-shuffle projection map."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.similarity import (
+        pca_top_component,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    scores, _ = pca_top_component(emb, iters=10, scale=_GRAM_SCALE)
+    return scores.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _embeddings_pca_sql(iters: int = 10, dim: int = 64) -> str:
+    """SQL twin of pca_top_component: the embeddings_gram quantization
+    (same _GRAM_SCALE), full-matrix expansion, then ``iters`` unrolled
+    power steps where every sum is an ordered list_reduce — matching the
+    engine's sequential driver folds operation for operation. Every
+    chained CTE MATERIALIZED (each step references its predecessor
+    multiple times — the CTE re-inlining gotcha)."""
+    parts = [
+        f"""x AS MATERIALIZED (
+            SELECT vec_id, i,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * {_GRAM_SCALE!r}::DOUBLE + 0.5::DOUBLE)
+                        AS BIGINT) AS q
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i))""",
+        """gup AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i)""",
+        """gfull AS MATERIALIZED (
+            SELECT i, j, s FROM gup
+            UNION ALL
+            SELECT j AS i, i AS j, s FROM gup WHERE i < j)""",
+        f"""v0 AS MATERIALIZED (
+            SELECT i, 1.0::DOUBLE / sqrt({float(dim)!r}::DOUBLE) AS vx
+            FROM range(1, {dim + 1}) r(i))""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+            SELECT g.i AS i,
+                   list_reduce(list(CAST(g.s AS DOUBLE) * v.vx ORDER BY g.j),
+                               (a, b) -> a + b) AS w
+            FROM gfull g JOIN v{t - 1} v ON v.i = g.j
+            GROUP BY g.i)""")
+        parts.append(f"""n{t} AS MATERIALIZED (
+            SELECT sqrt(list_reduce(list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm
+            FROM w{t})""")
+        parts.append(f"""v{t} AS MATERIALIZED (
+            SELECT i, w / (SELECT nrm FROM n{t}) AS vx FROM w{t})""")
+    parts.append(f"""sgn AS (
+            SELECT CASE WHEN (SELECT vx FROM v{iters} WHERE i = 1) < 0.0::DOUBLE
+                        THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS s)""")
+    parts.append(f"""vf AS MATERIALIZED (
+            SELECT i, vx * (SELECT s FROM sgn) AS vx FROM v{iters})""")
+    parts.append("""e AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i))""")
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT e.vec_id,
+               round(list_dot_product(list(e.val ORDER BY e.i),
+                                      list(v.vx ORDER BY e.i)), 6) AS pc1
+        FROM e JOIN vf v ON v.i = e.i
+        GROUP BY e.vec_id
+        ORDER BY e.vec_id
+    """
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6666,6 +6745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mmr": _embeddings_mmr,
         "documents_bigram_surprisal": _documents_bigram_surprisal,
         "documents_lexdiv": _documents_lexdiv,
+        "embeddings_pca": _embeddings_pca,
     }
 
 
@@ -9021,4 +9101,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
             ORDER BY d.doc_id
         """,
+        "embeddings_pca": _embeddings_pca_sql(),
     }

@@ -859,3 +859,73 @@ def mmr_topk(
             }
         )
     return pd.DataFrame(rows)
+
+
+def pca_top_component(
+    embeddings: ray.data.Dataset,
+    iters: int = 10,
+    scale: float = 10000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Top principal-component scores via the distributed Gram matrix +
+    driver-side power iteration — the classic two-phase PCA shape:
+
+      1. ``gram_matrix`` streams the corpus once (per-batch QᵀQ over
+         int64-quantized rows → dim²-bounded groupby Sum) — EXACT integer
+         arithmetic, independent of partitioning;
+      2. power iteration runs on the driver over the dim×dim matrix
+         (trivial), with every accumulation a SEQUENTIAL left fold in
+         index order so the SQL twin (list_reduce over ORDER BY lists)
+         reproduces the eigenvector BIT-EXACTLY — no rounding resync
+         needed;
+      3. a final zero-shuffle map projects every embedding onto the
+         (sign-normalized: first component ≥ 0) eigenvector, rounded to
+         ``round_to``.
+
+    Returns (scores_dataset, eigenvector ndarray). At 100 TB only phase 1
+    touches the corpus; its shuffle moves dim(dim+1)/2 int rows per batch."""
+    import math
+
+    g = gram_matrix(embeddings, vec_col=vec_col, scale=scale).to_pandas()
+    d = int(g["j"].max())
+    G = [[0.0] * d for _ in range(d)]
+    for i, j, s in zip(g["i"], g["j"], g["s"]):
+        G[i - 1][j - 1] = float(s)
+        G[j - 1][i - 1] = float(s)
+
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += G[i][j] * v[j]
+            w.append(acc)
+        n2 = 0.0
+        for x in w:
+            n2 += x * x
+        nrm = math.sqrt(n2)
+        v = [x / nrm for x in w]
+    if v[0] < 0.0:
+        v = [x * -1.0 for x in v]
+    vec = np.asarray(v, dtype=np.float64)
+    vec_ref = ray.put(vec)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        pc = broadcast_cache(vec_ref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pc1": pa.array(np.round(x @ pc, round_to), pa.float64()),
+            }
+        )
+
+    scores = embeddings.select_columns([id_col, vec_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )
+    return scores, vec
