@@ -6180,6 +6180,40 @@ def _embeddings_pca_sql(iters: int = 10, dim: int = 64) -> str:
     )
 
 
+def _kg_incremental(sf_dir: str):
+    """Incremental KG maintenance (pipelines/kg.run_kg_incremental): the
+    corpus is split 80/20 by md5(conv_id) into a BASE batch and a DELTA
+    batch; the delta joins without re-extracting the base (only the
+    id-only canonicalization + dedup re-run globally). The result must be
+    row-identical to the full-corpus graph — the oracle IS the
+    kg_triples SQL."""
+    import hashlib as _hl
+
+    import pyarrow as _pa
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import (
+        read_transcripts,
+        run_kg_incremental,
+    )
+
+    def _split(delta: bool):
+        def _f(batch: _pa.Table) -> _pa.Table:
+            mask = [
+                (int(_hl.md5(c.encode()).hexdigest()[:8], 16) % 5 == 4) == delta
+                for c in batch["conv_id"].to_pylist()
+            ]
+            return batch.filter(_pa.array(mask, _pa.bool_()))
+
+        return _f
+
+    ts = read_transcripts(sf_dir)
+    base = ts.map_batches(_split(False), batch_format="pyarrow")
+    delta = ts.map_batches(_split(True), batch_format="pyarrow")
+    out = run_kg_incremental(base, delta)
+    df = out["triples"].to_pandas()
+    return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6746,6 +6780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bigram_surprisal": _documents_bigram_surprisal,
         "documents_lexdiv": _documents_lexdiv,
         "embeddings_pca": _embeddings_pca,
+        "kg_incremental": _kg_incremental,
     }
 
 
@@ -9102,4 +9137,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "embeddings_pca": _embeddings_pca_sql(),
+        # incremental == full by contract: the oracle is the full-corpus
+        # graph SQL, so any incremental-path divergence (missed cross-batch
+        # component merge, double-emitted triple) hash-fails
+        "kg_incremental": _kg_triples_sql(),
     }

@@ -155,6 +155,37 @@ def run_kg_pipeline(
     config = config or KGConfig()
     if index_ref is None:
         index_ref = build_index_ref()
+    docs, extractions, fused = _run_fused(transcripts, index_ref, config)
+
+    triples, links, edges = split_fused(fused)
+
+    labels = connected_components(
+        edges,
+        num_partitions=config.cc_num_partitions,
+        driver_threshold=config.cc_driver_threshold,
+    )
+    all_triples = triples.union(canonical_triples(labels))
+    final_triples = dedup_triples(all_triples)
+
+    # failures come out of the MATERIALIZED fused table: in the streamed
+    # plan, filtering `extractions` would re-run assemble+extract end to end
+    failures = fused_failures(fused)
+
+    return {
+        "documents": docs,
+        "extractions": extractions,
+        "failures": failures,
+        "triples": final_triples,
+        "links": links,
+        "labels": labels,
+    }
+
+
+def _run_fused(transcripts: ray.data.Dataset, index_ref, config: "KGConfig"):
+    """assemble → extract → link+emit for ONE transcript batch, returning
+    (docs, extractions, fused). The fused table (ids + preds, no text) is
+    materialized; everything upstream streams one pass. This is the
+    per-batch unit of work that incremental maintenance reuses."""
     materialize = _effective_materialize(config)
     extract_pool, link_pool = _resolve_pools(config, materialize)
 
@@ -196,28 +227,52 @@ def run_kg_pipeline(
         batch_size=config.link_batch_size,
         concurrency=link_pool,
     ).materialize()  # small (ids + preds only); upstream streams one pass
+    return docs, extractions, fused
+
+
+def run_kg_incremental(
+    base_transcripts: ray.data.Dataset,
+    delta_transcripts: ray.data.Dataset,
+    index_ref=None,
+    config: KGConfig | None = None,
+) -> dict:
+    """Incremental KG maintenance: a DELTA batch of new conversations joins
+    an existing corpus WITHOUT re-extracting it.
+
+    Extraction and linking are per-conversation against a broadcast index,
+    so the base corpus's fused id-table is reusable as-is (in production it
+    is loaded from the per-partition stage checkpoint, state/manifest.py —
+    here recomputed via the same `_run_fused` unit); only the delta pays
+    the expensive assemble→extract→link pass. Canonicalization is the one
+    GLOBAL stage, so it re-runs over the MERGED id-only edge set (ids +
+    preds, no text — cheap by construction) and cross-batch entity
+    components merge correctly; dedup then collapses any triple emitted by
+    both batches. The output is row-identical to running the full pipeline
+    on base ∪ delta (asserted in tests and by the kg_incremental oracle,
+    which is the full-corpus kg_triples SQL).
+
+    100-TB shape: per-delta cost = extract(delta) + CC over the id-only
+    edge union + triple dedup — the heavy text pass never re-runs.
+    """
+    config = config or KGConfig()
+    if index_ref is None:
+        index_ref = build_index_ref()
+    _, _, fused_base = _run_fused(base_transcripts, index_ref, config)
+    _, _, fused_delta = _run_fused(delta_transcripts, index_ref, config)
+    fused = fused_base.union(fused_delta)
 
     triples, links, edges = split_fused(fused)
-
     labels = connected_components(
         edges,
         num_partitions=config.cc_num_partitions,
         driver_threshold=config.cc_driver_threshold,
     )
-    all_triples = triples.union(canonical_triples(labels))
-    final_triples = dedup_triples(all_triples)
-
-    # failures come out of the MATERIALIZED fused table: in the streamed
-    # plan, filtering `extractions` would re-run assemble+extract end to end
-    failures = fused_failures(fused)
-
+    final_triples = dedup_triples(triples.union(canonical_triples(labels)))
     return {
-        "documents": docs,
-        "extractions": extractions,
-        "failures": failures,
         "triples": final_triples,
         "links": links,
         "labels": labels,
+        "failures": fused_failures(fused),
     }
 
 
