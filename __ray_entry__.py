@@ -6214,6 +6214,93 @@ def _kg_incremental(sf_dir: str):
     return df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 
+def _events_zorder(sf_dir: str):
+    """Z-order (Morton) layout assignment (stages/reshape.zorder_assign):
+    interleave the low-16 bits of (user_id, epoch-hour) into zcode, then
+    range-partition into 64 buckets WITHOUT a global sort via the
+    rank_transform value-CDF. The multi-dimensional Parquet-layout pass a
+    100-TB table runs so range scans on either dimension touch a bounded
+    fraction of files."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.reshape import zorder_assign
+
+    import pyarrow as _pa
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def _hour(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        us = _np.asarray(
+            batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()),
+            dtype=_np.int64,
+        )
+        return _pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ehour": _pa.array(us // 3_600_000_000, _pa.int64()),
+            }
+        )
+
+    prepped = ev.map_batches(_hour, batch_format="pyarrow")
+    out = zorder_assign(prepped, "user_id", "ehour", "event_id", num_partitions=64)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _events_zorder_sql(num_partitions: int = 64, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((ub // {1 << b}) % 2) * {1 << (2 * b)})")
+        terms.append(f"(((tb // {1 << b}) % 2) * {1 << (2 * b + 1)})")
+    zexpr = " + ".join(terms)
+    return f"""
+        WITH base AS (
+            SELECT event_id, user_id % {1 << bits} AS ub,
+                   (epoch_us(ts) // 3600000000) % {1 << bits} AS tb
+            FROM events
+        ), z AS MATERIALIZED (
+            SELECT event_id, CAST({zexpr} AS BIGINT) AS zcode FROM base
+        ), cdf AS (
+            SELECT zcode, count(*) AS n FROM z GROUP BY zcode
+        ), c2 AS (
+            SELECT zcode,
+                   CAST(coalesce(sum(n) OVER (ORDER BY zcode
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS lt
+            FROM cdf
+        ), tot AS (SELECT count(*) AS nn FROM z)
+        SELECT z.event_id, z.zcode,
+               CAST((c2.lt * {num_partitions}) // tot.nn AS BIGINT) AS part_id
+        FROM z JOIN c2 USING (zcode) CROSS JOIN tot
+        ORDER BY z.event_id
+    """
+
+
+def _events_seasonal(sf_dir: str):
+    """Seasonality-aware Tukey-fence outliers
+    (stages/diagnostics.seasonal_outliers): per-(event_type, hour-of-week)
+    exact quartile baselines broadcast, integer cross-multiplied fence
+    test — values judged against their own weekly slot."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        seasonal_outliers,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value", "ts"],
+    )
+    return (
+        seasonal_outliers(ev, "value", "event_type", "ts", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6781,6 +6868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_lexdiv": _documents_lexdiv,
         "embeddings_pca": _embeddings_pca,
         "kg_incremental": _kg_incremental,
+        "events_zorder": _events_zorder,
+        "events_seasonal": _events_seasonal,
     }
 
 
@@ -9141,4 +9230,27 @@ def oracle_sql() -> dict[str, str]:
         # graph SQL, so any incremental-path divergence (missed cross-batch
         # component merge, double-emitted triple) hash-fails
         "kg_incremental": _kg_triples_sql(),
+        "events_zorder": _events_zorder_sql(),
+        # hour-of-week from raw epoch microseconds: dow = (days+4) % 7
+        # (Sunday=0, the dayofweek convention), no timezone; Tukey fences
+        # cross-multiplied so the flag is integer-exact
+        "events_seasonal": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+                       CAST((((epoch_us(ts) // 86400000000) + 4) % 7) * 24
+                            + ((epoch_us(ts) // 3600000000) % 24) AS BIGINT) AS how
+                FROM events
+            ), f AS (
+                SELECT event_type, how,
+                       quantile_disc(vq, 0.25) AS q25,
+                       quantile_disc(vq, 0.75) AS q75
+                FROM q GROUP BY event_type, how
+            )
+            SELECT q.event_id, q.event_type, q.how, q.vq,
+                   (2 * q.vq < 2 * f.q25 - 3 * (f.q75 - f.q25)
+                    OR 2 * q.vq > 2 * f.q75 + 3 * (f.q75 - f.q25)) AS is_outlier
+            FROM q JOIN f USING (event_type, how)
+            ORDER BY q.event_id
+        """,
     }

@@ -1041,3 +1041,92 @@ def mad_outliers(
         )
 
     return devs.map_batches(_flag, batch_format="pyarrow")
+
+
+def seasonal_outliers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    quantize_scale: float = 100.0,
+) -> ray.data.Dataset:
+    """Seasonality-aware Tukey-fence outlier flags: the baseline is the
+    per-(group, HOUR-OF-WEEK) exact quartile pair, so a value is judged
+    against its own weekly seasonal slot (weekday-evening purchases vs
+    3am-Sunday purchases), not the global distribution. INTEGER-EXACT end
+    to end: values quantize to int64, quartiles are percentile_disc data
+    elements (group_quantiles), and the fence test is cross-multiplied —
+    ``2·vq < 2·q25 − 3·iqr  OR  2·vq > 2·q75 + 3·iqr`` — so flags are
+    bit-reproducible and SQL-twin-exact.
+
+    Shape: one value-CDF combiner pass for the ≤ |groups|·168-row quartile
+    table (broadcast via ray.put), then a pure flag map — the wide data
+    never shuffles. Hour-of-week derives from raw epoch microseconds
+    (dow = (days + 4) % 7, Sunday = 0 — the DuckDB dayofweek convention),
+    no timezone."""
+    import numpy as np
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        vq = np.floor(v * quantize_scale + 0.5).astype(np.int64)
+        # normalize the timestamp unit first: parquet carries us, but
+        # from_items-style inputs arrive as timestamp[s]
+        us = np.asarray(
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            dtype=np.int64,
+        )
+        dow = ((us // 86_400_000_000) + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        how = dow * 24 + hour
+        gk = [
+            f"{g}:{h}" for g, h in zip(batch[group_col].to_pylist(), how.tolist())
+        ]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "how": pa.array(how, pa.int64()),
+                "vq": pa.array(vq, pa.int64()),
+                "gkey": pa.array(gk, pa.string()),
+            }
+        )
+
+    prepped = ds.select_columns([id_col, group_col, value_col, ts_col]).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+    qt = (
+        group_quantiles(
+            prepped.select_columns(["gkey", "vq"]), "vq", "gkey", qs=(0.25, 0.75)
+        )
+        .to_pandas()
+    )
+    fences = {
+        g: (int(a), int(b)) for g, a, b in zip(qt["gkey"], qt["q25"], qt["q75"])
+    }
+    import ray as _ray
+
+    fence_ref = _ray.put(fences)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        f = broadcast_cache(fence_ref)
+        vq = np.asarray(batch["vq"], dtype=np.int64)
+        q25 = np.empty(len(vq), dtype=np.int64)
+        q75 = np.empty(len(vq), dtype=np.int64)
+        for i, g in enumerate(batch["gkey"].to_pylist()):
+            q25[i], q75[i] = f[g]
+        iqr = q75 - q25
+        out = (2 * vq < 2 * q25 - 3 * iqr) | (2 * vq > 2 * q75 + 3 * iqr)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "how": batch["how"],
+                "vq": batch["vq"],
+                "is_outlier": pa.array(out, pa.bool_()),
+            }
+        )
+
+    return prepped.map_batches(_flag, batch_format="pyarrow")
