@@ -6301,6 +6301,71 @@ def _events_seasonal(sf_dir: str):
     )
 
 
+def _events_sliding_hll(sf_dir: str):
+    """Trailing-24h approximate distinct users, every hour
+    (stages/cardinality.sliding_hll_distinct): per-hour HLL register
+    tables (one streaming pass over raw events), each register flat-mapped
+    to the windows it serves (replication only over the TINY register
+    table), then a (window, bucket) Max merge + estimator. The register
+    power sums are exact powers of two (< 53 bits of exponent span), so
+    the estimate is bit-reproducible up to a final ln()."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import (
+        sliding_hll_distinct,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return (
+        sliding_hll_distinct(ev, "user_id", "ts", window_hours=24, b=6)
+        .to_pandas()
+        .sort_values("whour")
+        .reset_index(drop=True)
+    )
+
+
+def _events_sliding_hll_sql(window_hours: int = 24, b: int = 6) -> str:
+    width = 32 - b
+    m = 1 << b
+    alpha = "CAST('0.709' AS DOUBLE)"
+    raw = (
+        f"({alpha} * {m} * {m}) / "
+        f"(({m} - count(*)) + sum(power(2.0, -rho)))"
+    )
+    return f"""
+        WITH h AS (
+            SELECT (epoch_us(ts) // 3600000000) AS eh,
+                   {_md5_u32_sql("CAST(user_id AS VARCHAR)")} AS u32
+            FROM events
+        ), hr AS (
+            SELECT eh, u32 // {1 << width} AS bucket, u32 % {1 << width} AS rem
+            FROM h
+        ), regs AS MATERIALIZED (
+            SELECT eh, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN rem = 0 THEN {width + 1}
+                                 ELSE {width + 1} - length(bin(rem)) END)
+                        AS BIGINT) AS rho
+            FROM hr GROUP BY eh, bucket
+        ), mx AS (SELECT max(eh) AS mh FROM regs),
+        win AS (
+            SELECT r.eh + o AS whour, r.bucket, r.rho
+            FROM regs r, unnest(range(0, {window_hours})) t(o)
+            WHERE r.eh + o <= (SELECT mh FROM mx)
+        ), wregs AS MATERIALIZED (
+            SELECT whour, bucket, max(rho) AS rho
+            FROM win GROUP BY whour, bucket
+        )
+        SELECT whour,
+               count(*) AS n_nonzero,
+               CAST(sum(rho) AS BIGINT) AS sum_rho,
+               CAST(max(rho) AS BIGINT) AS max_rho,
+               round(CASE WHEN {raw} <= {2.5 * m!r} AND count(*) < {m}
+                          THEN {m} * ln({float(m)!r} / ({m} - count(*)))
+                          ELSE {raw} END, 6) AS hll_estimate
+        FROM wregs GROUP BY whour ORDER BY whour
+    """
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6870,6 +6935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _kg_incremental,
         "events_zorder": _events_zorder,
         "events_seasonal": _events_seasonal,
+        "events_sliding_hll": _events_sliding_hll,
     }
 
 
@@ -9253,4 +9319,5 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN f USING (event_type, how)
             ORDER BY q.event_id
         """,
+        "events_sliding_hll": _events_sliding_hll_sql(),
     }

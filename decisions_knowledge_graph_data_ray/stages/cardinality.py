@@ -504,3 +504,104 @@ def ams_f2_estimate(
     )
     out["f2_est"] = out["ss"] / float(r)
     return pd.DataFrame(out).sort_values(group_col).reset_index(drop=True)
+
+
+def sliding_hll_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    window_hours: int = 24,
+    b: int = 6,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Sliding-window approximate count-distinct — THE mergeable-sketch
+    window pattern a 100-TB event stream runs for "distinct users in the
+    trailing 24 h, every hour":
+
+      1. one streaming pass builds the per-HOUR HLL register table
+         (:func:`hll_registers` grouped by epoch-hour — ≤ 2^b int rows per
+         hour, never raw keys);
+      2. each register row flat-maps to the ``window_hours`` windows it
+         participates in (a pure map over the TINY register table — the
+         raw events are touched exactly once, the replication factor
+         applies only to hours × 2^b rows);
+      3. a (window, bucket) Max merge + per-window estimate.
+
+    Windows are labeled by their END hour; every hour up to the corpus
+    max is emitted (early windows cover fewer source hours). All register
+    math is integer; the estimator's power sums are sums of exact powers
+    of two spanning < 53 bits of exponent range, so they are BIT-EXACT
+    and order-independent — the estimate is rounded only against ln()
+    libm ulp drift. Output: ``(whour, n_nonzero, sum_rho, max_rho,
+    hll_estimate)``."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    m = 1 << b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = np.asarray(
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()), dtype=np.int64
+        )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "ehour": pa.array(us // 3_600_000_000, pa.int64()),
+            }
+        )
+
+    hourly = ds.select_columns([key_col, ts_col]).map_batches(
+        _hour, batch_format="pyarrow"
+    )
+    regs = hll_registers(hourly, key_col, "ehour", b=b).materialize()
+    max_hour = regs.max("ehour")
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        eh = batch["ehour"].to_pylist()
+        bk = batch["bucket"].to_pylist()
+        rho = batch["rho"].to_pylist()
+        wh, wb, wr = [], [], []
+        for e, k, r in zip(eh, bk, rho):
+            for o in range(window_hours):
+                if e + o <= max_hour:
+                    wh.append(e + o)
+                    wb.append(k)
+                    wr.append(r)
+        return pa.table(
+            {
+                "whour": pa.array(wh, pa.int64()),
+                "bucket": pa.array(wb, pa.int64()),
+                "rho": pa.array(wr, pa.int64()),
+            }
+        )
+
+    wregs = (
+        regs.map_batches(_windows, batch_format="pyarrow")
+        .groupby(["whour", "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def _estimate(g: pd.DataFrame) -> pd.DataFrame:
+        rho = dict(zip(g["bucket"], g["rho"]))
+        # sums of exact powers of two — bit-exact in any order
+        s = (m - len(rho)) + sum(2.0 ** -r for r in rho.values())
+        raw = alpha * m * m / s
+        zeros = m - len(rho)
+        if raw <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        else:
+            est = raw
+        return pd.DataFrame(
+            {
+                "whour": pd.array([int(g["whour"].iloc[0])], dtype="int64"),
+                "n_nonzero": pd.array([len(rho)], dtype="int64"),
+                "sum_rho": pd.array([int(g["rho"].sum())], dtype="int64"),
+                "max_rho": pd.array([int(g["rho"].max())], dtype="int64"),
+                "hll_estimate": [round(est, round_to)],
+            }
+        )
+
+    return wregs.groupby("whour").map_groups(_estimate, batch_format="pandas")
