@@ -6366,6 +6366,53 @@ def _events_sliding_hll_sql(window_hours: int = 24, b: int = 6) -> str:
     """
 
 
+def _events_auc(sf_dir: str):
+    """Exact ROC-AUC of event value against the purchase label
+    (stages/diagnostics.roc_auc): Mann-Whitney midranks over the
+    value-CDF rank numerators — all-integer u2, one exact int/int double
+    division, no global sort."""
+    import ray.data as rd
+
+    import pyarrow.compute as _pc
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import roc_auc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    labeled = ev.map_batches(
+        lambda b: b.append_column(
+            "is_purchase", _pc.equal(b["event_type"], "purchase")
+        ),
+        batch_format="pyarrow",
+    )
+    return roc_auc(labeled, "value", "is_purchase")
+
+
+def _events_lift(sf_dir: str):
+    """Decile lift / calibration table for the same score/label
+    (stages/diagnostics.lift_table): buckets by exact rank numerator
+    (ties share a bucket — deterministic, unlike NTILE), per-bucket
+    positive rate."""
+    import ray.data as rd
+
+    import pyarrow.compute as _pc
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import lift_table
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    labeled = ev.map_batches(
+        lambda b: b.append_column(
+            "is_purchase", _pc.equal(b["event_type"], "purchase")
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        lift_table(labeled, "value", "is_purchase", n_buckets=10)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6936,6 +6983,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": _events_zorder,
         "events_seasonal": _events_seasonal,
         "events_sliding_hll": _events_sliding_hll,
+        "events_auc": _events_auc,
+        "events_lift": _events_lift,
     }
 
 
@@ -9320,4 +9369,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY q.event_id
         """,
         "events_sliding_hll": _events_sliding_hll_sql(),
+        # tie-correct Mann-Whitney AUC: rank()-1 == rank_lt, the partition
+        # count == rank_eq (the documents_length_rank window pair); u2 and
+        # both n's are integers, auc is one int/int double division
+        "events_auc": """
+            WITH q AS (
+                SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                FROM events
+            ), r AS (
+                SELECT vq, pos,
+                       rank() OVER (ORDER BY vq) - 1 AS rlt,
+                       count(*) OVER (PARTITION BY vq) AS req
+                FROM q
+            )
+            SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN pos = 1 THEN 2 * rlt + req + 1 ELSE 0 END)
+                        AS BIGINT) AS u2,
+                   (CAST(sum(CASE WHEN pos = 1 THEN 2 * rlt + req + 1 ELSE 0 END)
+                         AS BIGINT) - sum(pos) * (sum(pos) + 1))
+                   / (2 * sum(pos) * (count(*) - sum(pos))) AS auc
+            FROM r
+        """,
+        "events_lift": """
+            WITH q AS (
+                SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                FROM events
+            ), n AS (SELECT count(*) AS nn FROM q),
+            r AS (
+                SELECT vq, pos, rank() OVER (ORDER BY vq) - 1 AS rlt FROM q
+            ), b AS (
+                SELECT CAST((rlt * 10) // (SELECT nn FROM n) AS BIGINT) AS bucket,
+                       pos
+                FROM r
+            )
+            SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
     }
