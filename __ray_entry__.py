@@ -6413,6 +6413,38 @@ def _events_lift(sf_dir: str):
     )
 
 
+def _kg_role_trigrams(sf_dir: str):
+    """Conversation-flow mining (stages/windows.sequence_ngrams): role
+    trigrams within each conversation's turn_idx order, summed globally —
+    the turn-taking fingerprint of an agent-transcript corpus (|roles|³
+    cells, one key shuffle)."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.windows import sequence_ngrams
+
+    out = sequence_ngrams(
+        read_transcripts(sf_dir),
+        keys=("conv_id",),
+        type_col="role",
+        order_cols=("turn_idx",),
+        n=3,
+    ).to_pandas()
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def _events_trigrams(sf_dir: str):
+    """Event-type trigram counts per user sequence
+    (stages/windows.sequence_ngrams over (ts, event_id) order)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.windows import sequence_ngrams
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    out = sequence_ngrams(ev, n=3).to_pandas()
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -6985,6 +7017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_hll": _events_sliding_hll,
         "events_auc": _events_auc,
         "events_lift": _events_lift,
+        "kg_role_trigrams": _kg_role_trigrams,
+        "events_trigrams": _events_trigrams,
     }
 
 
@@ -9408,5 +9442,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
                    CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "kg_role_trigrams": f"""
+            WITH s AS (
+                SELECT conv_id, list(role ORDER BY turn_idx) AS seq
+                FROM read_parquet('{_sf001_transcripts_path()}')
+                GROUP BY conv_id
+            )
+            SELECT seq[i] AS t1, seq[i + 1] AS t2, seq[i + 2] AS t3,
+                   count(*) AS n
+            FROM s, unnest(range(1, len(seq) - 1)) r(i)
+            GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
+        """,
+        "events_trigrams": """
+            WITH s AS (
+                SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT seq[i] AS t1, seq[i + 1] AS t2, seq[i + 2] AS t3,
+                   count(*) AS n
+            FROM s, unnest(range(1, len(seq) - 1)) r(i)
+            GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
         """,
     }

@@ -693,3 +693,45 @@ def time_weighted_average(
         return pd.DataFrame(row)
 
     return events.groupby(key_list).map_groups(_twap, batch_format="pandas")
+
+
+def sequence_ngrams(
+    events: ray.data.Dataset,
+    keys: tuple = ("user_id",),
+    type_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+    n: int = 3,
+) -> ray.data.Dataset:
+    """Per-key ordered sequence n-grams summed globally — the sequential
+    pattern counts (event trigrams, conversation role flows) a
+    next-action model or anomaly detector trains on; the n>2
+    generalization of :func:`event_transitions`.
+
+    Scale shape: ONE shuffle on the key; each group emits at most
+    ``|types|^n`` partial rows (a Counter combiner inside ``map_groups``),
+    so the final groupby moves n-gram cells, never events. Output:
+    ``(t1..tn, n)``."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    key_list = list(keys)
+    order_list = list(order_cols)
+    gram_cols = [f"t{i + 1}" for i in range(n)]
+
+    def _grams(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(order_list)[type_col].to_numpy()
+        c = Counter(zip(*(t[i : len(t) - (n - 1) + i] for i in range(n))))
+        return pd.DataFrame(
+            {
+                **{gc: [k[i] for k in c] for i, gc in enumerate(gram_cols)},
+                "n": list(c.values()),
+            }
+        )
+
+    return (
+        events.groupby(key_list)
+        .map_groups(_grams, batch_format="pandas")
+        .groupby(gram_cols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
