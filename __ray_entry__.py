@@ -6445,6 +6445,87 @@ def _events_trigrams(sf_dir: str):
     return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
 
 
+def _kg_entity_timeline(sf_dir: str):
+    """Temporal facet of the constructed graph: per RESOLVED cited
+    decision (links.kind='decision' with a matched_entity), the number of
+    distinct citing conversations and the first/last citing-conversation
+    start timestamps. Shape: distinct (entity, conv, conv_ts) combiner
+    pairs (conv start times joined in via Dataset.join on the dense
+    conv_id key), then one bounded groupby (Count, Min, Max). The oracle
+    composes the hash-gated kg_links SQL with the transcript min-ts per
+    conversation."""
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    links = _kg_run_for(sf_dir)["links"]
+
+    def _resolved_decisions(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        mask = _pc.and_(
+            _pc.equal(batch["kind"], "decision"),
+            _pc.is_valid(batch["matched_entity"]),
+        )
+        return batch.filter(mask).select(["matched_entity", "conv_id"])
+
+    dec = links.map_batches(_resolved_decisions, batch_format="pyarrow")
+
+    ts = read_transcripts(sf_dir).select_columns(["conv_id", "ts"])
+
+    def _us(batch: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "ts_us": batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()),
+            }
+        )
+
+    conv_start = (
+        ts.map_batches(_us, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Min("ts_us", alias_name="conv_ts"))
+    )
+    pairs = distinct_pairs(dec, ["matched_entity", "conv_id"])
+    joined = pairs.join(
+        conv_start, join_type="inner", on=("conv_id",), num_partitions=8
+    )
+    out = (
+        joined.groupby("matched_entity")
+        .aggregate(
+            Count(alias_name="n_citing_convs"),
+            Min("conv_ts", alias_name="first_cited_us"),
+            Max("conv_ts", alias_name="last_cited_us"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("matched_entity").reset_index(drop=True)
+
+
+def _kg_entity_timeline_sql() -> str:
+    return f"""
+        WITH L AS MATERIALIZED ({_kg_links_sql()}),
+        cs AS (
+            SELECT conv_id, min(epoch_us(ts)) AS conv_ts
+            FROM read_parquet('{_sf001_transcripts_path()}')
+            GROUP BY conv_id
+        ), d AS (
+            SELECT DISTINCT L.matched_entity, L.conv_id
+            FROM L WHERE L.kind = 'decision' AND L.matched_entity IS NOT NULL
+        )
+        SELECT d.matched_entity,
+               count(*) AS n_citing_convs,
+               min(cs.conv_ts) AS first_cited_us,
+               max(cs.conv_ts) AS last_cited_us
+        FROM d JOIN cs USING (conv_id)
+        GROUP BY d.matched_entity
+        ORDER BY d.matched_entity
+    """
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7019,6 +7100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lift": _events_lift,
         "kg_role_trigrams": _kg_role_trigrams,
         "events_trigrams": _events_trigrams,
+        "kg_entity_timeline": _kg_entity_timeline,
     }
 
 
@@ -9464,4 +9546,5 @@ def oracle_sql() -> dict[str, str]:
             FROM s, unnest(range(1, len(seq) - 1)) r(i)
             GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
         """,
+        "kg_entity_timeline": _kg_entity_timeline_sql(),
     }
