@@ -6526,6 +6526,69 @@ def _kg_entity_timeline_sql() -> str:
     """
 
 
+def _events_target_enc(sf_dir: str):
+    """Leave-one-out target encoding of event_type by value
+    (stages/diagnostics.target_encode_loo): the leakage-safe categorical
+    feature — integer-exact numerators, |categories|-row sum table
+    broadcast, wide data never shuffles."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        target_encode_loo,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return (
+        target_encode_loo(ev, "event_type", "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _customer_spend_gini(sf_dir: str):
+    """Spend-concentration Gini over per-customer order totals
+    (stages/diagnostics.gini_coefficient): per-customer cents sums
+    (bounded by customers — the documented value-CDF precondition), then
+    the exact midrank Gini with one int/int double division."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    import pyarrow as _pa
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        gini_coefficient,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _cents(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        v = _np.asarray(batch["o_totalprice"], dtype=_np.float64)
+        return _pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _pa.array(
+                    _np.floor(v * 100.0 + 0.5).astype(_np.int64), _pa.int64()
+                ),
+            }
+        )
+
+    totals = (
+        orders.map_batches(_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="spend_cents"))
+    )
+    # totals are already integer cents — no further quantization (scale 1)
+    return gini_coefficient(totals, "spend_cents", quantize_scale=1.0)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7101,6 +7164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_trigrams": _kg_role_trigrams,
         "events_trigrams": _events_trigrams,
         "kg_entity_timeline": _kg_entity_timeline,
+        "events_target_enc": _events_target_enc,
+        "customer_spend_gini": _customer_spend_gini,
     }
 
 
@@ -9547,4 +9612,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t1, t2, t3 ORDER BY t1, t2, t3
         """,
         "kg_entity_timeline": _kg_entity_timeline_sql(),
+        # LOO target encoding: (sum_cat − x)/(n_cat − 1), singleton
+        # categories fall back to the global LOO mean
+        "events_target_enc": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xq
+                FROM events
+            ), s AS (
+                SELECT event_type, CAST(sum(xq) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM q GROUP BY event_type
+            ), t AS (
+                SELECT CAST(sum(xq) AS BIGINT) AS ts, count(*) AS tn FROM q
+            )
+            SELECT q.event_id, q.event_type, q.xq,
+                   CASE WHEN s.n > 1 THEN (s.s - q.xq) / (s.n - 1)
+                        WHEN t.tn > 1 THEN (t.ts - q.xq) / (t.tn - 1)
+                        ELSE 0.0::DOUBLE END AS loo_enc
+            FROM q JOIN s USING (event_type) CROSS JOIN t
+            ORDER BY q.event_id
+        """,
+        # exact midrank Gini over per-customer cents totals: S2 uses the
+        # same (2·rank_lt + rank_eq + 1) integer numerator as events_auc
+        "customer_spend_gini": """
+            WITH totals AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS vq
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT vq,
+                       rank() OVER (ORDER BY vq) - 1 AS rlt,
+                       count(*) OVER (PARTITION BY vq) AS req
+                FROM totals
+            )
+            SELECT count(*) AS n,
+                   CAST(sum(vq) AS BIGINT) AS total,
+                   CAST(sum(vq * (2 * rlt + req + 1)) AS BIGINT) AS s2,
+                   (CAST(sum(vq * (2 * rlt + req + 1)) AS BIGINT)
+                    - (count(*) + 1) * CAST(sum(vq) AS BIGINT))
+                   / (count(*) * CAST(sum(vq) AS BIGINT)) AS gini
+            FROM r
+        """,
     }

@@ -1271,3 +1271,139 @@ def lift_table(
         )
 
     return agg.map_batches(_rate, batch_format="pyarrow")
+
+
+def target_encode_loo(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    quantize_scale: float = 100.0,
+) -> ray.data.Dataset:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature a tabular model trains on: for each row, the mean target of
+    its category EXCLUDING the row itself,
+    ``enc = (sum_cat − x_i) / (n_cat − 1)`` (NULL-free: singleton
+    categories fall back to the global LOO mean ``(T − x_i)/(N − 1)``).
+    Integer-exact: targets quantize to int64, both numerators and
+    denominators are integers, and the division is one exact int/int
+    double op — bit-identical to the SQL twin.
+
+    Shape: one bounded groupby for the |categories|-row sum table
+    (broadcast via ray.put), then a pure map. The wide data never
+    shuffles."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[target_col], dtype=np.float64)
+        vq = np.floor(v * quantize_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                cat_col: batch[cat_col],
+                "xq": pa.array(vq, pa.int64()),
+            }
+        )
+
+    prepped = ds.select_columns([id_col, cat_col, target_col]).map_batches(
+        _prep, batch_format="pyarrow"
+    ).materialize()  # narrow; reused by the sum pass and the encode map
+
+    sums = (
+        prepped.groupby(cat_col)
+        .aggregate(Sum("xq", alias_name="s"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    stats = {c: (int(s), int(n)) for c, s, n in zip(sums[cat_col], sums["s"], sums["n"])}
+    total_s = sum(s for s, _ in stats.values())
+    total_n = sum(n for _, n in stats.values())
+    import ray as _ray
+
+    state_ref = _ray.put((stats, total_s, total_n))
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        from .broadcast import broadcast_cache
+
+        st, ts_, tn = broadcast_cache(state_ref)
+        xq = batch["xq"].to_pylist()
+        cats = batch[cat_col].to_pylist()
+        enc = []
+        for c, x in zip(cats, xq):
+            s, n = st[c]
+            if n > 1:
+                enc.append((s - x) / (n - 1))
+            elif tn > 1:
+                enc.append((ts_ - x) / (tn - 1))
+            else:
+                enc.append(0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                cat_col: batch[cat_col],
+                "xq": batch["xq"],
+                "loo_enc": pa.array(enc, pa.float64()),
+            }
+        )
+
+    return prepped.map_batches(_encode, batch_format="pyarrow")
+
+
+def gini_coefficient(
+    ds: ray.data.Dataset,
+    value_col: str,
+    quantize_scale: float = 100.0,
+):
+    """EXACT Gini concentration coefficient of an integer-quantized value
+    column — the inequality/skew scalar (spend concentration, token-count
+    concentration) that decides whether a key needs salting or a corpus
+    needs rebalancing. Midrank formulation over the rank_transform
+    value-CDF: ``S2 = Σ x_i·(2·rank_lt + rank_eq + 1)`` (an integer — the
+    same numerator family as roc_auc), then
+    ``G = (S2 − (n+1)·T) / (n·T)`` — one exact int/int double division.
+
+    Shape: one value-CDF combiner pass + one Sum; no global sort. The
+    documented value-CDF bound applies: |distinct values| must fit the
+    driver — run it on AGGREGATED per-entity totals (bounded by entities)
+    or pre-bucketed values, not raw unbounded doubles. Returns a one-row
+    pandas frame ``(n, total, s2, gini)``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        vq = np.floor(v * quantize_scale + 0.5).astype(np.int64)
+        return pa.table({"vq": pa.array(vq, pa.int64())})
+
+    prepped = ds.select_columns([value_col]).map_batches(
+        _prep, batch_format="pyarrow"
+    ).materialize()
+    ranked = rank_transform(prepped, "vq", out_prefix="r")
+
+    def _terms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        two_r = pc.add(
+            pc.add(pc.multiply(batch["r_lt"], pa.scalar(2, pa.int64())), batch["r_eq"]),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table(
+            {"x": batch["vq"], "s2": pc.multiply(batch["vq"], two_r)}
+        )
+
+    agg = ranked.map_batches(_terms, batch_format="pyarrow").aggregate(
+        Sum("x", alias_name="total"), Sum("s2", alias_name="s2")
+    )
+    n = prepped.count()
+    total = int(agg["total"])
+    s2 = int(agg["s2"])
+    gini = (s2 - (n + 1) * total) / (n * total) if n and total else 0.0
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "total": pd.array([total], dtype="int64"),
+            "s2": pd.array([s2], dtype="int64"),
+            "gini": [gini],
+        }
+    )
