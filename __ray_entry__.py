@@ -6589,6 +6589,51 @@ def _customer_spend_gini(sf_dir: str):
     return gini_coefficient(totals, "spend_cents", quantize_scale=1.0)
 
 
+def _kg_schema_profile(sf_dir: str):
+    """Graph-schema cardinality profile: per predicate, triple count and
+    DISTINCT subject/object counts — the KG-quality diagnostic that
+    exposes degenerate predicates (one-subject fan-outs, id-leaking
+    objects). Exact distincts via distinct_pairs combiner + bounded
+    groupby; the three |preds|-row tables merge on the driver."""
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    triples = _kg_run_for(sf_dir)["triples"]
+    n_tr = (
+        triples.groupby("pred").aggregate(Count(alias_name="n_triples")).to_pandas()
+    )
+    n_subj = (
+        distinct_pairs(triples.select_columns(["pred", "subj"]), ["pred", "subj"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_subj"))
+        .to_pandas()
+    )
+    n_obj = (
+        distinct_pairs(triples.select_columns(["pred", "obj"]), ["pred", "obj"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_obj"))
+        .to_pandas()
+    )
+    out = n_tr.merge(n_subj, on="pred").merge(n_obj, on="pred")
+    return out.sort_values("pred").reset_index(drop=True)
+
+
+def _documents_zipf(sf_dir: str):
+    """Zipf-law fit over the top-100 term frequencies
+    (stages/text_analysis.zipf_fit): least-squares slope of ln(count) on
+    ln(rank) — the corpus-health scalar (natural text ≈ −1; template
+    spam deviates hard). Vocabulary combiner + driver fit over 100
+    points with sequential rank-order sums (the SQL twin's ordered
+    list_reduce)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import zipf_fit
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_fit(docs, k=100)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7166,6 +7211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeline": _kg_entity_timeline,
         "events_target_enc": _events_target_enc,
         "customer_spend_gini": _customer_spend_gini,
+        "kg_schema_profile": _kg_schema_profile,
+        "documents_zipf": _documents_zipf,
     }
 
 
@@ -9654,5 +9701,43 @@ def oracle_sql() -> dict[str, str]:
                     - (count(*) + 1) * CAST(sum(vq) AS BIGINT))
                    / (count(*) * CAST(sum(vq) AS BIGINT)) AS gini
             FROM r
+        """,
+        "kg_schema_profile": f"""
+            WITH T AS MATERIALIZED ({_kg_triples_sql()})
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj
+            FROM T GROUP BY pred ORDER BY pred
+        """,
+        # Zipf fit: least squares of ln(count) on ln(rank) over the top-100
+        # terms; sums are ordered list_reduce folds matching the engine's
+        # sequential rank-order accumulation
+        "documents_zipf": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ), vc AS (
+                SELECT token, count(*) AS n FROM tok GROUP BY token
+            ), top AS (
+                SELECT token, n,
+                       row_number() OVER (ORDER BY n DESC, token) AS rank
+                FROM vc QUALIFY rank <= 100
+            ), pts AS (
+                SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM top
+            ), sums AS (
+                SELECT count(*) AS k,
+                       list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+                       list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+                       list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx,
+                       list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy
+                FROM pts
+            )
+            SELECT k,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+                   round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                         6) AS intercept
+            FROM sums
         """,
     }

@@ -1170,3 +1170,64 @@ def lexical_diversity(
     return docs.select_columns([id_col, text_col]).map_batches(
         _stats, batch_format="pyarrow"
     )
+
+
+def zipf_fit(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 100,
+):
+    """Zipf-law fit over the top-``k`` corpus term frequencies:
+    least-squares slope of ln(count) on ln(rank) — the corpus-health
+    scalar (natural text ≈ −1; template spam deviates hard).
+
+    Term counts use the vocabulary combiner discipline (one partial row
+    per distinct token per batch → groupby Sum, shuffle bounded by
+    |vocab| per batch); the fit runs on the driver over ``k`` points with
+    SEQUENTIAL sums in rank order so a SQL twin's ordered list_reduce
+    matches term for term. Returns a one-row pandas frame
+    ``(k, slope, intercept)`` rounded to 6 against ln() libm ulp drift."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _tc(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(_WORD_RE.findall(t.lower()))
+        toks = list(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    vc = (
+        docs.select_columns([text_col])
+        .map_batches(_tc, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = vc.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    kk = len(top)
+    sx = sy = sxx = sxy = 0.0
+    for rank, n in enumerate(top["n"], start=1):
+        x = math.log(float(rank))
+        y = math.log(float(n))
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    intercept = (sy - slope * sx) / kk
+    return pd.DataFrame(
+        {
+            "k": pd.array([kk], dtype="int64"),
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+        }
+    )
