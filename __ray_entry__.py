@@ -6634,6 +6634,21 @@ def _documents_zipf(sf_dir: str):
     return zipf_fit(docs, k=100)
 
 
+def _documents_jsd_drift(sf_dir: str):
+    """Per-language token-distribution drift vs the global corpus
+    (stages/text_analysis.token_jsd_by_group): Jensen–Shannon divergence
+    with exact int/int probabilities and sequential token-order term
+    folds (the oracle's ordered list_reduce)."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import (
+        token_jsd_by_group,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return token_jsd_by_group(docs, "lang")
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7213,6 +7228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_gini": _customer_spend_gini,
         "kg_schema_profile": _kg_schema_profile,
         "documents_zipf": _documents_zipf,
+        "documents_jsd_drift": _documents_jsd_drift,
     }
 
 
@@ -9739,5 +9755,37 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
                          6) AS intercept
             FROM sums
+        """,
+        # JSD drift: exact int/int probabilities, per-token terms folded
+        # in token sort order (the engine's sequential accumulation)
+        "documents_jsd_drift": """
+            WITH tok AS (
+                SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ), cg AS MATERIALIZED (
+                SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+            ), tg AS MATERIALIZED (
+                SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cg GROUP BY lang
+            ), gl AS MATERIALIZED (
+                SELECT token, CAST(sum(c) AS BIGINT) AS cgl FROM cg GROUP BY token
+            ), tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cg),
+            probs AS (
+                SELECT tg.lang, gl.token,
+                       coalesce(c2.c, 0) / tg.tl AS p,
+                       gl.cgl / tt.total AS q
+                FROM tg CROSS JOIN gl CROSS JOIN tt
+                LEFT JOIN cg c2 ON c2.lang = tg.lang AND c2.token = gl.token
+            ), terms AS (
+                SELECT lang, token,
+                       (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                             ELSE 0.0 END) * 0.5
+                       + 0.5 * (q * ln(q / ((p + q) / 2.0))) AS term
+                FROM probs
+            )
+            SELECT t.lang, tg.tl AS n_tokens,
+                   round(list_reduce(list(term ORDER BY token), (a, b) -> a + b),
+                         6) AS jsd
+            FROM terms t JOIN tg ON tg.lang = t.lang
+            GROUP BY t.lang, tg.tl ORDER BY t.lang
         """,
     }

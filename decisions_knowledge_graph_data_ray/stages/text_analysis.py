@@ -1231,3 +1231,78 @@ def zipf_fit(
             "intercept": [round(intercept, 6)],
         }
     )
+
+
+def token_jsd_by_group(
+    docs: ray.data.Dataset,
+    group_col: str,
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Jensen–Shannon divergence of each group's token distribution from
+    the GLOBAL corpus distribution — the text-drift detector (per-source,
+    per-language or per-shard) that catches template spam, scraper
+    regressions and mixture shifts before training does.
+
+    Counts per (group, token) via the vocabulary combiner (one partial
+    row per distinct pair per batch → groupby Sum); the fold runs on the
+    driver over the |groups|×|vocab|-bounded count table (the documented
+    vocabulary assumption). Every p/q is an exact int/int double; the
+    per-token terms accumulate SEQUENTIALLY in token sort order so a SQL
+    twin's ordered list_reduce matches term for term; output rounded to
+    ``round_to`` against ln() libm ulp drift.
+
+    Returns a pandas frame ``(group, n_tokens, jsd)``."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _tc(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch[group_col].to_pylist(), batch[text_col].to_pylist()):
+            for w in _WORD_RE.findall(t.lower()):
+                c[(g, w)] += 1
+        keys = list(c)
+        return pa.table(
+            {
+                group_col: pa.array([k[0] for k in keys]),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    cg = (
+        docs.select_columns([group_col, text_col])
+        .map_batches(_tc, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    per_group: dict = {}
+    glob: Counter = Counter()
+    for g, t, n in zip(cg[group_col], cg["token"], cg["n"]):
+        per_group.setdefault(g, {})[t] = int(n)
+        glob[t] += int(n)
+    total = sum(glob.values())
+    tokens_sorted = sorted(glob)
+    rows = []
+    for g in sorted(per_group):
+        counts = per_group[g]
+        tl = sum(counts.values())
+        jsd = 0.0
+        for t in tokens_sorted:
+            p = counts.get(t, 0) / tl
+            q = glob[t] / total
+            mmid = (p + q) / 2.0
+            term = (p * math.log(p / mmid) if p > 0 else 0.0) * 0.5 + 0.5 * (
+                q * math.log(q / mmid)
+            )
+            jsd += term
+        rows.append(
+            {group_col: g, "n_tokens": tl, "jsd": round(jsd, round_to)}
+        )
+    out = pd.DataFrame(rows)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
