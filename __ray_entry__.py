@@ -6649,6 +6649,37 @@ def _documents_jsd_drift(sf_dir: str):
     return token_jsd_by_group(docs, "lang")
 
 
+def _kg_tool_latency(sf_dir: str):
+    """Per-tool response-latency profile over the transcript corpus
+    (stages/transcript_prep.tool_latency_stats): gap to the next turn in
+    turn_idx order per tool call; one conv_id shuffle, per-group combiner
+    emits tool cells only; mean is one exact int/int double division."""
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.transcript_prep import (
+        tool_latency_stats,
+    )
+
+    out = tool_latency_stats(read_transcripts(sf_dir)).to_pandas()
+    return out.sort_values("tool").reset_index(drop=True)
+
+
+def _events_bursts(sf_dir: str):
+    """Hourly volume-burst flags per event type
+    (stages/diagnostics.burst_hours): integer cross-multiplied
+    3-sigma-on-counts test over observed hours."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import burst_hours
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return (
+        burst_hours(ev, "event_type", "ts")
+        .to_pandas()
+        .sort_values(["event_type", "ehour"])
+        .reset_index(drop=True)
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7229,6 +7260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_profile": _kg_schema_profile,
         "documents_zipf": _documents_zipf,
         "documents_jsd_drift": _documents_jsd_drift,
+        "kg_tool_latency": _kg_tool_latency,
+        "events_bursts": _events_bursts,
     }
 
 
@@ -9787,5 +9820,45 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jsd
             FROM terms t JOIN tg ON tg.lang = t.lang
             GROUP BY t.lang, tg.tl ORDER BY t.lang
+        """,
+        # tool latency: gap to the next turn (lead over turn_idx) for every
+        # tool-invoking turn; calls with no following turn drop out
+        "kg_tool_latency": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, tool, epoch_us(ts) AS us
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), g AS (
+                SELECT tool,
+                       lead(us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       - us AS gap
+                FROM t
+            )
+            SELECT tool,
+                   count(*) AS n_calls,
+                   CAST(sum(gap) AS BIGINT) AS total_us,
+                   CAST(max(gap) AS BIGINT) AS max_us,
+                   CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_us
+            FROM g WHERE tool <> '' AND gap IS NOT NULL
+            GROUP BY tool ORDER BY tool
+        """,
+        # burst flags: all-integer 3-sigma-on-counts by cross-multiplication
+        "events_bursts": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS ehour,
+                       count(*) AS c
+                FROM events GROUP BY event_type, ehour
+            ), s AS (
+                SELECT event_type, count(*) AS k,
+                       CAST(sum(c) AS BIGINT) AS s,
+                       CAST(sum(c * c) AS BIGINT) AS ss
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, c.ehour, c.c,
+                   (c.c * s.k - s.s > 0 AND
+                    (c.c * s.k - s.s) * (c.c * s.k - s.s)
+                      > 9 * (s.k * s.ss - s.s * s.s)) AS is_burst
+            FROM c JOIN s USING (event_type)
+            ORDER BY c.event_type, c.ehour
         """,
     }

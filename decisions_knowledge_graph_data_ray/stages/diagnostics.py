@@ -1407,3 +1407,63 @@ def gini_coefficient(
             "gini": [gini],
         }
     )
+
+
+def burst_hours(
+    ds: ray.data.Dataset,
+    type_col: str,
+    ts_col: str,
+) -> ray.data.Dataset:
+    """Volume-burst detection on hourly event COUNTS (the rate cousin of
+    the value-outlier passes): an hour is a burst for a type when its
+    count exceeds that type's mean by more than 3 standard deviations —
+    evaluated ENTIRELY in integers by cross-multiplication,
+    ``c·K − S > 0  AND  (c·K − S)² > 9·(K·SS − S²)`` over the observed
+    hours K, so the flag is bit-reproducible. Output:
+    ``(type, ehour, c, is_burst)``.
+
+    Shape: one (type, hour)-count combiner groupby (cells, never events),
+    then per-type flags in a map_groups over the bounded count table;
+    stats use Python ints (no int64 overflow at any scale)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _hour_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        us = np.asarray(
+            batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()), dtype=np.int64
+        )
+        eh = us // 3_600_000_000
+        c: Counter = Counter(zip(batch[type_col].to_pylist(), eh.tolist()))
+        keys = list(c)
+        return pa.table(
+            {
+                type_col: pa.array([k[0] for k in keys]),
+                "ehour": pa.array([k[1] for k in keys], pa.int64()),
+                "c": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([type_col, ts_col])
+        .map_batches(_hour_counts, batch_format="pyarrow")
+        .groupby([type_col, "ehour"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _flags(g: pd.DataFrame) -> pd.DataFrame:
+        cs = [int(x) for x in g["c"]]
+        k = len(cs)
+        s = sum(cs)
+        ss = sum(x * x for x in cs)
+        var_num = k * ss - s * s  # K²·variance — an integer
+        flags = [
+            (x * k - s > 0) and ((x * k - s) ** 2 > 9 * var_num) for x in cs
+        ]
+        out = g.copy()
+        out["is_burst"] = flags
+        return out
+
+    return counts.groupby(type_col).map_groups(_flags, batch_format="pandas")

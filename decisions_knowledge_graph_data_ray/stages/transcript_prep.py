@@ -256,3 +256,79 @@ def conv_quality(
         )
 
     return agg.map_batches(_verdict, batch_format="pyarrow")
+
+
+def tool_latency_stats(
+    ts: ray.data.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Per-tool response-latency profile over agent transcripts: for every
+    turn that invokes a tool (non-empty ``tool``), the gap to the NEXT
+    turn in the same conversation (turn_idx order) is that call's
+    latency; aggregate ``(tool, n_calls, total_us, max_us, mean_us)``
+    — the agent-telemetry readout that finds the slow tool in a
+    10^12-turn corpus. Tool calls with no following turn are dropped
+    (no response observed).
+
+    Shape: ONE shuffle on conv_id; each conversation group emits at most
+    |tools| partial rows (sum/count/max combined in the group), so the
+    final groupby moves tool cells, never turns. mean_us is one exact
+    int/int double division."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def _gaps(g: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        g = g.sort_values(idx_col)
+        us = (
+            g[ts_col]
+            .to_numpy(dtype="datetime64[us]")
+            .astype(np.int64)
+        )
+        tools = g[tool_col].to_numpy()
+        gap = us[1:] - us[:-1]
+        mask = np.array([bool(t) for t in tools[:-1]], dtype=bool)
+        agg: dict = {}
+        for t, d in zip(tools[:-1][mask], gap[mask]):
+            s, n, mx = agg.get(t, (0, 0, 0))
+            agg[t] = (s + int(d), n + 1, max(mx, int(d)))
+        return pd.DataFrame(
+            {
+                "tool": list(agg),
+                "s": [v[0] for v in agg.values()],
+                "n": [v[1] for v in agg.values()],
+                "mx": [v[2] for v in agg.values()],
+            }
+        )
+
+    parts = (
+        ts.select_columns([conv_col, idx_col, tool_col, ts_col])
+        .groupby(conv_col)
+        .map_groups(_gaps, batch_format="pandas")
+        .groupby("tool")
+        .aggregate(
+            Sum("s", alias_name="total_us"),
+            Sum("n", alias_name="n_calls"),
+            Max("mx", alias_name="max_us"),
+        )
+    )
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tool": batch["tool"],
+                "n_calls": batch["n_calls"],
+                "total_us": batch["total_us"],
+                "max_us": batch["max_us"],
+                "mean_us": pc.divide(
+                    pc.cast(batch["total_us"], pa.float64()),
+                    pc.cast(batch["n_calls"], pa.float64()),
+                ),
+            }
+        )
+
+    return parts.map_batches(_mean, batch_format="pyarrow")
