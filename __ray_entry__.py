@@ -37,12 +37,11 @@ def entry() -> Any:
 
 # ---------------------------------------------------------------------------
 # KG pipeline queries. Every family (mentions, citations, teachings,
-# parties, outcomes, linking, eval) carries a full DuckDB oracle; only
-# kg_triples remains rows-only — its reference-triple family
-# (has_celex/has_numac/...) depends on reference_extractor.normalize_text,
-# whose lookahead-driven sequential re.sub rewrites (URL de-spacing +
-# broken-word collapse) cannot be reproduced with RE2's
-# no-lookahead/consuming-scan regexp_replace.
+# parties, outcomes, linking, eval, the whole triple graph) carries a
+# full DuckDB oracle — kg_triples included since the round-5 third wave:
+# the normalize_text rewrites that blocked it (URL de-spacing, broken-word
+# collapse) were reformulated lookahead-free (see _norm_docs_ctes and
+# tests/test_reference_oracle_sql.py).
 # ---------------------------------------------------------------------------
 
 
@@ -6680,6 +6679,22 @@ def _events_bursts(sf_dir: str):
     )
 
 
+def _documents_weighted_topk(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, k=20
+    by n_chars — stages/prep.weighted_topk_sample): content-addressed
+    ln(u)/w keys, per-batch partial top-k combiner, identical selection
+    at any partitioning. The WOR complement of documents_weighted_sample's
+    Bernoulli sampler."""
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.prep import weighted_topk_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_topk_sample(docs, "n_chars", k=20)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7262,6 +7277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsd_drift": _documents_jsd_drift,
         "kg_tool_latency": _kg_tool_latency,
         "events_bursts": _events_bursts,
+        "documents_weighted_topk": _documents_weighted_topk,
     }
 
 
@@ -9860,5 +9876,18 @@ def oracle_sql() -> dict[str, str]:
                       > 9 * (s.k * s.ss - s.s * s.s)) AS is_burst
             FROM c JOIN s USING (event_type)
             ORDER BY c.event_type, c.ehour
+        """,
+        # Efraimidis–Spirakis WOR sample: exact-rational u = (h+1)/2^32,
+        # key = ln(u)/w; selection on the raw double, display rounded
+        "documents_weighted_topk": f"""
+            WITH kdoc AS (
+                SELECT doc_id, n_chars,
+                       ln(({_md5_u32_sql("'es:' || CAST(doc_id AS VARCHAR)")} + 1)
+                          / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS es_key
+                FROM documents
+            )
+            SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+            FROM kdoc ORDER BY kdoc.es_key DESC, doc_id LIMIT 20
         """,
     }

@@ -243,6 +243,28 @@ def run_bench(headline_only: bool = False) -> dict:
         secondary["kg_references"] = _kg_refs
     except Exception:
         pass
+    try:
+        # round-5 continuation: transcript boilerplate dedup (distinct-pair
+        # combiner + broadcast flag pass) and the sliding-window HLL merge
+        from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+        from decisions_knowledge_graph_data_ray.stages.cardinality import (
+            sliding_hll_distinct,
+        )
+        from decisions_knowledge_graph_data_ray.stages.transcript_prep import (
+            boilerplate_turns,
+        )
+
+        secondary["kg_boilerplate_turns"] = lambda: boilerplate_turns(
+            read_transcripts(SF_DIR)
+        ).count()
+
+        def _sliding_hll():
+            ev = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+            return sliding_hll_distinct(ev, "user_id", "ts").to_pandas()
+
+        secondary["events_sliding_hll"] = _sliding_hll
+    except Exception:
+        pass
 
     # best-of-2 per secondary: single runs on this box vary 2-3x under the
     # session's own residual load (object-store churn from the headline reps)

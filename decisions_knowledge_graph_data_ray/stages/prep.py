@@ -1042,3 +1042,62 @@ def curation_pipeline(
     )
 
     return q_drop.union(e_drop).union(nd_drop).union(c_drop).union(kept)
+
+
+def weighted_topk_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 20,
+    seed: str = "es",
+) -> "pandas.DataFrame":  # noqa: F821 — annotation only
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    row draws a deterministic uniform u from md5(seed:id) and keeps key
+    ``ln(u) / w``; the k largest keys are the sample — inclusion
+    probability proportional to weight, no replacement, and the SAME k
+    rows selected at any partitioning or cluster size (u is
+    content-addressed, not RNG-state). The exact-rational
+    ``u = (h + 1) / 2^32`` keeps both sides' doubles identical; ties
+    break on id.
+
+    Shape: a pure map computes keys, a per-batch partial top-k combiner
+    bounds the shuffle at k rows per block (the brute_force_topk
+    discipline), and the driver merges block winners. The WOR complement
+    of mixture_sample's Bernoulli rate sampling."""
+    import math
+
+    import pandas as pd
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ws = batch[weight_col].to_pylist()
+        keys = []
+        for i, w in zip(ids, ws):
+            h = int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+            )
+            u = (h + 1) / 4294967296.0  # exact rational in (0, 1]
+            keys.append(math.log(u) / float(w))
+        out = pa.table(
+            {
+                id_col: batch[id_col],
+                weight_col: batch[weight_col],
+                "es_key": pa.array(keys, pa.float64()),
+            }
+        )
+        # per-batch partial top-k: only each block's k best leave the map
+        idx = sorted(
+            range(len(keys)), key=lambda j: (-keys[j], ids[j])
+        )[: min(k, len(keys))]
+        return out.take(idx)
+
+    parts = ds.select_columns([id_col, weight_col]).map_batches(
+        _keys, batch_format="pyarrow"
+    ).to_pandas()
+    top = parts.sort_values(
+        ["es_key", id_col], ascending=[False, True]
+    ).head(k)
+    top = top.reset_index(drop=True)
+    # selection ran on the raw doubles; display rounds against ln() ulp
+    top["es_key"] = top["es_key"].round(6)
+    return top
