@@ -6695,6 +6695,125 @@ def _documents_weighted_topk(sf_dir: str):
     return weighted_topk_sample(docs, "n_chars", k=20)
 
 
+def _kg_citation_age(sf_dir: str):
+    """Citation-age histogram: for every RESOLVED cited decision
+    occurrence, age = citing-conversation year − the year embedded in the
+    matched ECLI (field 4); counted per age. The temporal-health readout
+    of the citation graph (negative ages = linking bugs or future-dated
+    citations). Pure maps over the links table + the per-conv min-ts
+    join; one bounded groupby on the age int."""
+    import datetime as _dt
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count, Min
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+
+    links = _kg_run_for(sf_dir)["links"]
+
+    def _resolved(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        mask = _pc.and_(
+            _pc.equal(batch["kind"], "decision"),
+            _pc.is_valid(batch["matched_entity"]),
+        )
+        t = batch.filter(mask)
+        years = [
+            int(e.split(":")[3]) for e in t["matched_entity"].to_pylist()
+        ]
+        return _pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "cited_year": _pa.array(years, _pa.int64()),
+            }
+        )
+
+    cited = links.map_batches(_resolved, batch_format="pyarrow")
+
+    ts = read_transcripts(sf_dir).select_columns(["conv_id", "ts"])
+
+    def _year(batch: _pa.Table) -> _pa.Table:
+        us = batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()).to_pylist()
+        ys = [
+            _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=u)
+            for u in us
+        ]
+        return _pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "y": _pa.array([d.year for d in ys], _pa.int64()),
+            }
+        )
+
+    conv_year = (
+        ts.map_batches(_year, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Min("y", alias_name="conv_year"))
+    )
+    joined = cited.join(conv_year, join_type="inner", on=("conv_id",), num_partitions=8)
+
+    def _age(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {"age": _pc.subtract(batch["conv_year"], batch["cited_year"])}
+        )
+
+    out = (
+        joined.map_batches(_age, batch_format="pyarrow")
+        .groupby("age")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("age").reset_index(drop=True)
+
+
+def _events_interarrival(sf_dir: str):
+    """Per-user inter-arrival burstiness: whole-SECOND gap sums / sum of
+    squares / counts (exact ints — second granularity keeps squares well
+    inside int64), plus the coefficient of variation
+    cv = sqrt(n·ss − s²)/s — >1 means bursty, <1 regular. Gaps computed
+    in one per-user map_groups; users with < 2 events drop out."""
+    import ray.data as rd
+
+    import numpy as _np
+
+    import pandas as _pd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _gaps(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(_np.int64)
+        if len(us) < 2:
+            return _pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "s": [], "ss": []}
+            )
+        gap = [int(x) // 1_000_000 for x in (us[1:] - us[:-1])]
+        return _pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_gaps": [len(gap)],
+                "s": [sum(gap)],
+                "ss": [sum(x * x for x in gap)],
+            }
+        )
+
+    parts = ev.groupby("user_id").map_groups(_gaps, batch_format="pandas").to_pandas()
+    parts = parts.astype({"user_id": "int64", "n_gaps": "int64", "s": "int64", "ss": "int64"})
+    import math
+
+    parts["cv"] = [
+        round(math.sqrt(float(n * ss - s * s)) / s, 6) if s > 0 else 0.0
+        for n, s, ss in zip(parts["n_gaps"], parts["s"], parts["ss"])
+    ]
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7278,6 +7397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_latency": _kg_tool_latency,
         "events_bursts": _events_bursts,
         "documents_weighted_topk": _documents_weighted_topk,
+        "kg_citation_age": _kg_citation_age,
+        "events_interarrival": _events_interarrival,
     }
 
 
@@ -9889,5 +10010,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, round(es_key, 6) AS es_key
             FROM kdoc ORDER BY kdoc.es_key DESC, doc_id LIMIT 20
+        """,
+        # citation age: citing-conversation min-year minus the ECLI's
+        # embedded year (field 4)
+        "kg_citation_age": f"""
+            WITH L AS MATERIALIZED ({_kg_links_sql()}),
+            cy AS (
+                SELECT conv_id, CAST(min(year(ts)) AS BIGINT) AS conv_year
+                FROM read_parquet('{_sf001_transcripts_path()}')
+                GROUP BY conv_id
+            ), d AS (
+                SELECT L.conv_id,
+                       CAST(string_split(L.matched_entity, ':')[4] AS BIGINT)
+                       AS cited_year
+                FROM L WHERE L.kind = 'decision'
+                  AND L.matched_entity IS NOT NULL
+            )
+            SELECT (cy.conv_year - d.cited_year) AS age, count(*) AS n
+            FROM d JOIN cy USING (conv_id)
+            GROUP BY age ORDER BY age
+        """,
+        "events_interarrival": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events
+            ), g AS (
+                SELECT user_id, (nxt - us) // 1000000 AS gap
+                FROM o WHERE nxt IS NOT NULL
+            ), a AS (
+                SELECT user_id, count(*) AS n_gaps,
+                       CAST(sum(gap) AS BIGINT) AS s,
+                       CAST(sum(gap * gap) AS BIGINT) AS ss
+                FROM g GROUP BY user_id
+            )
+            SELECT user_id, n_gaps, s, ss,
+                   CASE WHEN s > 0
+                        THEN round(sqrt(CAST(n_gaps * ss - s * s AS DOUBLE)) / s, 6)
+                        ELSE 0.0::DOUBLE END AS cv
+            FROM a ORDER BY user_id
         """,
     }
