@@ -6814,6 +6814,136 @@ def _events_interarrival(sf_dir: str):
     return parts.sort_values("user_id").reset_index(drop=True)
 
 
+def _documents_langid_kappa(sf_dir: str):
+    """Cohen's kappa of the stopword-argmax language classifier against
+    the labeled lang column — chance-corrected agreement, the
+    classifier-quality scalar the raw confusion matrix (documents_langid)
+    doesn't give. ALL-INTEGER: κ = (diag·N − Σᵢ rowᵢ·colᵢ) /
+    (N² − Σᵢ rowᵢ·colᵢ) — one exact int/int double division."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    from decisions_knowledge_graph_data_ray.stages.text_analysis import language_id
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    conf = (
+        language_id(docs)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    n_total = int(conf["n"].sum())
+    diag = int(conf.loc[conf["lang"] == conf["lang_pred"], "n"].sum())
+    rows = conf.groupby("lang")["n"].sum()
+    cols = conf.groupby("lang_pred")["n"].sum()
+    labels = set(rows.index) | set(cols.index)
+    src = sum(int(rows.get(l, 0)) * int(cols.get(l, 0)) for l in labels)
+    kappa = (diag * n_total - src) / (n_total * n_total - src)
+    return pd.DataFrame(
+        {
+            "n": pd.array([n_total], dtype="int64"),
+            "diag": pd.array([diag], dtype="int64"),
+            "kappa": [kappa],
+        }
+    )
+
+
+def _langid_confusion_sql() -> str:
+    """The documents_langid confusion-matrix SQL as a reusable relation
+    (same stopword lists as stages/text_analysis)."""
+    return f"""
+            SELECT lang,
+                   CASE WHEN en > fr AND en > nl THEN 'en'
+                        WHEN fr > en AND fr > nl THEN 'fr'
+                        WHEN nl > en AND nl > fr THEN 'nl'
+                        ELSE 'und' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(ws, x -> x IN ({_EN}))) AS en,
+                       len(list_filter(ws, x -> x IN ({_FR}))) AS fr,
+                       len(list_filter(ws, x -> x IN ({_NL}))) AS nl
+                FROM (SELECT doc_id, lang,
+                             regexp_extract_all(lower(text), '[a-z]+') AS ws
+                      FROM documents)
+            )
+            GROUP BY lang, lang_pred
+    """
+
+
+def _documents_split_leakage_sql(threshold: float = 0.7) -> str:
+    """Compose the MinHash pair SQL with the md5-bucket split rule (the
+    documents_split oracle's expression, via _md5_u32_sql)."""
+    p = _sketch_parts()
+    b = _md5_u32_sql("CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH " + p["ctes"] + _minhash_cand_ctes() + f"""
+        , pairs AS (
+            SELECT src_id, dst_id FROM est WHERE est_jaccard >= {threshold}
+        ), sp AS (
+            SELECT doc_id,
+                   CASE WHEN ({b}) % 100 < 80 THEN 'train'
+                        WHEN ({b}) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               count(*) AS n_pairs
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.src_id
+        JOIN sp sb ON sb.doc_id = p.dst_id
+        GROUP BY split_a, split_b
+        ORDER BY split_a, split_b
+    """
+    )
+
+
+def _documents_split_leakage(sf_dir: str):
+    """Train/test near-duplicate leakage: MinHash-LSH pairs (the
+    hash-gated documents_minhash_pairs edge set) whose members land in
+    DIFFERENT md5-bucket splits — the data-hygiene check every
+    training-corpus split must pass (a test doc near-duplicating a train
+    doc inflates eval). Pairs are bounded; split flags are a pure map;
+    one cell groupby."""
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
+    from decisions_knowledge_graph_data_ray.stages.prep import split_of
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+
+    def _splits(batch: _pa.Table) -> _pa.Table:
+        sa, sb = [], []
+        for s, d in zip(batch["src_id"].to_pylist(), batch["dst_id"].to_pylist()):
+            x, y = split_of(s), split_of(d)
+            sa.append(min(x, y))
+            sb.append(max(x, y))
+        return _pa.table(
+            {
+                "split_a": _pa.array(sa, _pa.string()),
+                "split_b": _pa.array(sb, _pa.string()),
+            }
+        )
+
+    out = (
+        pairs.map_batches(_splits, batch_format="pyarrow")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Count(alias_name="n_pairs"))
+        .to_pandas()
+    )
+    return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7399,6 +7529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_weighted_topk": _documents_weighted_topk,
         "kg_citation_age": _kg_citation_age,
         "events_interarrival": _events_interarrival,
+        "documents_langid_kappa": _documents_langid_kappa,
+        "documents_split_leakage": _documents_split_leakage,
     }
 
 
@@ -10051,4 +10183,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0::DOUBLE END AS cv
             FROM a ORDER BY user_id
         """,
+        # Cohen's kappa, all-integer cross-multiplied:
+        # (diag·N − Σ row·col) / (N² − Σ row·col)
+        "documents_langid_kappa": f"""
+            WITH cm AS MATERIALIZED ({_langid_confusion_sql()}),
+            lab AS (
+                SELECT lang AS l FROM cm UNION SELECT lang_pred FROM cm
+            ), r AS (
+                SELECT lang AS l, CAST(sum(n_docs) AS BIGINT) AS rn
+                FROM cm GROUP BY lang
+            ), c AS (
+                SELECT lang_pred AS l, CAST(sum(n_docs) AS BIGINT) AS cn
+                FROM cm GROUP BY lang_pred
+            ), t AS (
+                SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+                       CAST(sum(CASE WHEN lang = lang_pred THEN n_docs
+                                     ELSE 0 END) AS BIGINT) AS diag
+                FROM cm
+            ), e AS (
+                SELECT CAST(sum(coalesce(r.rn, 0) * coalesce(c.cn, 0))
+                            AS BIGINT) AS src
+                FROM lab LEFT JOIN r ON r.l = lab.l LEFT JOIN c ON c.l = lab.l
+            )
+            SELECT t.nn AS n, t.diag AS diag,
+                   (t.diag * t.nn - e.src) / (t.nn * t.nn - e.src) AS kappa
+            FROM t, e
+        """,
+        "documents_split_leakage": _documents_split_leakage_sql(),
     }
