@@ -6944,6 +6944,88 @@ def _documents_split_leakage(sf_dir: str):
     return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)
 
 
+def _events_auc_by_hour(sf_dir: str):
+    """Sliced evaluation (stages/diagnostics.roc_auc_by_group): the exact
+    midrank AUC of value-vs-purchase computed independently per
+    hour-of-day — the robustness readout that catches a score failing a
+    slice; degenerate slices report 0.0."""
+    import ray.data as rd
+
+    import numpy as _np
+
+    import pyarrow as _pa
+
+    from decisions_knowledge_graph_data_ray.stages.diagnostics import (
+        roc_auc_by_group,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+
+    def _slice(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        us = _np.asarray(
+            batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()),
+            dtype=_np.int64,
+        )
+        return _pa.table(
+            {
+                "hour": _pa.array((us // 3_600_000_000) % 24, _pa.int64()),
+                "value": batch["value"],
+                "is_purchase": _pc.equal(batch["event_type"], "purchase"),
+            }
+        )
+
+    sliced = ev.map_batches(_slice, batch_format="pyarrow")
+    out = roc_auc_by_group(sliced, "value", "is_purchase", "hour").to_pandas()
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def _documents_dedup_curve(sf_dir: str):
+    """Dedup-threshold operating curve: the MinHash candidate pairs'
+    estimated-Jaccard distribution bucketed in 0.05 bins from 0.5 up —
+    the table an operator reads to CHOOSE the near-dup threshold before
+    committing a 100-TB dedup pass. Reuses the hash-gated pair machinery
+    at threshold 0.5; one cell groupby."""
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+
+    def _bin(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        # est_jaccard is already round(4); 0.05 bins via int arithmetic
+        b = _pc.cast(
+            _pc.floor(
+                _pc.divide(
+                    _pc.round(
+                        _pc.multiply(batch["est_jaccard"], 10000.0), ndigits=0
+                    ),
+                    500.0,
+                )
+            ),
+            _pa.int64(),
+        )
+        return _pa.table({"bin": b})
+
+    out = (
+        pairs.map_batches(_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n_pairs"))
+        .to_pandas()
+    )
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7531,6 +7613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _events_interarrival,
         "documents_langid_kappa": _documents_langid_kappa,
         "documents_split_leakage": _documents_split_leakage,
+        "events_auc_by_hour": _events_auc_by_hour,
+        "documents_dedup_curve": _documents_dedup_curve,
     }
 
 
@@ -10210,4 +10294,43 @@ def oracle_sql() -> dict[str, str]:
             FROM t, e
         """,
         "documents_split_leakage": _documents_split_leakage_sql(),
+        # sliced AUC: the events_auc window pair, partitioned by slice
+        "events_auc_by_hour": """
+            WITH q AS (
+                SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                FROM events
+            ), r AS (
+                SELECT hour, vq, pos,
+                       rank() OVER (PARTITION BY hour ORDER BY vq) - 1 AS rlt,
+                       count(*) OVER (PARTITION BY hour, vq) AS req
+                FROM q
+            ), a AS (
+                SELECT hour,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+                       CAST(sum(CASE WHEN pos = 1 THEN 2 * rlt + req + 1
+                                     ELSE 0 END) AS BIGINT) AS u2
+                FROM r GROUP BY hour
+            )
+            SELECT hour, n_pos, n_neg, u2,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN (u2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+                        ELSE 0.0::DOUBLE END AS auc
+            FROM a ORDER BY hour
+        """,
+        "documents_dedup_curve": (
+            "WITH "
+            + _sketch_parts()["ctes"]
+            + _minhash_cand_ctes()
+            + """
+            , pairs AS (
+                SELECT est_jaccard AS ej FROM est WHERE est_jaccard >= 0.5
+            )
+            SELECT CAST(floor(round(ej * 10000.0) / 500.0) AS BIGINT) AS bin,
+                   count(*) AS n_pairs
+            FROM pairs GROUP BY bin ORDER BY bin
+        """
+        ),
     }
