@@ -7026,6 +7026,99 @@ def _documents_dedup_curve(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def _kg_component_stats(sf_dir: str):
+    """Component-size histogram of the co-citation graph — the
+    graph-health rollup (one giant component = over-merged entities;
+    all-tiny = under-linked). labels → per-label size combiner → one
+    bounded groupby on size."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as _pa
+
+    from decisions_knowledge_graph_data_ray.stages.canonicalize import (
+        connected_components,
+    )
+    from decisions_knowledge_graph_data_ray.stages.graph import (
+        citation_edges,
+        cocitation_pairs,
+    )
+
+    pairs = cocitation_pairs(
+        citation_edges(_extractions_for(sf_dir)), group_col="conv_id", node_col="ecli"
+    )
+    labels = connected_components(pairs.select_columns(["src", "dst"]))
+
+    def _size_partial(batch: _pa.Table) -> _pa.Table:
+        out = _pa.TableGroupBy(batch.select(["label"]), "label").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["label", "n"])
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="size"))
+    )
+    out = (
+        sizes.groupby("size").aggregate(Count(alias_name="n_components")).to_pandas()
+    )
+    return out.sort_values("size").reset_index(drop=True)
+
+
+def _documents_dup_cluster_sizes(sf_dir: str):
+    """Near-duplicate cluster-size histogram (exact-Jaccard mode, the
+    oracle-checkable recall-guaranteed path): pairs → distributed CC →
+    per-label size combiner → histogram. The curation readout that says
+    how much mass dedup removes and whether one mega-cluster (template
+    spam) dominates."""
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count, Sum
+
+    from decisions_knowledge_graph_data_ray.stages.canonicalize import (
+        connected_components,
+    )
+    from decisions_knowledge_graph_data_ray.stages.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(docs, 0.7)
+
+    def _edges(batch: _pa.Table) -> _pa.Table:
+        # CC labels are string-min (the canonicalize contract)
+        return _pa.table(
+            {
+                "src": _pa.array(
+                    [str(x) for x in batch["src_id"].to_pylist()], _pa.string()
+                ),
+                "dst": _pa.array(
+                    [str(x) for x in batch["dst_id"].to_pylist()], _pa.string()
+                ),
+            }
+        )
+
+    labels = connected_components(pairs.map_batches(_edges, batch_format="pyarrow"))
+
+    def _size_partial(batch: _pa.Table) -> _pa.Table:
+        out = _pa.TableGroupBy(batch.select(["label"]), "label").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["label", "n"])
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="size"))
+    )
+    out = (
+        sizes.groupby("size").aggregate(Count(alias_name="n_clusters")).to_pandas()
+    )
+    return out.sort_values("size").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7615,6 +7708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_split_leakage": _documents_split_leakage,
         "events_auc_by_hour": _events_auc_by_hour,
         "documents_dedup_curve": _documents_dedup_curve,
+        "kg_component_stats": _kg_component_stats,
+        "documents_dup_cluster_sizes": _documents_dup_cluster_sizes,
     }
 
 
@@ -10333,4 +10428,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY bin ORDER BY bin
         """
         ),
+        # component-size histogram over the per-node components relation
+        "kg_component_stats": f"""
+            SELECT n_nodes AS size, count(DISTINCT component) AS n_components
+            FROM ({_kg_components_sql()}) X
+            GROUP BY size ORDER BY size
+        """,
+        "documents_dup_cluster_sizes": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, length(text) - 3),
+                                                    i -> substr(text, i, 5))) AS s
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, s, len(s) AS n FROM sh
+            ), pairs AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+                FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+                WHERE least(a.n, b.n) + 1e-9 >= 0.7 * greatest(a.n, b.n)
+                  AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                            (a.n + b.n - len(list_intersect(a.s, b.s))), 6) >= 0.7
+            ), edges AS (
+                SELECT src_id AS a, dst_id AS b FROM pairs
+                UNION ALL
+                SELECT dst_id, src_id FROM pairs
+            ), reach(node, r) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+            ), roots AS (
+                SELECT node, min(CAST(r AS VARCHAR)) AS root_str
+                FROM reach GROUP BY node
+            )
+            SELECT size, count(*) AS n_clusters
+            FROM (SELECT root_str, count(*) AS size FROM roots GROUP BY root_str)
+            GROUP BY size ORDER BY size
+        """,
     }
