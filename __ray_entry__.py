@@ -7119,6 +7119,145 @@ def _documents_dup_cluster_sizes(sf_dir: str):
     return out.sort_values("size").reset_index(drop=True)
 
 
+def _events_hll_accuracy(sf_dir: str):
+    """Sketch-accuracy audit: per-hour HLL distinct-user estimates
+    (stages/cardinality.hll_distinct, b=6) against EXACT distinct counts
+    (distinct_pairs combiner) — the honesty readout that says what error
+    the sketch actually carries on this corpus before anyone trusts it at
+    100 TB. rel_err = |est − exact| / exact, identical expression both
+    sides."""
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.cardinality import hll_distinct
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _hour(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        us = _np.asarray(
+            batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()),
+            dtype=_np.int64,
+        )
+        return _pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ehour": _pa.array(us // 3_600_000_000, _pa.int64()),
+            }
+        )
+
+    hourly = ev.map_batches(_hour, batch_format="pyarrow").materialize()
+    exact = (
+        distinct_pairs(hourly, ["ehour", "user_id"])
+        .groupby("ehour")
+        .aggregate(Count(alias_name="exact"))
+    )
+    est = hll_distinct(hourly, "user_id", "ehour", b=6).select_columns(
+        ["ehour", "hll_estimate"]
+    )
+    joined = exact.join(est, join_type="inner", on=("ehour",), num_partitions=8)
+
+    def _err(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        e = _pc.round(batch["hll_estimate"], ndigits=6)
+        # rel_err from the UNROUNDED estimate: |round6(est) − exact| / exact
+        # lands exactly on .5 ulp-at-6dp whenever exact divides the rounded
+        # value's last digit (measured: est 1.007895, exact 2), and the two
+        # sides' rounding modes then disagree; the raw transcendental never
+        # does
+        rel = _pc.round(
+            _pc.divide(
+                _pc.abs(
+                    _pc.subtract(
+                        batch["hll_estimate"],
+                        _pc.cast(batch["exact"], _pa.float64()),
+                    )
+                ),
+                _pc.cast(batch["exact"], _pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return _pa.table(
+            {
+                "ehour": batch["ehour"],
+                "exact": batch["exact"],
+                "est": e,
+                "rel_err": rel,
+            }
+        )
+
+    out = joined.map_batches(_err, batch_format="pyarrow").to_pandas()
+    return out.sort_values("ehour").reset_index(drop=True)
+
+
+def _documents_dedup_by_source(sf_dir: str):
+    """Per-source duplication rate: distinct (source, md5-text) combiner
+    pairs vs row counts — the curation slice that shows WHICH upstream
+    feed ships the duplicates. dup_rate is one exact int/int double
+    division."""
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def _hash(batch: _pa.Table) -> _pa.Table:
+        import hashlib as _hl
+
+        return _pa.table(
+            {
+                "source": batch["source"],
+                "h": _pa.array(
+                    [
+                        _hl.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"].to_pylist()
+                    ],
+                    _pa.string(),
+                ),
+            }
+        )
+
+    hashed = docs.map_batches(_hash, batch_format="pyarrow").materialize()
+    n_docs = hashed.groupby("source").aggregate(Count(alias_name="n_docs"))
+    n_uni = (
+        distinct_pairs(hashed, ["source", "h"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_unique"))
+    )
+    joined = n_docs.join(n_uni, join_type="inner", on=("source",), num_partitions=4)
+
+    def _rate(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "n_unique": batch["n_unique"],
+                "dup_rate": _pc.divide(
+                    _pc.cast(
+                        _pc.subtract(batch["n_docs"], batch["n_unique"]),
+                        _pa.float64(),
+                    ),
+                    _pc.cast(batch["n_docs"], _pa.float64()),
+                ),
+            }
+        )
+
+    out = joined.map_batches(_rate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7710,6 +7849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_dedup_curve": _documents_dedup_curve,
         "kg_component_stats": _kg_component_stats,
         "documents_dup_cluster_sizes": _documents_dup_cluster_sizes,
+        "events_hll_accuracy": _events_hll_accuracy,
+        "documents_dedup_by_source": _documents_dedup_by_source,
     }
 
 
@@ -10463,5 +10604,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT size, count(*) AS n_clusters
             FROM (SELECT root_str, count(*) AS size FROM roots GROUP BY root_str)
             GROUP BY size ORDER BY size
+        """,
+        # sketch-accuracy audit: per-hour HLL estimate (the events_hll_users
+        # register math + the sliding-window estimator) vs exact distinct
+        "events_hll_accuracy": f"""
+            WITH h AS (
+                SELECT (epoch_us(ts) // 3600000000) AS ehour, user_id,
+                       {_md5_u32_sql("CAST(user_id AS VARCHAR)")} AS u32
+                FROM events
+            ), hr AS (
+                SELECT ehour, u32 // 67108864 AS bucket, u32 % 67108864 AS rem
+                FROM h
+            ), regs AS MATERIALIZED (
+                SELECT ehour, CAST(bucket AS BIGINT) AS bucket,
+                       CAST(MAX(CASE WHEN rem = 0 THEN 27
+                                     ELSE 27 - length(bin(rem)) END)
+                            AS BIGINT) AS rho
+                FROM hr GROUP BY ehour, bucket
+            ), est AS (
+                SELECT ehour,
+                       CASE WHEN (CAST('0.709' AS DOUBLE) * 64 * 64)
+                                 / ((64 - count(*)) + sum(power(2.0, -rho)))
+                                 <= 160.0 AND count(*) < 64
+                            THEN 64 * ln(64.0 / (64 - count(*)))
+                            ELSE (CAST('0.709' AS DOUBLE) * 64 * 64)
+                                 / ((64 - count(*)) + sum(power(2.0, -rho)))
+                       END AS est_raw
+                FROM regs GROUP BY ehour
+            ), ex AS (
+                SELECT ehour, count(DISTINCT user_id) AS "exact" FROM h
+                GROUP BY ehour
+            )
+            SELECT ex.ehour, ex."exact", round(est.est_raw, 6) AS est,
+                   round(abs(est.est_raw - CAST(ex."exact" AS DOUBLE))
+                         / CAST(ex."exact" AS DOUBLE), 6) AS rel_err
+            FROM ex JOIN est USING (ehour)
+            ORDER BY ex.ehour
+        """,
+        "documents_dedup_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM documents GROUP BY source ORDER BY source
         """,
     }
