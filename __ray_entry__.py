@@ -7258,6 +7258,95 @@ def _documents_dedup_by_source(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _events_stickiness(sf_dir: str):
+    """DAU / trailing-7-day WAU stickiness per day — the engagement ratio
+    read off every product dashboard, in the exact sliding-distinct
+    shape: distinct (day, user) combiner pairs (bounded by users×days),
+    each pair replicated to the ≤7 windows it serves, then one distinct
+    pass per window and two bounded counts. stickiness = dau/wau is one
+    exact int/int double division."""
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Count
+
+    from decisions_knowledge_graph_data_ray.stages.graph import distinct_pairs
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _day(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        us = _np.asarray(
+            batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64()),
+            dtype=_np.int64,
+        )
+        return _pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": _pa.array(us // 86_400_000_000, _pa.int64()),
+            }
+        )
+
+    du = distinct_pairs(
+        ev.map_batches(_day, batch_format="pyarrow"), ["day", "user_id"]
+    ).materialize()
+    max_day = du.max("day")
+    dau = du.groupby("day").aggregate(Count(alias_name="dau"))
+
+    def _windows(batch: _pa.Table) -> _pa.Table:
+        ds_, us_ = batch["day"].to_pylist(), batch["user_id"].to_pylist()
+        wd, wu = [], []
+        for d, u in zip(ds_, us_):
+            for o in range(7):
+                if d + o <= max_day:
+                    wd.append(d + o)
+                    wu.append(u)
+        return _pa.table(
+            {
+                "wday": _pa.array(wd, _pa.int64()),
+                "user_id": _pa.array(wu, _pa.int64()),
+            }
+        )
+
+    wau = (
+        distinct_pairs(
+            du.map_batches(_windows, batch_format="pyarrow"), ["wday", "user_id"]
+        )
+        .groupby("wday")
+        .aggregate(Count(alias_name="wau"))
+    )
+
+    def _rename(batch: _pa.Table) -> _pa.Table:
+        return batch.rename_columns(["day", "wau"])
+
+    joined = dau.join(
+        wau.map_batches(_rename, batch_format="pyarrow"),
+        join_type="inner",
+        on=("day",),
+        num_partitions=8,
+    )
+
+    def _ratio(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {
+                "day": batch["day"],
+                "dau": batch["dau"],
+                "wau": batch["wau"],
+                "stickiness": _pc.divide(
+                    _pc.cast(batch["dau"], _pa.float64()),
+                    _pc.cast(batch["wau"], _pa.float64()),
+                ),
+            }
+        )
+
+    out = joined.map_batches(_ratio, batch_format="pyarrow").to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7851,6 +7940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_dup_cluster_sizes": _documents_dup_cluster_sizes,
         "events_hll_accuracy": _events_hll_accuracy,
         "documents_dedup_by_source": _documents_dedup_by_source,
+        "events_stickiness": _events_stickiness,
     }
 
 
@@ -10647,5 +10737,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS dup_rate
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # DAU / trailing-7-day WAU: window label = END day, windows
+        # truncated at the corpus max day (the engine's replication rule)
+        "events_stickiness": """
+            WITH du AS MATERIALIZED (
+                SELECT DISTINCT (epoch_us(ts) // 86400000000) AS day, user_id
+                FROM events
+            ), mx AS (SELECT max(day) AS md FROM du),
+            dau AS (
+                SELECT day, count(*) AS dau FROM du GROUP BY day
+            ), win AS (
+                SELECT du.day + o AS wday, du.user_id
+                FROM du, unnest(range(0, 7)) t(o)
+                WHERE du.day + o <= (SELECT md FROM mx)
+            ), wau AS (
+                SELECT wday AS day, count(DISTINCT user_id) AS wau
+                FROM win GROUP BY wday
+            )
+            SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+                   CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                   AS stickiness
+            FROM dau JOIN wau USING (day)
+            ORDER BY day
         """,
     }
