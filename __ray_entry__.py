@@ -7347,6 +7347,79 @@ def _events_stickiness(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def _kg_boilerplate_savings(sf_dir: str):
+    """Cost-avoidance summary of the boilerplate filter: how many turns
+    and characters the cross-conversation dedup keeps OUT of the
+    LLM-extraction pool — the number that justifies the curation pass at
+    10^12-turn scale. One fused per-turn map (boilerplate key membership
+    + utf8 length) → a single global Sum/Count reduce; saved_frac is one
+    exact int/int double division."""
+    import pyarrow as _pa
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    import pandas as _pd
+
+    from decisions_knowledge_graph_data_ray.pipelines.kg import read_transcripts
+    from decisions_knowledge_graph_data_ray.stages.transcript_prep import (
+        boilerplate_key_counts,
+        _text_keys,
+    )
+
+    ts = read_transcripts(sf_dir)
+    hot = boilerplate_key_counts(ts, min_convs=5)
+    keys: set = set()
+    for blk in hot.select_columns(["tkey"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        keys.update(blk["tkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def _per_turn(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        from decisions_knowledge_graph_data_ray.stages.broadcast import (
+            broadcast_cache,
+        )
+
+        k = broadcast_cache(keys_ref)
+        tk = _text_keys(batch["text"]).to_pylist()
+        boiler = [1 if t in k else 0 for t in tk]
+        tlen = _pc.cast(_pc.utf8_length(batch["text"]), _pa.int64())
+        return _pa.table(
+            {
+                "one": _pa.array([1] * len(tk), _pa.int64()),
+                "boiler": _pa.array(boiler, _pa.int64()),
+                "tlen": tlen,
+                "blen": _pa.array(
+                    [l if b else 0 for l, b in zip(tlen.to_pylist(), boiler)],
+                    _pa.int64(),
+                ),
+            }
+        )
+
+    agg = ts.select_columns(["text"]).map_batches(
+        _per_turn, batch_format="pyarrow"
+    ).aggregate(
+        Sum("one", alias_name="n_turns"),
+        Sum("boiler", alias_name="n_boilerplate"),
+        Sum("tlen", alias_name="total_chars"),
+        Sum("blen", alias_name="boiler_chars"),
+    )
+    saved = agg["boiler_chars"] / agg["total_chars"]
+    return _pd.DataFrame(
+        {
+            "n_turns": _pd.array([int(agg["n_turns"])], dtype="int64"),
+            "n_boilerplate": _pd.array([int(agg["n_boilerplate"])], dtype="int64"),
+            "total_chars": _pd.array([int(agg["total_chars"])], dtype="int64"),
+            "boiler_chars": _pd.array([int(agg["boiler_chars"])], dtype="int64"),
+            "saved_frac": [saved],
+        }
+    )
+
+
 def _documents_curation(sf_dir: str):
     """End-to-end curation capstone (stages/prep.curation_pipeline):
     gopher quality filter → exact dedup (md5 min) → exact-recall near
@@ -7941,6 +8014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_accuracy": _events_hll_accuracy,
         "documents_dedup_by_source": _documents_dedup_by_source,
         "events_stickiness": _events_stickiness,
+        "kg_boilerplate_savings": _kg_boilerplate_savings,
     }
 
 
@@ -10760,5 +10834,25 @@ def oracle_sql() -> dict[str, str]:
                    AS stickiness
             FROM dau JOIN wau USING (day)
             ORDER BY day
+        """,
+        "kg_boilerplate_savings": f"""
+            WITH t AS (
+                SELECT conv_id, text, length(text) AS tlen
+                FROM read_parquet('{_sf001_transcripts_path()}')
+            ), hot AS (
+                SELECT text FROM t
+                GROUP BY text HAVING count(DISTINCT conv_id) >= 5
+            ), f AS (
+                SELECT t.tlen,
+                       CASE WHEN h.text IS NOT NULL THEN 1 ELSE 0 END AS b
+                FROM t LEFT JOIN hot h USING (text)
+            )
+            SELECT count(*) AS n_turns,
+                   CAST(sum(b) AS BIGINT) AS n_boilerplate,
+                   CAST(sum(tlen) AS BIGINT) AS total_chars,
+                   CAST(sum(b * tlen) AS BIGINT) AS boiler_chars,
+                   CAST(sum(b * tlen) AS BIGINT)
+                   / CAST(sum(tlen) AS BIGINT) AS saved_frac
+            FROM f
         """,
     }
